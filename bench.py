@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side result transfer), which is the honest proxy for "write this
+result to Kafka/parquet" — what the engine does in production.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative spread of the operator inventory: relational parity
+# (scan/filter/join/agg/window/pagination), the Kafka event projection,
+# and the LLM-pipeline operators (dedup tiers, similarity, text).
+HEADLINE = [
+    "kafka_payload_shape",
+    "filter_conj",
+    "join_broadcast",
+    "join_smj",
+    "agg_stats",
+    "agg_group_count",
+    "agg_rollup",
+    "topk_per_group",
+    "win_running_sum",
+    "win_tumbling",
+    "json_extract_agg",
+    "parse_datetime_multi",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "sim_exact_small",
+    "sim_topk",
+    "text_tokens",
+    "text_stats",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    from hyperswitch_data_backfill_spark.registry import REGISTRY, queries
+    from hyperswitch_data_backfill_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bench")
+    queries()
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    # JVM/codegen warmup outside the timed region.
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

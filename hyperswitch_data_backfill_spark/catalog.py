@@ -1,0 +1,54 @@
+"""Fixture/table catalog.
+
+The reference reads statically-typed Postgres tables through Diesel
+(``payment_intent.rs:62-68`` etc.); our engine reads DataFrames whose
+schemas are equally fixed — parquet fixtures here, partitioned JDBC in
+production (sources/jdbc.py). This module is the single place that maps
+a table name to a correctly-typed DataFrame.
+
+Scale note: loading is a metadata operation — no collect, no cache by
+default. At 100 TB the same call reads a partitioned parquet/JDBC table
+and every downstream filter/projection is pushed into the scan by
+Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyperswitch_data_backfill_spark.session import prepare_session
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
+# (spark.sql.legacy.parquet.nanosAsLong) and we convert to timestamp_ntz
+# microseconds with *integer* division — double division would lose
+# precision above 2^53 ns and silently corrupt timestamps.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with engine-canonical types."""
+    prepare_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(
+                col,
+                F.expr(f"cast(timestamp_micros({col} div 1000) as timestamp_ntz)"),
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

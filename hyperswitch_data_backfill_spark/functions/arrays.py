@@ -1,0 +1,59 @@
+"""Array/vector expressions — SURVEY §2.8 X7.
+
+Foundation for the similarity operators (operators/similarity.py): all
+vector math is expressed with codegen'd higher-order functions
+(``transform``/``aggregate``/``zip_with``) over ``array<float>`` —
+JVM-side, no Python, no UDF. Float32 elements are widened to double
+*before* any arithmetic; results that fold many elements are rounded to
+6 decimals wherever an oracle comparison happens (fold order is
+engine-specific at the last ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.registry import register
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@register(
+    "array_ops",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           CAST(embedding[1] AS DOUBLE) AS head
+    FROM embeddings
+    """,
+    doc="X7: per-vector dimension, L2 norm (double fold, rounded 6dp), head "
+        "element — exercises transform/aggregate over array<float>.",
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.element_at("embedding", 1).cast("double").alias("head"),
+    )

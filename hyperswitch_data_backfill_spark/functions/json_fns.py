@@ -1,0 +1,55 @@
+"""JSON extraction — SURVEY §2.8 X4.
+
+The Hyperswitch entities carry ``serde_json::Value`` metadata columns
+[dep] that downstream ClickHouse consumers parse; the fixture analogue
+is ``events.props`` (a JSON string). Extraction is a codegen'd path
+expression (``get_json_object``) — no UDF, no shuffle; at 100 TB the
+only cost is reading the string column (column-pruned to just ``props``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.registry import register
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+    doc="X4: JSON path extraction from a metadata column + typed cast.",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@register(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="X4b: extract-then-aggregate — the ClickHouse-dashboard shape "
+        "(sum of a JSON metric per event type); integer-exact.",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("k_sum"), F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,217 @@
+"""Deduplication — SURVEY §2.11 L1/L2 (north-star mandate).
+
+Four tiers, cheapest first — the standard pretraining-data funnel:
+
+1. ``dedup_exact`` — hash-group on content, keep the lowest doc_id.
+   One shuffle on the dedup key; at 100 TB group on ``md5(text)`` so
+   the shuffled key is 16 bytes, not the document.
+2. ``dedup_ngram_jaccard`` — *exact* near-dup pairs via the distinct-
+   shingle inverted index: explode shingles → self-join on shingle →
+   pair-count = intersection; |A∪B| from per-doc counts. The join key
+   is a shingle, so only documents sharing a shingle ever meet —
+   no cross join. SQL-expressible → full DuckDB oracle.
+3. ``dedup_minhash`` — MinHash+LSH candidates: 32 hash functions,
+   8 bands × 4 rows; documents collide only if a band signature
+   matches. This is the 100 TB path: cost is O(docs × shingles) for
+   signatures plus a band-bucket shuffle, never O(pairs).
+4. ``dedup_simhash`` — 32-bit SimHash fingerprints; near-dups are
+   fingerprints at small Hamming distance (candidates via identical
+   fingerprint here; banded-bit variant at scale).
+
+Shingle contract (shared with the oracles): 4-token shingles over
+space-split tokens, distinct per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.registry import register
+
+SHINGLE_K = 4
+MINHASH_N = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # MINHASH_N = LSH_BANDS * LSH_ROWS
+JACCARD_THRESHOLD = 0.5
+
+
+def shingles_df(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) — distinct k-token shingles per document."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array())
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) t WHERE rn = 1
+    """,
+    doc="L1: exact content dedup, deterministic survivor (lowest doc_id). "
+        "At 100 TB: partition by md5(text) — 16-byte shuffle key, and the "
+        "window degenerates to a min-reduce per key.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tokens) - {SHINGLE_K - 2}),
+                          i -> array_to_string(tokens[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
+            FROM tok WHERE len(tokens) >= {SHINGLE_K}
+        ) x
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+    """,
+    doc="L2a: exact n-gram Jaccard near-dup pairs via the shingle inverted "
+        "index (no cross join — docs only meet if they share a shingle). "
+        "Integer set sizes → one double division → engine-exact.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a", "id_b", "inter",
+            F.col("sa.n").alias("n_a"), F.col("sb.n").alias("n_b"),
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= JACCARD_THRESHOLD)
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{N-1}) MinHash signature columns via xxhash64."""
+    sh = shingles_df(docs)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#seed{k}")))).alias(f"m{k}")
+        for k in range(MINHASH_N)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "dedup_minhash",
+    oracle=None,  # LSH banding is approximate by construction → rows-only
+    doc="L2b: MinHash+LSH candidate pairs (32 perms, 8 bands × 4 rows) with "
+        "estimated Jaccard = signature agreement rate. The scale path: "
+        "worst case is the band-bucket shuffle, never O(n²) pairs.",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col(f"m{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias("bh"),
+            )
+            for bi in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", *[f"m{k}" for k in range(MINHASH_N)], F.explode(band_structs).alias("b")
+    ).select("doc_id", *[f"m{k}" for k in range(MINHASH_N)], "b.band", "b.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.m{k}") == F.col(f"b.m{k}"), 1).otherwise(0) for k in range(MINHASH_N)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (agree.cast("double") / MINHASH_N).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # depends on xxhash64 bit mixing → rows-only
+    doc="L2c: 32-bit SimHash per document (token-hash bit voting); candidate "
+        "near-dups = identical fingerprint. At scale: split the fingerprint "
+        "into 4 bands of 8 bits and join per band to catch Hamming distance ≤3.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token")
+    )
+    h = F.xxhash64("token")
+    bit_votes = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(32)
+    ]
+    votes = tok.groupBy("doc_id").agg(*bit_votes)
+    fp = sum(
+        F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(32)
+    )
+    sigs = votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                F.col("a.simhash").alias("simhash"))
+    )

@@ -1,0 +1,190 @@
+"""Text analysis — SURVEY §2.11 L4 (north-star mandate).
+
+Everything here is pure Spark SQL expressions — split/explode/regexp/
+higher-order functions — so the hot path is whole-stage codegen over the
+string column, column-pruned to ``text``. No Python in the loop. At
+100 TB the only shuffle is the final aggregate's (map-side combined).
+
+Tokenization contract (shared with dedup.py and every oracle): tokens
+are ``split(text, ' ')`` with empties removed — byte-identical between
+Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ) t
+    WHERE token <> ''
+    GROUP BY token
+    """,
+    doc="L4a: corpus term + document frequencies (tokenize → explode → count).",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("doc_id").alias("df"))
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS avg_token_len,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS stopword_ratio
+    FROM documents
+    """,
+    doc="L4b: per-document quality signals — char/token counts, mean token "
+        "length, stopword ratio (the quality-scoring features of a training-"
+        "data pipeline). Integer inputs → single double division → exact.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens, 6
+        ).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id, lang,
+           (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
+            + CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) >= 10 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                        / len(list_filter(string_split(text, ' '), x -> x <> '')) >= 0.3
+                   THEN 1 ELSE 0 END) AS quality_score,
+           CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_unique_tokens
+    FROM documents
+    """,
+    doc="L4c: rule-based quality score (length band, min tokens, lexical "
+        "diversity) — the keep/drop gate of a pretraining data pipeline.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    score = (
+        F.when(F.length("text").between(50, 10000), 1).otherwise(0)
+        + F.when(n_tokens >= 10, 1).otherwise(0)
+        + F.when(n_uniq.cast("double") / n_tokens >= 0.3, 1).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        score.alias("quality_score"),
+        n_uniq.cast("bigint").alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS content_fp
+    FROM documents
+    """,
+    doc="L4d: document fingerprints — raw md5 plus an order/duplicate-"
+        "insensitive content fingerprint (md5 of the sorted distinct token "
+        "set), the cheap first pass of near-dup detection.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("content_fp"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE
+             WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+             WHEN len(list_filter(string_split(text, ' '),
+                      x -> x IN ('der','die','das','und','nicht'))) >
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','a','of','and','to')))
+               THEN 'de'
+             ELSE 'en'
+           END AS lang_pred
+    FROM documents
+    """,
+    doc="L4e: n-gram/marker-word language heuristic (CJK codepoint presence, "
+        "stopword-list voting) — deterministic, expression-only language ID.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    de_marks = F.array(*[F.lit(s) for s in ("der", "die", "das", "und", "nicht")])
+    en_marks = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_de = F.size(F.filter(toks, lambda x: F.array_contains(de_marks, x)))
+    n_en = F.size(F.filter(toks, lambda x: F.array_contains(en_marks, x)))
+    has_cjk = F.regexp_count(F.col("text"), F.lit(r"[\x{4e00}-\x{9fff}]")) > 0
+    pred = (
+        F.when(has_cjk, "zh").when(n_de > n_en, "de").otherwise("en")
+    )
+    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_ish,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_over_4
+    FROM documents
+    """,
+    doc="L4f: token counting — a BPE-ish regex segmentation count plus the "
+        "chars/4 heuristic LLM cost estimators use.",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("n_bpe_ish"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_chars_over_4"),
+    )

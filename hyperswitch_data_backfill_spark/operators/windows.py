@@ -1,0 +1,114 @@
+"""Window functions + batch tumbling windows — SURVEY §2.7, §2.10.
+
+None exist in the reference; they are the sanctioned replacements for
+its pagination (row_number, ordering.py) and the downstream-analytics
+shapes its Kafka events feed [dep]: previous-attempt status (lag),
+running totals, hourly event buckets.
+
+Scale: a window over ``partitionBy(k)`` is one hash shuffle on k then a
+sort within each group — same cost envelope as a grouped aggregate.
+Windows with no PARTITION BY (global row_number) serialize onto a single
+partition and are only used for test-scale pagination; production
+pagination partitions by key range first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.registry import register
+
+
+@register(
+    "win_rownum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+    """,
+    doc="row_number per merchant in time order (tie-broken by PK for determinism).",
+)
+def win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+    )
+
+
+@register(
+    "win_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders
+    """,
+    doc="lag: previous order amount per merchant — the 'previous attempt "
+        "status' analytics shape (SURVEY §2.7).",
+)
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("prev_price", F.lag("o_totalprice").over(w))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price")
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+    doc="running per-merchant revenue (decimal-exact accumulation, "
+        "rowsBetween unboundedPreceding..current).",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn(
+            "running_total",
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"),
+        )
+        .select("o_custkey", "o_orderkey", "running_total")
+    )
+
+
+@register(
+    "win_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="batch-emulated tumbling window over the event stream: "
+        "window(ts, '1 hour') groupBy — identical semantics to the Structured "
+        "Streaming variant (streaming/pipeline.py) minus the watermark.",
+)
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n", "total_value")
+    )
