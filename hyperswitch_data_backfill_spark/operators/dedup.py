@@ -39,7 +39,16 @@ JACCARD_THRESHOLD = 0.5
 
 
 def shingles_df(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) — distinct k-token shingles per document."""
+    """(doc_id, shingle) — distinct k-token shingles per document.
+
+    Repartitions first: shingling fans out ~|tokens| per doc, and a
+    small parquet input arrives as one split — without the spread the
+    whole fan-out runs on one core. At 100 TB the input has thousands
+    of splits and AQE coalesces this to a no-op-sized shuffle; locally
+    it is what engages all cores.
+    """
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(spread, "doc_id")
     toks = F.split(F.col("text"), " ")
     sh = F.when(
         F.size(toks) >= k,
@@ -109,80 +118,98 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_df(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Set size rides along as a window count over the exploded shingles —
+    # one shuffle on doc_id instead of a separate aggregate + two
+    # re-joins against the pair table (matters: the pair table is the
+    # big intermediate at scale, never enrich it twice).
+    sh = shingles_df(docs).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        pairs.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
-        .select(
-            "id_a", "id_b", "inter",
-            F.col("sa.n").alias("n_a"), F.col("sb.n").alias("n_b"),
-        )
+        pairs.select("id_a", "id_b", "inter", "n_a", "n_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= JACCARD_THRESHOLD)
     )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, m0..m{N-1}) MinHash signature columns via xxhash64."""
+    """(doc_id, sig array<bigint>[N]) MinHash signatures via xxhash64.
+
+    One shuffle (groupBy doc_id) with map-side partial mins; the k hash
+    functions are xxhash64 over shingle⊕seed — computed in codegen, no
+    Python.
+    """
     sh = shingles_df(docs)
     aggs = [
         F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#seed{k}")))).alias(f"m{k}")
         for k in range(MINHASH_N)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"m{k}") for k in range(MINHASH_N)]).alias("sig")
+    )
 
 
 @register(
     "dedup_minhash",
     oracle=None,  # LSH banding is approximate by construction → rows-only
     doc="L2b: MinHash+LSH candidate pairs (32 perms, 8 bands × 4 rows) with "
-        "estimated Jaccard = signature agreement rate. The scale path: "
-        "worst case is the band-bucket shuffle, never O(n²) pairs.",
+        "estimated Jaccard = signature agreement rate. Scale shape: group "
+        "by (band, band-hash) and pair WITHIN each bucket — one scan of the "
+        "signatures, one shuffle, no self-join, never O(n²) pairs. Bucket "
+        "skew (a viral shingle set) is bounded because identical band "
+        "signatures imply near-identical docs.",
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    band_structs = F.array(
+    bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.xxhash64(*[F.col(f"m{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias("bh"),
+                F.xxhash64(F.slice("sig", bi * LSH_ROWS + 1, LSH_ROWS)).alias("bh"),
             )
             for bi in range(LSH_BANDS)
         ]
     )
-    banded = sig.select(
-        "doc_id", *[f"m{k}" for k in range(MINHASH_N)], F.explode(band_structs).alias("b")
-    ).select("doc_id", *[f"m{k}" for k in range(MINHASH_N)], "b.band", "b.bh")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    agree = sum(
-        F.when(F.col(f"a.m{k}") == F.col(f"b.m{k}"), 1).otherwise(0) for k in range(MINHASH_N)
+    banded = sig.select("doc_id", "sig", F.explode(bands).alias("b")).select(
+        "doc_id", "sig", "b.band", "b.bh"
     )
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(sequence(0, size(members) - 2), i ->
+            transform(sequence(i + 1, size(members) - 1), j ->
+                struct(members[i] AS a, members[j] AS b))))
+        """
+    )
+    pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.a.doc_id").alias("id_a"),
+        F.col("p.b.doc_id").alias("id_b"),
+        F.col("p.a.sig").alias("sig_a"),
+        F.col("p.b.sig").alias("sig_b"),
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            (agree.cast("double") / MINHASH_N).alias("est_jaccard"),
-        )
-        .distinct()
+        pairs.select("id_a", "id_b", (agree.cast("double") / MINHASH_N).alias("est_jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -208,10 +235,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(32)
     )
     sigs = votes.select("doc_id", fp.cast("bigint").alias("simhash"))
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    return (
-        a.join(b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-                F.col("a.simhash").alias("simhash"))
+    # Same bucket-then-pair shape as dedup_minhash: one shuffle on the
+    # fingerprint, pairs generated inside each bucket — no self-join.
+    buckets = (
+        sigs.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(sequence(0, size(members) - 2), i ->
+            transform(sequence(i + 1, size(members) - 1), j ->
+                struct(members[i] AS id_a, members[j] AS id_b))))
+        """
+    )
+    return buckets.select("simhash", F.explode(pair_structs).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), "simhash"
     )

@@ -101,14 +101,27 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                AND TIMESTAMP '1995-06-30 23:59:59'
+    )
     """,
-    doc="J3c: left-anti join — orphan detection (customers with zero orders); "
-        "the data-quality complement of J2.",
+    doc="J3c: left-anti join — merchants with no activity in a window "
+        "(every fixture customer has *some* order, so the unwindowed anti "
+        "set is empty; the windowed variant keeps the check non-trivial). "
+        "The filter sits on the right side *before* the anti join, so it "
+        "prunes the build input.",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1995-06-30 23:59:59").cast("timestamp_ntz"),
+        )
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

@@ -22,6 +22,7 @@ All vector math is codegen'd higher-order functions (functions/arrays.py)
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -32,8 +33,12 @@ from hyperswitch_data_backfill_spark.registry import register
 
 N_QUERIES = 8
 TOP_K = 10
-NEARDUP_COS = 0.95
-LSH_BITS = 16
+# Fixture embeddings are near-orthogonal random vectors (max pairwise
+# cosine ≈0.6 corpus-wide, ≈0.45 within a label); 0.4 marks the genuine
+# "unusually close" tail. Real near-dup corpora use 0.9+.
+NEARDUP_COS = 0.4
+LSH_BITS = 6  # bits per table → 64 buckets/table
+LSH_TABLES = 8  # OR-amplification: candidate if SAME bucket in ANY table
 DIM = 64
 
 
@@ -87,7 +92,7 @@ def _hyperplanes(seed: int = 0, bits: int = LSH_BITS, dim: int = DIM) -> list[li
 
 
 def lsh_signature(col, planes: list[list[float]]):
-    """16-bit random-hyperplane signature of an array<float> column."""
+    """Random-hyperplane bit signature of an array<float> column."""
     bits = []
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(v)) for v in p])
@@ -95,23 +100,93 @@ def lsh_signature(col, planes: list[list[float]]):
     return sum(bits).cast("int")
 
 
+def lsh_buckets(emb_col, tables: int = LSH_TABLES, bits: int = LSH_BITS):
+    """Multi-table LSH: array of (table, bucket) structs for OR-amplification.
+
+    A pair is a candidate iff it collides in ANY table — P[candidate] =
+    1-(1-p^bits)^tables where p = 1-θ/π, the standard recall knob. One
+    explode fans each vector to `tables` rows; the join key is
+    (table, bucket), so candidates stay bucket-colocated.
+
+    Expression-tree variant (pure codegen). For wide table×bit configs
+    prefer ``lsh_buckets_udf`` — tables·bits literal-plane folds blow up
+    the generated code, while one Arrow matmul stays flat.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_signature(emb_col, _hyperplanes(seed=1000 + t, bits=bits)).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+
+
+def _all_planes(tables: int = LSH_TABLES, bits: int = LSH_BITS, dim: int = DIM):
+    """(tables·bits, dim) plane matrix — same seeds as lsh_buckets."""
+    return np.concatenate(
+        [np.asarray(_hyperplanes(seed=1000 + t, bits=bits, dim=dim)) for t in range(tables)]
+    )
+
+
+def lsh_buckets_udf(emb_col, tables: int = LSH_TABLES, bits: int = LSH_BITS):
+    """Arrow-vectorized twin of ``lsh_buckets``: one numpy matmul per batch
+    computes every table's bucket (identical output, same seeds).
+
+    Each batch does (batch, dim) @ (dim, tables·bits) — BLAS does in one
+    call what the expression tree does in tables·bits folds. Planes are
+    re-derived deterministically per executor (tiny), not shipped.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def impl(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())  # (batch, dim)
+        proj = mat @ _all_planes(tables, bits).T  # (batch, tables·bits)
+        bitvals = (proj >= 0).astype(np.int64)
+        weights = np.tile(1 << np.arange(bits), tables)
+        buckets = (bitvals * weights).reshape(len(mat), tables, bits).sum(axis=2)
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    key = f"lsh{tables}x{bits}"
+    if key not in _UDF_CACHE:
+        _UDF_CACHE[key] = pandas_udf(impl, "array<int>")
+    return _UDF_CACHE[key](emb_col)
+
+
+_UDF_CACHE: dict[str, object] = {}
+
+
 @register(
     "sim_topk",
     oracle=None,  # approximate (LSH recall < 1) → rows-only
-    doc="L3b: ANN top-k via random-hyperplane LSH — signature bucketing, "
-        "bucket-equi join, per-query rank. The 100 TB path: candidates are "
-        "bucket-colocated (repartition by signature), never a cross join.",
+    doc="L3b: ANN top-k via multi-table random-hyperplane LSH (8 tables × "
+        "6 bits, OR-amplified) — explode to (table,bucket), bucket-equi "
+        "join, exact re-rank of candidates, per-query top-k. The 100 TB "
+        "path: candidates are bucket-colocated (repartition by bucket), "
+        "never a cross join; recall tuned by (tables, bits).",
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
-    sig = emb.withColumn("bucket", lsh_signature(F.col("embedding"), planes))
-    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("bucket")
+    # Spread the single-file scan across cores before the vector math
+    # (same rationale as dedup.shingles_df).
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    banded = emb.select(
+        "vec_id", "embedding",
+        F.posexplode(lsh_buckets_udf(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+    q = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "tbl",
+        "bucket",
     )
     cand = (
-        sig.join(F.broadcast(q), "bucket")
+        banded.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "q_emb", "embedding")
+        .dropDuplicates(["q_id", "vec_id"])  # collapse multi-table collisions
         .select(
             "q_id", "vec_id",
             F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),

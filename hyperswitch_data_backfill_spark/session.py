@@ -70,7 +70,7 @@ def get_spark(app_name: str = "hyperswitch-data-backfill-spark",
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

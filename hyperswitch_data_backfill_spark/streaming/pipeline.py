@@ -45,14 +45,21 @@ def tumbling_event_counts(
     not O(stream length) — the property that lets this run forever on a
     100 TB/day stream.
     """
+    # Watermarks require TIMESTAMP (not NTZ); under the engine's pinned
+    # UTC session timezone the ntz↔ltz casts are identity, and we cast
+    # the bucket back to ntz so batch and streaming schemas agree.
     return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window_size).alias("w"), "event_type")
+        events.withColumn("_evt", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_evt", watermark)
+        .groupBy(F.window("_evt", window_size).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
-        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "total_value")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+            "event_type", "n", "total_value",
+        )
     )
 
 
