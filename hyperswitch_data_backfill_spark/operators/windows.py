@@ -89,6 +89,63 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 240  # shared with streaming/pipeline.py sessionize_stream
+
+
+@register(
+    "win_session",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), s AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM o
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="batch sessionization: gap-based session windows (new session when "
+        "the per-user inter-event gap exceeds 240 min) via lag + running sum "
+        "of session-start flags. Semantics twin of the stateful streaming "
+        "sessionizer (streaming/pipeline.py). Scale: one shuffle on user_id "
+        "+ in-partition sort — the same envelope as any keyed window; no "
+        "state, no iteration.",
+)
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    # ntz→ltz cast is identity under the engine's pinned UTC session tz;
+    # micros precision matches the oracle's INTERVAL comparison exactly.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
+    return (
+        ev.withColumn(
+            "session_id",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
 @register(
     "win_tumbling",
     oracle="""

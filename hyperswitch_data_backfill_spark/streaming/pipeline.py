@@ -63,6 +63,106 @@ def tumbling_event_counts(
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id BIGINT, session_id BIGINT, start_us BIGINT, end_us BIGINT, "
+    "n_events BIGINT, total_e4 BIGINT"
+)
+SESSION_STATE_SCHEMA = (
+    "start_us BIGINT, last_us BIGINT, n BIGINT, total_e4 BIGINT, next_sid BIGINT"
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_min: int = 240,
+    ts_col: str = "ts",
+    timeout: str = "none",
+    watermark: str = "8 hours",
+) -> DataFrame:
+    """Stateful gap-session operator — ``applyInPandasWithState``.
+
+    Streaming twin of the batch ``win_session`` query (operators/
+    windows.py): a session is a maximal per-user run of events whose
+    inter-event gap never exceeds ``gap_min`` minutes; output columns
+    and session numbering are identical.
+
+    State per user is ONE open session (start, last-seen, count, sum) —
+    O(keys), not O(events); watermarking is what bounds it on an
+    unbounded stream. A session is emitted when a later event closes it
+    (a gap) or, with ``timeout='event_time'``, when the event-time
+    watermark passes its last event by the gap — the production flush
+    path for users who go quiet.
+
+    Correctness contract: per-user event-time order across micro-batches
+    (a Kafka source partitioned by user_id preserves it). All arithmetic
+    is integer micros / 1e-4 value units inside the callback, so the
+    result is bit-identical to the batch twin's decimal(18,4) math.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_min * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, last, n, tot, sid = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], sid, start, last, n, tot)],
+                columns=["user_id", "session_id", "start_us", "end_us", "n_events", "total_e4"],
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
+        if state.exists:
+            start, last, n, tot, sid = state.get
+        else:
+            start = last = None
+            n = tot = 0
+            sid = 1
+        out = []
+        for us, v4 in zip(rows["us"].astype("int64"), rows["v4"].astype("int64")):
+            us, v4 = int(us), int(v4)
+            if last is None:
+                start, last, n, tot = us, us, 1, v4
+            elif us - last > gap_us:
+                out.append((key[0], sid, start, last, n, tot))
+                sid += 1
+                start, last, n, tot = us, us, 1, v4
+            else:
+                last, n, tot = us, n + 1, tot + v4
+        state.update((start, last, n, tot, sid))
+        if timeout == "event_time":
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_id", "start_us", "end_us", "n_events", "total_e4"]
+        )
+
+    prepared = events.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 10_000).cast("bigint").alias("v4"),
+        F.col(ts_col).cast("timestamp").alias("_evt"),
+    )
+    conf = GroupStateTimeout.NoTimeout
+    if timeout == "event_time":
+        prepared = prepared.withWatermark("_evt", watermark)
+        conf = GroupStateTimeout.EventTimeTimeout
+    sessions = prepared.groupBy("user_id").applyInPandasWithState(
+        fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA, "append", conf
+    )
+    # Micros→timestamp and 1e-4-units→double conversions happen JVM-side,
+    # after the Python stage, so the callback stays integer-exact.
+    return sessions.select(
+        "user_id",
+        "session_id",
+        F.expr("cast(timestamp_micros(start_us) as timestamp_ntz)").alias("session_start"),
+        F.expr("cast(timestamp_micros(end_us) as timestamp_ntz)").alias("session_end"),
+        "n_events",
+        (F.col("total_e4").cast("decimal(18,4)") / 10_000).cast("double").alias("total_value"),
+    )
+
+
 def stream_to_kafka_records(
     events: DataFrame, key_cols: list[str], topic: str, tenant_id: str = "default"
 ) -> DataFrame:

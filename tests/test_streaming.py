@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from hyperswitch_data_backfill_spark.catalog import load_table
 from hyperswitch_data_backfill_spark.streaming.pipeline import (
     read_parquet_stream,
+    sessionize_stream,
     stream_to_kafka_records,
     tumbling_event_counts,
     write_memory_sink,
@@ -66,3 +67,78 @@ def test_stream_event_projection_shape(spark, event_stream_dir):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(*) AS n FROM stream_records").first()["n"]
     assert n == batch_events.count()
+
+
+@pytest.fixture(scope="module")
+def sliced_event_dir(spark):
+    """Events split into 3 time-ordered files → 3 in-order micro-batches."""
+    import os
+    import time
+
+    d = tempfile.mkdtemp(prefix="evslices-")
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    for i in range(3):
+        s, e = lo + i * span, hi if i == 2 else lo + (i + 1) * span
+        cond = (F.col("ts") >= s) & ((F.col("ts") <= e) if i == 2 else (F.col("ts") < e))
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(f"{d}/slice{i}")
+        # file source orders batches by mod time — make it monotone
+        for root, _, files in os.walk(f"{d}/slice{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (time.time() + i, time.time() + i))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_sessionize_equals_batch(spark, sliced_event_dir):
+    """Closed sessions from the stateful stream == batch win_session minus
+    each user's final (still-open-at-stream-end) session."""
+    from hyperswitch_data_backfill_spark.operators.windows import win_session
+
+    from pyspark.sql.window import Window
+
+    batch = win_session(spark, SF_DIR)
+    w_last = F.max("session_id").over(Window.partitionBy("user_id"))
+    expected = {
+        tuple(r) for r in batch.withColumn("_last", w_last).filter(F.col("session_id") != F.col("_last"))
+        .drop("_last").collect()
+    }
+
+    schema = load_table(spark, SF_DIR, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sliced_event_dir}/slice*")
+    )
+    sessions = sessionize_stream(stream)
+    q = write_memory_sink(sessions, "sessions_test", complete=False)
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sessions_test").collect()}
+    assert got == expected
+
+
+def test_stateful_sessionize_event_time_timeout_flush(spark, sliced_event_dir):
+    """With event-time timeout, quiet users' open sessions flush once the
+    watermark passes; every flushed session matches a batch session."""
+    from hyperswitch_data_backfill_spark.operators.windows import win_session
+
+    schema = load_table(spark, SF_DIR, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sliced_event_dir}/slice*")
+    )
+    sessions = sessionize_stream(stream, timeout="event_time", watermark="0 seconds")
+    q = write_memory_sink(sessions, "sessions_flush_test", complete=False)
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sessions_flush_test").collect()}
+    batch_all = {tuple(r) for r in win_session(spark, SF_DIR).collect()}
+    # timeout flushes strictly more sessions than gap-closing alone: with a
+    # 0s watermark every session whose gap elapsed before stream end flushes,
+    # and each flushed session must be a genuine batch session.
+    n_users = spark.sql(
+        "SELECT count(DISTINCT user_id) AS n FROM sessions_flush_test"
+    ).first()["n"]
+    assert got <= batch_all
+    assert n_users > 0 and len(got) > n_users  # more than one session/user → flush fired
