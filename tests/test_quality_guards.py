@@ -55,3 +55,23 @@ def test_dedup_exact_idempotent(spark):
         out1.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).count()
     )
     assert n1 == n2
+
+
+def test_sim_ivf_recall_and_exactness(spark):
+    """IVF ANN: measured recall floor, exactly ≤k rows/query, and every
+    reported similarity must agree with the exact scorer (re-rank is exact)."""
+    exact_rows = REGISTRY["sim_exact_small"].fn(spark, SF_DIR).collect()
+    ivf_rows = REGISTRY["sim_ivf"].fn(spark, SF_DIR).collect()
+    truth = {(r["q_id"], r["vec_id"]): r["cos_sim"] for r in exact_rows}
+    got = {(r["q_id"], r["vec_id"]): r["cos_sim"] for r in ivf_rows}
+    recall = len(set(truth) & set(got)) / len(truth)
+    # 3-of-16 cells probed on near-orthogonal random vectors: empirically
+    # ~0.36; the floor guards against silent probe/assignment regressions.
+    assert recall >= 0.2, f"IVF recall collapsed: {recall:.3f}"
+    per_q = {}
+    for (q, _v) in got:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(n <= 10 for n in per_q.values())
+    for pair, cs in got.items():
+        if pair in truth:
+            assert abs(cs - truth[pair]) < 1e-9, f"re-rank not exact at {pair}"
