@@ -1,0 +1,112 @@
+"""Physical-plan guards: the scale story is only real if the plans keep
+their shape. Each assertion pins a property SURVEY §4 promises —
+predicate pushdown into the scan, column pruning, the intended join
+strategy, whole-stage codegen — so a refactor that silently degrades
+the plan (e.g. a UDF blocking pushdown, a lost broadcast hint) fails
+CI even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from hyperswitch_data_backfill_spark.registry import REGISTRY, queries
+from tests.conftest import SF_DIR
+
+queries()
+
+
+def plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """F1/F2/F3: predicates must land in the parquet scan, not a post-filter
+    only — at 100 TB this is the difference between reading a partition
+    and reading the table."""
+    for name in ("filter_eq", "filter_between", "filter_conj"):
+        p = plan(spark, name)
+        assert "PushedFilters: [" in p, f"{name}: no pushed filters\n{p}"
+        pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert pushed.strip(), f"{name}: empty pushdown\n{p}"
+
+
+def test_column_pruning_reaches_scan(spark):
+    """F4: a 3-column projection must not read the full orders schema."""
+    p = plan(spark, "project_subset")
+    read = p.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "o_comment" not in read, f"projection not pruned: {read}"
+
+
+def test_broadcast_join_is_broadcast(spark):
+    """J1: fact×dim stays a broadcast hash join — the fact side must
+    never shuffle for a dimension lookup."""
+    p = plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, f"dim join degraded to SMJ:\n{p}"
+
+
+def test_big_join_is_sort_merge(spark):
+    """J3: at fixture scale Catalyst rightly broadcasts the 150k-row
+    orders side; the scale guard is that with broadcast off (simulating
+    two genuinely big sides) the plan degrades to a shuffle join — not
+    a nested loop or a forced broadcast hint someone hard-coded."""
+    p_small = plan(spark, "join_smj")
+    assert "Join" in p_small and "NestedLoop" not in p_small, p_small
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan(spark, "join_smj")
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+        assert "BroadcastHashJoin" not in p, f"hard-coded broadcast on a fact join:\n{p}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_semi_and_anti_strategies(spark):
+    """J2: allow-list semi-join broadcasts the id list; anti-join keeps a
+    join-based plan (no per-row subquery)."""
+    p_semi = plan(spark, "join_semi")
+    assert "LeftSemi" in p_semi, p_semi
+    p_anti = plan(spark, "join_anti")
+    assert "Anti" in p_anti or "anti" in p_anti, p_anti
+
+
+def test_kafka_projection_stays_in_codegen(spark):
+    """S4: the event projection (to_json over struct) is whole-stage
+    codegen'd — no Python worker in the hot path."""
+    p = plan(spark, "kafka_payload_shape")
+    # formatted mode stars codegen'd nodes ("* Project (3)")
+    assert "* Project" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+        f"Python worker leaked into the event projection:\n{p}"
+    )
+
+
+def test_relational_core_has_no_python_workers(spark):
+    """Everything the reference itself does (scan/filter/join/agg/sort/
+    window/json) must run fully JVM-side; Arrow UDF stages are reserved
+    for crypto (U1) and vector ops (L3)."""
+    jvm_only = (
+        "scan_orders", "filter_conj", "count_filtered", "agg_group_count",
+        "agg_stats", "sort_by_key", "topk_per_group", "win_session",
+        "json_serialize", "parse_datetime_multi", "dedup_exact",
+        "dedup_minhash", "text_tokens",
+    )
+    for name in jvm_only:
+        p = plan(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{name}: Python worker in a built-in-expressible operator:\n{p}"
+        )
+
+
+def test_exact_dedup_partial_aggregates(spark):
+    """L1 at scale: the pre-shuffle side must contain a partial hash
+    aggregate or the full text column shuffles unreduced."""
+    p = plan(spark, "agg_group_count")
+    assert p.count("HashAggregate") >= 2, f"no partial aggregate:\n{p}"
