@@ -30,9 +30,11 @@ HEADLINE = [
     "agg_stats",
     "agg_group_count",
     "agg_rollup",
+    "agg_percentile",
     "topk_per_group",
     "win_running_sum",
     "win_tumbling",
+    "win_session",
     "json_extract_agg",
     "parse_datetime_multi",
     "dedup_exact",
@@ -40,6 +42,8 @@ HEADLINE = [
     "dedup_minhash",
     "sim_exact_small",
     "sim_topk",
+    "sim_ivf",
+    "sample_stable_split",
     "text_tokens",
     "text_stats",
     "text_fingerprint",

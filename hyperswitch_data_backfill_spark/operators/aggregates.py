@@ -127,3 +127,126 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_year")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="A4b: cube — all 2^k grouping sets (status×priority, each margin, "
+        "grand total) in one shuffle; same expand-before-aggregate shape "
+        "as rollup, for dashboard cross-tabs over the event stream.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="A5: exact grouped percentiles (continuous interpolation — Spark "
+        "percentile ≡ DuckDB quantile_cont). Exact percentile needs the "
+        "group's values collected per reducer — fine per-group; at 100 TB "
+        "prefer agg_approx_percentile below.",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # array form: ONE percentile state per group serves all three
+    # quantiles (3 separate calls would buffer the group 3×)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.50, 0.95, 0.99))").alias("pcts"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.col("pcts")[i], 4).alias(f"p{int(q * 100)}")
+                for i, q in enumerate((0.50, 0.95, 0.99))
+            ],
+        )
+    )
+
+
+PIVOT_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="A6: pivot / cross-tab — one grouped aggregation with a "
+        "conditional-count column per pivot value (values enumerated, so "
+        "no second pass to discover them and the plan is a plain "
+        "map-side-combined aggregate; never pivot on an unbounded-"
+        "cardinality column at scale).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(PIVOT_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(PIVOT_PRIORITIES))
+    )
+
+
+@register(
+    "sample_stable_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+    doc="L6: deterministic train/eval split by md5(doc_id) — stable under "
+        "re-runs, re-partitioning, and engine changes (unlike rand() or "
+        "engine-native hash). The standard sharding/sampling primitive "
+        "for training-data pipelines: a pure per-row expression, no "
+        "shuffle, no state, trivially 100 TB-safe.",
+)
+def sample_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based (KLL/GK) → engine-specific → rows-only
+    doc="A5b: approx_percentile — mergeable quantile sketch, constant "
+        "memory per group, one map-side-combined shuffle. The 100 TB "
+        "replacement for exact percentiles: error is bounded by the "
+        "accuracy knob (10000 ≈ 0.01% rank error), state is O(sketch), "
+        "not O(rows).",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.50, 0.95, 0.99], 10000).alias("pcts")
+    )

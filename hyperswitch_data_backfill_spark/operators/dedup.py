@@ -125,15 +125,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(docs).withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Inverted-index pairing WITHOUT a self-join: group the postings per
+    # shingle and emit pairs bucket-locally (same shape as the LSH band
+    # pairing below). The input passes once, and there is no join whose
+    # strategy AQE can re-roll between runs; pair volume is identical to
+    # the self-join formulation — docs only meet if they share a shingle.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(sequence(0, size(members) - 2), i ->
+            transform(sequence(i + 1, size(members) - 1), j ->
+                struct(members[i] AS a, members[j] AS b))))
+        """
+    )
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        buckets.select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
+            F.col("p.a.doc_id").alias("id_a"),
+            F.col("p.b.doc_id").alias("id_b"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.n").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
