@@ -27,6 +27,7 @@ HEADLINE = [
     "filter_conj",
     "join_broadcast",
     "join_smj",
+    "join_asof",
     "agg_stats",
     "agg_group_count",
     "agg_rollup",
@@ -47,6 +48,7 @@ HEADLINE = [
     "text_tokens",
     "text_stats",
     "text_fingerprint",
+    "pipeline_clean_corpus",
 ]
 
 

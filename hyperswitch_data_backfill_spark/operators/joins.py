@@ -125,3 +125,48 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, p.p_ts, p.p_value
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts AS p_ts, value AS p_value
+        FROM events WHERE event_type = 'purchase'
+    ) p ON e.user_id = p.user_id AND p.p_ts < e.ts
+    """,
+    doc="J4: as-of (point-in-time) join — each event annotated with the "
+        "most recent strictly-earlier purchase by the same user. Spark has "
+        "no ASOF join; composed as union + carry-forward window "
+        "(last_value ignoreNulls): tag purchase rows, sort each user "
+        "partition once by (ts, tag, id), and the window carries the last "
+        "purchase forward — ZERO joins, one shuffle on user_id, one "
+        "in-partition sort. The trades×quotes shape at 100 TB: cost is a "
+        "keyed sort, never a range cross-product. (Fixture purchase "
+        "timestamps are tie-free per user, so native ASOF is a "
+        "deterministic oracle.)",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # tag 0 = probe rows, tag 1 = purchase (build) rows; at equal ts the
+    # probe sorts FIRST so a same-instant purchase is not visible (strict <)
+    probe = ev.select("event_id", "user_id", "ts", F.lit(None).cast("double").alias("p_val"), F.lit(0).alias("tag"))
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", F.col("value").alias("p_val"), F.lit(1).alias("tag"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = probe.unionByName(build).select(
+        "event_id", "user_id", "ts", "tag",
+        F.last(F.when(F.col("tag") == 1, F.col("ts")), ignorenulls=True).over(w).alias("p_ts"),
+        F.last(F.when(F.col("tag") == 1, F.col("p_val")), ignorenulls=True).over(w).alias("p_value"),
+    )
+    return carried.filter(F.col("tag") == 0).select("event_id", "user_id", "ts", "p_ts", "p_value")

@@ -188,3 +188,59 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe_ish"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_chars_over_4"),
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, text, lang, n_chars,
+               (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
+                + CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) >= 10 THEN 1 ELSE 0 END
+                + CASE WHEN CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                            / len(list_filter(string_split(text, ' '), x -> x <> '')) >= 0.3
+                       THEN 1 ELSE 0 END) AS q
+        FROM documents
+    ), kept AS (
+        SELECT * FROM scored WHERE q = 3
+    ), deduped AS (
+        SELECT doc_id, lang, n_chars
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM kept)
+        WHERE rn = 1
+    )
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split
+    FROM deduped
+    """,
+    doc="L7: the composed pretraining-data funnel — quality gate (all three "
+        "rule checks pass) → exact dedup (lowest-id survivor) → "
+        "deterministic train/eval split. One DataFrame lineage, so Catalyst "
+        "fuses the quality gate into the scan and the only shuffle is the "
+        "dedup key; the funnel ordering (cheap filters before the shuffle) "
+        "is the 100 TB cost structure.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    quality = (
+        F.when(F.length("text").between(50, 10000), 1).otherwise(0)
+        + F.when(n_tokens >= 10, 1).otherwise(0)
+        + F.when(n_uniq.cast("double") / n_tokens >= 0.3, 1).otherwise(0)
+    )
+    kept = docs.filter(quality == 3)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    return deduped.select(
+        "doc_id", "lang", "n_chars",
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
