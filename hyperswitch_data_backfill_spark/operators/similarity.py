@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hyperswitch_data_backfill_spark.catalog import load_table
-from hyperswitch_data_backfill_spark.functions.arrays import cosine, dot
+from hyperswitch_data_backfill_spark.functions.arrays import dot, norm
 from hyperswitch_data_backfill_spark.registry import register
 
 N_QUERIES = 8
@@ -68,9 +68,17 @@ DIM = 64
         "one corpus scan, per-query rank. The oracle for the ANN variants.",
 )
 def sim_exact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are computed ONCE per vector before the pair join — the
+    # cross product then pays only the dot product. Same fold, same
+    # values (cosine = dot/(norm_a·norm_b) either way); at N corpus ×
+    # Q queries this is O(N+Q) norm folds instead of O(N·Q).
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         emb.crossJoin(F.broadcast(q))
@@ -78,7 +86,9 @@ def sim_exact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -172,24 +182,27 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    banded = emb.select(
-        "vec_id", "embedding",
+    banded = emb.withColumn("nrm", norm(F.col("embedding"))).select(
+        "vec_id", "embedding", "nrm",
         F.posexplode(lsh_buckets_udf(F.col("embedding"))).alias("tbl", "bucket"),
     )
     q = banded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         "tbl",
         "bucket",
     )
     cand = (
         banded.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "q_emb", "embedding")
+        .select("q_id", "vec_id", "q_emb", "q_nrm", "embedding", "nrm")
         .dropDuplicates(["q_id", "vec_id"])  # collapse multi-table collisions
         .select(
             "q_id", "vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -245,12 +258,15 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    corpus = emb.select(
-        "vec_id", "embedding", F.explode(ivf_cells_udf(F.col("embedding"), 1)).alias("cell")
+    base = emb.withColumn("nrm", norm(F.col("embedding")))
+    corpus = base.select(
+        "vec_id", "embedding", "nrm",
+        F.explode(ivf_cells_udf(F.col("embedding"), 1)).alias("cell"),
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.explode(ivf_cells_udf(F.col("embedding"), IVF_NPROBE)).alias("cell"),
     )
     cand = (
@@ -258,7 +274,9 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -285,10 +303,12 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block); at 100 TB the block key is an LSH bucket instead of label.",
 )
 def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     a = emb.alias("a")
     b = emb.alias("b")
-    cs = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cs = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
