@@ -250,3 +250,35 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.50, 0.95, 0.99], 10000).alias("pcts")
     )
+
+
+N_SALT = 8
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="A7: skew-resistant two-phase aggregation — phase 1 groups by "
+        "(key, salt) so a hot key's rows spread over N_SALT reducers, "
+        "phase 2 merges the partials by key. Same result as the direct "
+        "groupBy (the oracle proves it); the pattern is what keeps a "
+        "single viral merchant/document from serializing a 1000-executor "
+        "aggregation. Salt is derived from a stable row attribute, not "
+        "rand(), so the plan stays deterministic.",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    salted = orders.withColumn("_salt", (F.xxhash64("o_orderkey") % N_SALT).cast("int"))
+    partial = salted.groupBy("o_custkey", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(_dec("o_totalprice")).alias("pt"),
+    )
+    return partial.groupBy("o_custkey").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pt").cast("double").alias("total"),
+    )

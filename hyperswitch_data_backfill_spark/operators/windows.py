@@ -169,3 +169,29 @@ def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("bucket_start"), "n", "total_value")
     )
+
+
+@register(
+    "win_rank_stats",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="rank / dense_rank / percent_rank / ntile per merchant by order "
+        "value — one keyed shuffle + sort serves all four rank functions "
+        "(Spark evaluates them in a single Window physical node).",
+)
+def win_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
