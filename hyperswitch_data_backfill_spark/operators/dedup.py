@@ -267,3 +267,90 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.select("simhash", F.explode(pair_structs).alias("p")).select(
         F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), "simhash"
     )
+
+
+_PAIR_SQL = f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tokens) - {SHINGLE_K - 2}),
+                          i -> array_to_string(tokens[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
+            FROM tok WHERE len(tokens) >= {SHINGLE_K}
+        ) x
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), raw_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM raw_pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_PAIR_SQL + """
+    , edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+    doc="L2d: near-dup clusters — connected components over the n-gram "
+        "Jaccard pair graph via iterative min-label propagation (each "
+        "round, every node takes the min label among itself and its "
+        "neighbors; converges in O(component diameter) rounds). The "
+        "survivor-selection step real dedup pipelines need: one doc per "
+        "cluster (cluster_id = min doc_id). Driver only sees a per-round "
+        "convergence COUNT, never data; lineage is cut per round with "
+        "localCheckpoint (on a cluster: checkpoint). At 100 TB swap the "
+        "naive propagation for alternating large-star/small-star — same "
+        "fixpoint, provably fewer rounds on high-diameter graphs. Oracle: "
+        "DuckDB recursive CTE transitive closure.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("src", "dst")
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    edges = edges.localCheckpoint(eager=True)  # pair graph computed once
+    for _ in range(20):
+        nb_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.doc_id == nb_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

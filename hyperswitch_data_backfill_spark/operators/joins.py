@@ -170,3 +170,35 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(F.when(F.col("tag") == 1, F.col("p_val")), ignorenulls=True).over(w).alias("p_value"),
     )
     return carried.filter(F.col("tag") == 0).select("event_id", "user_id", "ts", "p_ts", "p_value")
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate,
+           l.l_extendedprice
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate
+                          AND o.o_orderdate + INTERVAL 60 DAY
+    """,
+    doc="J5: range-bounded join — child rows within the header's validity "
+        "window. The equi key (orderkey) carries the shuffle; the range "
+        "predicate is a cheap post-join residual, so the plan stays a "
+        "plain equi join. A PURE range join (no equi key) at 100 TB must "
+        "instead band both sides into fixed-width time buckets (explode "
+        "intervals to bucket ids, equi-join on bucket, re-filter) — never "
+        "a nested-loop cross product.",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(
+            F.col("l_shipdate").between(
+                F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+        )
+        .select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate", "l_extendedprice")
+    )

@@ -163,6 +163,30 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — twin of the batch ``dedup_exact`` tier.
+
+    ``dropDuplicatesWithinWatermark`` keeps state only for keys whose
+    event time is within the watermark horizon, so state is O(keys per
+    window), not O(stream length) — the property that makes exact dedup
+    runnable on an unbounded stream. Duplicates farther apart than the
+    watermark are NOT caught (that is the contract); the batch tier
+    sweeps those up in the daily compaction run.
+    """
+    key_cols = key_cols or ["event_id"]
+    return (
+        events.withColumn("_evt", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_evt", watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .drop("_evt")
+    )
+
+
 def stream_to_kafka_records(
     events: DataFrame, key_cols: list[str], topic: str, tenant_id: str = "default"
 ) -> DataFrame:

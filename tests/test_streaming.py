@@ -142,3 +142,31 @@ def test_stateful_sessionize_event_time_timeout_flush(spark, sliced_event_dir):
     ).first()["n"]
     assert got <= batch_all
     assert n_users > 0 and len(got) > n_users  # more than one session/user → flush fired
+
+
+def test_stream_dedup_within_watermark(spark, sliced_event_dir):
+    """Replaying the events with every row duplicated must yield each
+    event exactly once (duplicates arrive inside the watermark)."""
+    import os
+    import time as _time
+
+    from hyperswitch_data_backfill_spark.streaming.pipeline import dedup_stream
+
+    d = tempfile.mkdtemp(prefix="evdup-")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.unionByName(ev).coalesce(1).write.mode("overwrite").parquet(f"{d}/all")
+    try:
+        schema = ev.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/all")
+        )
+        deduped = dedup_stream(stream)
+        q = write_memory_sink(deduped, "dedup_stream_test", complete=False)
+        q.awaitTermination(180)
+        n = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream_test").first()
+        assert n["n"] == ev.count()
+        assert n["d"] == n["n"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
