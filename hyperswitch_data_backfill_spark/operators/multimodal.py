@@ -90,6 +90,58 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(gen, FEATURE_SCHEMA)
 
 
+FRAME_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("byte_offset", LongType(), False),
+        StructField("frame_sha", StringType(), True),
+    ]
+)
+
+
+def frame_features(media: DataFrame, every_n_bytes: int = 1024,
+                   frame_bytes: int = 256, decode_stub: bool = True) -> DataFrame:
+    """Composed video pipeline: sample frames, decode each, fingerprint.
+
+    Stage 1 (declarative, JVM-side): ``frame_sample`` fans each payload
+    out to one row per sampled offset and carries the payload along so
+    the decode stage owns its bytes — no second join back to the media
+    table, no shuffle between the stages.
+
+    Stage 2 (Arrow-batched ``mapInPandas``): slice the payload window at
+    each offset and fingerprint it — the seam where a real frame decoder
+    (pyav / PIL) plugs in when ``decode_stub=False``. Downstream dedup
+    (distinct frame_sha per media = scene count) stays declarative.
+    """
+    n = F.length("payload")
+    offsets = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
+    sampled = media.filter(F.col("payload").isNotNull()).select(
+        "media_id", "payload", F.posexplode(offsets).alias("frame_idx", "byte_offset")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame decoding requires pyav/PIL — not in this container"
+                )
+            shas = [
+                hashlib.sha256(bytes(p)[o : o + frame_bytes]).hexdigest()
+                for p, o in zip(pdf["payload"], pdf["byte_offset"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "byte_offset": pdf["byte_offset"],
+                    "frame_sha": shas,
+                }
+            )
+
+    return sampled.mapInPandas(gen, FRAME_FEATURE_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """'Frame sampling' over the opaque payload: one row per sampled offset.
 

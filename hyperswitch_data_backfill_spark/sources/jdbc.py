@@ -18,9 +18,9 @@ so Postgres scans only matching rows. ``fetchsize`` plays the role of
 the reference's batch_size — rows per network round trip, not rows per
 query.
 
-No JDBC database exists in the test container; tests cover option
-assembly and predicate generation (the .load() call itself is the
-standard Spark JDBC path, exercised in any real deployment).
+Tested end-to-end against an embedded Derby database (Derby ships in
+Spark's jars/): range- and predicate-partitioned reads, partition
+counts, and filter pushdown — see tests/test_sources_sinks.py.
 """
 
 from __future__ import annotations

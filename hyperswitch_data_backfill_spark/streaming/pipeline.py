@@ -187,6 +187,49 @@ def dedup_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval.
+
+    Joins each left event to right events with the same ``key`` whose
+    timestamp falls in ``[left_ts - lookback, left_ts]`` — the
+    "enrich a click with the impressions that preceded it" shape.
+
+    Unbounded stream-stream joins would need infinite state (any future
+    left row could match any past right row). The watermark on BOTH
+    inputs plus the two-sided time-range join condition is what lets
+    Spark evict state: a buffered right row can be dropped once the
+    left watermark passes ``right_ts + lookback``. State is therefore
+    O(rows per lookback window per key) — the invariant that keeps this
+    runnable on an unbounded 100 TB/day stream. Both columns are kept
+    with ``l_``/``r_`` prefixes so callers can see both event times.
+    """
+    lt, rt = F.col(left_ts).cast("timestamp"), F.col(right_ts).cast("timestamp")
+    lhs = left.select(
+        F.col(key).alias("l_key"),
+        lt.alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, left_ts)],
+    ).withWatermark("l_ts", watermark)
+    rhs = right.select(
+        F.col(key).alias("r_key"),
+        rt.alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lhs.join(rhs, cond, "inner")
+
+
 def stream_to_kafka_records(
     events: DataFrame, key_cols: list[str], topic: str, tenant_id: str = "default"
 ) -> DataFrame:

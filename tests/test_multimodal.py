@@ -50,3 +50,25 @@ def test_frame_sample_offsets(spark, media_df):
     offsets = sorted(r["byte_offset"] for r in rows)
     assert offsets == [0, 1024, 2048, 3072, 4096]
     assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["byte_offset"])] == [0, 1, 2, 3, 4]
+
+
+def test_frame_features_pipeline(spark, media_df):
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.operators.multimodal import frame_features
+
+    out = frame_features(media_df, every_n_bytes=1024, frame_bytes=256)
+    rows = [r for r in out.collect() if r["media_id"] == 3]  # 8196 bytes → 9 frames
+    assert len(rows) == 9
+    payload = b"\x00\x00ftyp" + b"c" * 8192
+    for r in rows:
+        expected = hashlib.sha256(payload[r["byte_offset"]:r["byte_offset"] + 256]).hexdigest()
+        assert r["frame_sha"] == expected
+    # interior frames of a constant payload collapse under dedup (scene count)
+    scenes = (
+        frame_features(media_df, every_n_bytes=1024)
+        .groupBy("media_id")
+        .agg(F.count_distinct("frame_sha").alias("n_scenes"), F.count("*").alias("n_frames"))
+    )
+    got = {r["media_id"]: (r["n_scenes"], r["n_frames"]) for r in scenes.collect()}
+    assert got[3][1] == 9 and got[3][0] < got[3][1]

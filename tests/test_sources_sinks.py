@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from hyperswitch_data_backfill_spark.catalog import load_table
@@ -101,3 +102,82 @@ def test_compile_entity_open_bounds(spark):
     )
     job = BackfillSpec(entities=(spec,))  # default-open window (F5)
     assert compile_entity(orders, spec, job).count() == orders.count()
+
+
+# ---------------------------------------------------------------------------
+# Embedded-Derby JDBC round trip: the real spark.read.jdbc path (S1/S2),
+# range- and predicate-partitioned, against an in-JVM database. Derby ships
+# in Spark's jars/ (used by the Hive metastore), so no extra install; in
+# local mode executors share the JVM, so the in-memory DB is visible to
+# partition reads exactly as a network Postgres would be.
+# ---------------------------------------------------------------------------
+
+DERBY_URL = "jdbc:derby:memory:jdbctest"
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_table(spark):
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(DERBY_URL + ";create=true")
+    st = conn.createStatement()
+    st.execute(
+        'CREATE TABLE payment_intent ("payment_id" INT PRIMARY KEY, '
+        '"merchant_id" VARCHAR(32), "amount" BIGINT, "created_at" TIMESTAMP)'
+    )
+    ps = conn.prepareStatement('INSERT INTO payment_intent VALUES (?, ?, ?, ?)')
+    ts = jvm.java.sql.Timestamp
+    for i in range(200):
+        ps.setInt(1, i)
+        ps.setString(2, f"m{i % 4}")
+        ps.setLong(3, 100 * i)
+        ps.setTimestamp(4, ts.valueOf(f"2024-01-{1 + i % 28:02d} 12:00:00"))
+        ps.addBatch()
+    ps.executeBatch()
+    ps.close()
+    st.close()
+    conn.close()
+    yield "payment_intent"
+
+
+def _derby_cfg():
+    return JdbcSourceConfig(
+        url=DERBY_URL, table="payment_intent", options={"driver": DERBY_DRIVER}
+    )
+
+
+def test_jdbc_range_partitioned_roundtrip(spark, derby_table):
+    from hyperswitch_data_backfill_spark.sources.jdbc import read_jdbc_range
+
+    df = read_jdbc_range(
+        spark, _derby_cfg(), partition_column='"payment_id"',
+        lower_bound=0, upper_bound=200, num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 200  # every row exactly once across range partitions
+    got = {r["payment_id"]: (r["merchant_id"], r["amount"]) for r in df.collect()}
+    assert got[7] == ("m3", 700)
+    assert len(got) == 200
+
+
+def test_jdbc_predicate_partitioned_merchant_isolation(spark, derby_table):
+    from hyperswitch_data_backfill_spark.sources.jdbc import read_jdbc_predicates
+
+    preds = merchant_predicates('"merchant_id"', ["m0", "m1", "m2"])
+    df = read_jdbc_predicates(spark, _derby_cfg(), preds)
+    # one partition per merchant predicate, allow-list semantics (J2)
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 150
+    assert set(r["merchant_id"] for r in df.collect()) == {"m0", "m1", "m2"}
+
+
+def test_jdbc_filter_pushdown_to_source(spark, derby_table):
+    from hyperswitch_data_backfill_spark.sources.jdbc import read_jdbc_range
+
+    df = read_jdbc_range(
+        spark, _derby_cfg(), partition_column='"payment_id"',
+        lower_bound=0, upper_bound=200, num_partitions=2,
+    ).filter((F.col("merchant_id") == "m1") & (F.col("amount") > 1000))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "merchant_id" in plan.split("PushedFilters")[1][:200]
+    assert df.count() == len([i for i in range(200) if i % 4 == 1 and 100 * i > 1000])

@@ -170,3 +170,40 @@ def test_stream_dedup_within_watermark(spark, sliced_event_dir):
         assert n["d"] == n["n"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sliced_event_dir):
+    """Purchases joined to same-user clicks in the prior hour: the
+    streaming interval join must produce exactly the batch join's rows
+    (single-batch replay → watermark eviction cannot drop matches)."""
+    from hyperswitch_data_backfill_spark.streaming.pipeline import interval_join_streams
+
+    ev = load_table(spark, SF_DIR, "events")
+    d = tempfile.mkdtemp(prefix="evjoin-")
+    try:
+        ev.filter(F.col("event_type") == "purchase").coalesce(1).write.parquet(f"{d}/l")
+        ev.filter(F.col("event_type") == "click").coalesce(1).write.parquet(f"{d}/r")
+        purchases = spark.read.parquet(f"{d}/l")
+        clicks = spark.read.parquet(f"{d}/r")
+
+        expected = sorted(
+            (r["l_event_id"], r["r_event_id"])
+            for r in interval_join_streams(purchases, clicks, key="user_id").collect()
+        )
+        assert expected, "fixture produced no purchase←click pairs"
+
+        joined = interval_join_streams(
+            spark.readStream.schema(purchases.schema).parquet(f"{d}/l"),
+            spark.readStream.schema(clicks.schema).parquet(f"{d}/r"),
+            key="user_id",
+        )
+        assert joined.isStreaming
+        q = write_memory_sink(joined, "ssjoin_test", complete=False)
+        q.awaitTermination(180)
+        got = sorted(
+            (r["l_event_id"], r["r_event_id"])
+            for r in spark.sql("SELECT * FROM ssjoin_test").collect()
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
