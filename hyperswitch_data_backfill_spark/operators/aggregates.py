@@ -282,3 +282,35 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pt").cast("double").alias("total"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="A4b: explicit GROUPING SETS — the general form rollup/cube "
+        "specialize. One pass over the input expands each row into its "
+        "grouping-set combinations before the single aggregation shuffle "
+        "(Spark's Expand node); GROUPING() markers disambiguate 'NULL "
+        "because aggregated away' from NULL data, exactly as downstream "
+        "tenant→merchant→day dashboards need.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

@@ -184,3 +184,32 @@ def remap_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("status"),
         F.col("l_shipdate").alias("created_at"),
     )
+
+
+@register(
+    "exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="correlated EXISTS subquery — Catalyst decorrelates it to a left "
+        "semi join on the correlation key (verified in test_plan_shape), "
+        "so the 'per-customer probe' the SQL describes executes as ONE "
+        "keyed join, not N subquery evaluations. The declarative twin of "
+        "J2's allow-list semi join.",
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_ex_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ex_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM _ex_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM _ex_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        """
+    )

@@ -195,3 +195,40 @@ def win_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS roll_value,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS roll_n
+    FROM events
+    """,
+    doc="time-RANGE window frame: per-user trailing-1-hour rolling sum/count "
+        "over the event stream. The frame bound is integer event-time micros "
+        "(not N rows), so irregular event spacing is handled exactly; one "
+        "keyed shuffle + sort, both aggregates share the single Window node. "
+        "Decimal-exact sum → engine-equal doubles.",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("roll_value"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )

@@ -64,6 +64,12 @@ def compile_entity(
     key-store join (J1, optional) → remap (U2) → event projection (S4).
     Every predicate lands before the join so Catalyst pushes it into the
     scan; the dimension is broadcast so the fact never shuffles.
+
+    ``df`` may be a STREAMING DataFrame: every stage here (filter,
+    stream-static broadcast join, projection) is stream-compatible, so
+    the same spec compiles to the continuous-backfill variant — readStream
+    (CDC/Kafka) in, ``writeStream.format("kafka")`` out. Proven by
+    tests/test_streaming.py::test_compile_entity_on_stream_equals_batch.
     """
     out = df.filter(
         F.col(spec.time_col).between(

@@ -110,3 +110,19 @@ def test_exact_dedup_partial_aggregates(spark):
     aggregate or the full text column shuffles unreduced."""
     p = plan(spark, "agg_group_count")
     assert p.count("HashAggregate") >= 2, f"no partial aggregate:\n{p}"
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """The correlated EXISTS must compile to ONE left semi join on the
+    correlation key — not a per-row subquery plan."""
+    p = plan(spark, "exists_subquery")
+    assert "LeftSemi" in p, p
+    assert "Subquery" not in p, f"undecorrelated subquery survived:\n{p}"
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """GROUPING SETS expands rows once (Expand node) and aggregates in
+    one exchange — not one job per grouping set."""
+    p = plan(spark, "agg_grouping_sets")
+    assert "Expand" in p, p
+    assert p.count("Exchange") <= 2, f"grouping sets re-shuffled per set:\n{p}"

@@ -207,3 +207,52 @@ def test_stream_stream_interval_join_equals_batch(spark, sliced_event_dir):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compile_entity_on_stream_equals_batch(spark):
+    """The SAME EntitySpec compiles onto a streaming source unchanged —
+    window filter, stream-static broadcast join, remap, and the Kafka
+    event projection are all stream-compatible — and a bounded replay
+    yields exactly the batch pipeline's records."""
+    from hyperswitch_data_backfill_spark.plans.spec import (
+        BackfillSpec, EntitySpec, compile_entity,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", F.col("c_name").alias("merchant_name")
+    )
+    spec = EntitySpec(
+        table="orders", merchant_col="o_custkey", time_col="o_orderdate",
+        key_cols=("o_custkey", "o_orderkey"), topic="orders-events",
+        remap={"o_orderkey": "payment_id", "merchant_name": "merchant_name"},
+    )
+    job = BackfillSpec(
+        entities=(spec,), start="1995-01-01 00:00:00", end="1996-12-31 23:59:59",
+        tenant_id="tenantS",
+    )
+    expected = sorted(
+        (r["key"], r["value"], r["topic"])
+        for r in compile_entity(orders, spec, job, key_dim=cust, key_dim_col="c_custkey").collect()
+    )
+    assert expected
+
+    d = tempfile.mkdtemp(prefix="ordstream-")
+    try:
+        orders.repartition(3).write.mode("overwrite").parquet(d)
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        out = compile_entity(stream, spec, job, key_dim=cust, key_dim_col="c_custkey")
+        assert out.isStreaming
+        q = write_memory_sink(out, "entity_stream_test", complete=False)
+        q.awaitTermination(180)
+        got = sorted(
+            (r["key"], r["value"], r["topic"])
+            for r in spark.sql("SELECT * FROM entity_stream_test").collect()
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
