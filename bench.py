@@ -79,12 +79,13 @@ def main() -> None:
     # long-running cluster), then best-of-2 timed runs. Measured on this
     # harness: the first execution of a nested-higher-order-function
     # plan can cost 5-40× its steady state purely in JIT/codegen.
-    # Two full sweeps (min per query across sweeps): the local JVM shows
-    # one roaming multi-second JIT/GC stall per pass that lands on an
-    # arbitrary query; it does not recur on the same query twice, so the
-    # cross-sweep min reports the engine's actual cost.
+    # Three full sweeps (min per query across sweeps): the local JVM
+    # shows roaming multi-second JIT/GC stalls per pass that land on
+    # arbitrary queries; they rarely recur on the same query twice, so
+    # the cross-sweep min reports the engine's actual cost. (Two sweeps
+    # still showed 2× swings on individual queries; three stabilize.)
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for sweep in range(2):
+    for sweep in range(3):
         for name in HEADLINE:
             fn = REGISTRY[name].fn
             if sweep == 0:
@@ -92,7 +93,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(min(timings[name], time.perf_counter() - t0), 3)
-            if sweep:
+            if sweep == 2:
                 print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -354,3 +354,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_survivors",
+    oracle=_PAIR_SQL + """
+    , edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), lab AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    LEFT JOIN lab ON lab.doc_id = d.doc_id
+    WHERE lab.doc_id IS NULL OR lab.cluster_id = d.doc_id
+    """,
+    doc="L2e: near-dup REMOVAL — the corpus with every non-minimum member "
+        "of each Jaccard cluster dropped (keep one representative per "
+        "cluster, plus all unclustered docs). The funnel stage downstream "
+        "of dedup_clusters: labels are O(clustered docs) — tiny next to "
+        "the corpus — so the removal is a left-anti join against just the "
+        "losers, never a shuffle of the full corpus against itself.",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    losers = (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")

@@ -202,3 +202,37 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate", "l_extendedprice")
     )
+
+
+N_JOIN_SALT = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_extendedprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="salted equi-join for hot-key skew — the join-side twin of "
+        "agg_salted_skew. The fact side gets a deterministic salt from a "
+        "NON-key attribute (pmod(xxhash64(linenumber))); the dim side is "
+        "exploded into one copy per salt value; the join key becomes "
+        "(key, salt), so a whale key's rows spread across N_JOIN_SALT "
+        "reducers instead of serializing one. The oracle is the PLAIN "
+        "join — proving the rewrite changes the physical distribution "
+        "and nothing else. At 100 TB this is the manual fallback when "
+        "AQE skew-join can't split (e.g. a single key larger than one "
+        "executor); salt count scales with the observed hot-key factor.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(N_JOIN_SALT)).cast("int")
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(N_JOIN_SALT - 1)))
+    )
+    return (
+        li.hint("shuffle_hash")  # keep it a shuffle join: salting a broadcast is pointless
+        .join(orders, (li.l_orderkey == orders.o_orderkey) & (li._salt == orders._salt))
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "l_extendedprice")
+    )

@@ -126,3 +126,11 @@ def test_grouping_sets_single_expand_single_shuffle(spark):
     p = plan(spark, "agg_grouping_sets")
     assert "Expand" in p, p
     assert p.count("Exchange") <= 2, f"grouping sets re-shuffled per set:\n{p}"
+
+
+def test_salted_join_stays_shuffle_join(spark):
+    """J6: the salted join must be a shuffle join (salting a broadcast
+    would be pointless) and must not collapse to a nested loop."""
+    p = plan(spark, "join_skew_salted")
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
+    assert "BroadcastHashJoin" not in p and "NestedLoop" not in p, p
