@@ -244,3 +244,56 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars",
         F.when(bucket < 90, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
     )
+
+
+TFIDF_TOP_K = 5
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token
+        ) AS rk FROM scored
+    ) t WHERE rk <= {TFIDF_TOP_K}
+    """,
+    doc="L4f: per-document top-k TF-IDF terms — term frequency per "
+        "(doc, token), document frequency per token (both map-side "
+        "combined), smoothed idf = ln((N+1)/(df+1)), window top-k per "
+        "doc. The df table is vocabulary-sized — small next to the "
+        "corpus — so the enrichment join broadcasts; the tf side never "
+        "reshuffles between its groupBy and the doc-keyed window. The "
+        "standard keyword-extraction / relevance-weighting primitive.",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar job on a metadata-countable scan, not data motion
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TFIDF_TOP_K)
