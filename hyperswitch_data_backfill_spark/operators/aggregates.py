@@ -314,3 +314,36 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+STRATUM_N = 40
+
+
+@register(
+    "sample_stratified_fixed",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rk
+        FROM documents
+    ) t WHERE rk <= {STRATUM_N}
+    """,
+    doc="L6b: deterministic fixed-size stratified sample — exactly "
+        "min(N, |stratum|) docs per language, chosen by md5(doc_id) order "
+        "so the sample is stable under re-runs and engine changes (a "
+        "seeded rand() is neither portable nor re-run-stable). One "
+        "shuffle on the stratum key; at 100 TB with a hot stratum, "
+        "pre-filter with an md5-threshold guess (keep ~2N by bucket) "
+        "before the window so the sort never sees the full stratum.",
+)
+def sample_stratified_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_N)
+        .select("doc_id", "lang")
+    )

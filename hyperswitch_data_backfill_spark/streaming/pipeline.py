@@ -195,8 +195,9 @@ def interval_join_streams(
     right_ts: str = "ts",
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded by an event-time interval.
+    """Stream-stream join bounded by an event-time interval.
 
     Joins each left event to right events with the same ``key`` whose
     timestamp falls in ``[left_ts - lookback, left_ts]`` — the
@@ -210,7 +211,14 @@ def interval_join_streams(
     O(rows per lookback window per key) — the invariant that keeps this
     runnable on an unbounded 100 TB/day stream. Both columns are kept
     with ``l_``/``r_`` prefixes so callers can see both event times.
+
+    ``how='leftOuter'`` additionally emits each unmatched left event
+    with null right columns — but only once the watermark proves no
+    future right row can still match it (r_ts would have to be ≥ the
+    watermark), so outer results trail the watermark by design.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported join type: {how}")
     lt, rt = F.col(left_ts).cast("timestamp"), F.col(right_ts).cast("timestamp")
     lhs = left.select(
         F.col(key).alias("l_key"),
@@ -227,7 +235,7 @@ def interval_join_streams(
         & (F.col("r_ts") <= F.col("l_ts"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
     )
-    return lhs.join(rhs, cond, "inner")
+    return lhs.join(rhs, cond, how)
 
 
 def stream_to_kafka_records(

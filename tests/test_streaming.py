@@ -256,3 +256,59 @@ def test_compile_entity_on_stream_equals_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join_flushes_unmatched(spark):
+    """Left-outer interval join: a matched left emits its pair; an
+    unmatched left emits null right columns once the watermark (driven
+    by later batches) proves no future match is possible."""
+    import time as _time
+
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    from hyperswitch_data_backfill_spark.streaming.pipeline import interval_join_streams
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+    ])
+
+    def rows(*triples):
+        import datetime as dt
+
+        return [
+            (u, e, dt.datetime(2024, 1, 1, h, m)) for (u, e, h, m) in triples
+        ]
+
+    d = tempfile.mkdtemp(prefix="ssouter-")
+    try:
+        # batch 1: the data under test; batches 2-3: watermark advancers
+        # (batch 3 exists so eviction runs while data still flows —
+        # bounded replay does not guarantee a final no-data flush batch).
+        for i, (lrows, rrows) in enumerate([
+            (rows((1, 10, 10, 0), (2, 20, 10, 0)), rows((1, 110, 9, 30))),
+            (rows((98, 98, 20, 0)), rows((98, 198, 20, 0))),
+            (rows((99, 99, 21, 0)), rows((99, 199, 21, 0))),
+        ]):
+            spark.createDataFrame(lrows, schema).coalesce(1).write.parquet(f"{d}/l/b{i}")
+            spark.createDataFrame(rrows, schema).coalesce(1).write.parquet(f"{d}/r/b{i}")
+            _time.sleep(1.1)  # distinct mtimes → deterministic batch order
+        joined = interval_join_streams(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(f"{d}/l/*"),
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(f"{d}/r/*"),
+            key="user_id", how="leftOuter",
+        )
+        q = write_memory_sink(joined, "ssouter_test", complete=False)
+        q.awaitTermination(180)
+        got = {
+            r["l_event_id"]: r["r_event_id"]
+            for r in spark.sql(
+                "SELECT * FROM ssouter_test WHERE l_key IN (1, 2)"
+            ).collect()
+        }
+        assert got == {10: 110, 20: None}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
