@@ -37,6 +37,52 @@ LSH_BANDS = 8
 LSH_ROWS = 4  # MINHASH_N = LSH_BANDS * LSH_ROWS
 JACCARD_THRESHOLD = 0.5
 
+# Shared DuckDB oracle fragments: ONE definition of the shingle/pair graph
+# serves dedup_ngram_jaccard, dedup_clusters, and dedup_survivors, so the
+# pair definition cannot drift between the three oracles.
+_PAIR_PREFIX = f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tokens) - {SHINGLE_K - 2}),
+                          i -> array_to_string(tokens[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
+            FROM tok WHERE len(tokens) >= {SHINGLE_K}
+        ) x
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), raw_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), scored_pairs AS (
+        SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+        FROM raw_pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+"""
+
+# Transitive closure of the thresholded pair graph → (doc_id, cluster_id).
+_CLUSTER_SQL = _PAIR_PREFIX + f"""
+    , pairs AS (
+        SELECT id_a, id_b FROM scored_pairs WHERE jac >= {JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), lab AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    )
+"""
+
 
 def shingles_df(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingle) — distinct k-token shingles per document.
@@ -87,30 +133,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
-    ), sh AS (
-        SELECT DISTINCT doc_id, shingle
-        FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, len(tokens) - {SHINGLE_K - 2}),
-                          i -> array_to_string(tokens[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
-            FROM tok WHERE len(tokens) >= {SHINGLE_K}
-        ) x
-    ), sizes AS (
-        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
-           ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+    oracle=_PAIR_PREFIX + f"""
+    SELECT id_a, id_b, inter, n_a, n_b, ROUND(jac, 6) AS jaccard
+    FROM scored_pairs
+    WHERE jac >= {JACCARD_THRESHOLD}
     """,
     doc="L2a: exact n-gram Jaccard near-dup pairs via the shingle inverted "
         "index (no cross join — docs only meet if they share a shingle). "
@@ -269,45 +295,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAIR_SQL = f"""
-    WITH RECURSIVE tok AS (
-        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
-    ), sh AS (
-        SELECT DISTINCT doc_id, shingle
-        FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, len(tokens) - {SHINGLE_K - 2}),
-                          i -> array_to_string(tokens[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
-            FROM tok WHERE len(tokens) >= {SHINGLE_K}
-        ) x
-    ), sizes AS (
-        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-    ), raw_pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ), pairs AS (
-        SELECT id_a, id_b FROM raw_pairs
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
-    )
-"""
-
-
 @register(
     "dedup_clusters",
-    oracle=_PAIR_SQL + """
-    , edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL
-        SELECT id_b, id_a FROM pairs
-    ), reach(src, dst) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    )
-    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    oracle=_CLUSTER_SQL + """
+    SELECT doc_id, cluster_id FROM lab
     """,
     doc="L2d: near-dup clusters — connected components over the n-gram "
         "Jaccard pair graph via iterative min-label propagation (each "
@@ -330,7 +321,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("doc_id")
     )
     edges = edges.localCheckpoint(eager=True)  # pair graph computed once
-    for _ in range(20):
+    converged = False
+    for _ in range(50):
         nb_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -352,24 +344,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Returning intermediate labels would silently split clusters
+        # (and break dedup_survivors' representative selection) — fail
+        # loudly instead; a component this deep means the propagation
+        # round cap (or the large-star/small-star variant) needs raising.
+        raise RuntimeError("dedup_clusters: min-label propagation did not converge in 50 rounds")
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
 @register(
     "dedup_survivors",
-    oracle=_PAIR_SQL + """
-    , edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL
-        SELECT id_b, id_a FROM pairs
-    ), reach(src, dst) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ), lab AS (
-        SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
-    )
+    oracle=_CLUSTER_SQL + """
     SELECT d.doc_id, d.lang, d.n_chars
     FROM documents d
     LEFT JOIN lab ON lab.doc_id = d.doc_id

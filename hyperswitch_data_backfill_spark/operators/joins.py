@@ -231,8 +231,15 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(N_JOIN_SALT - 1)))
     )
+    # Hint the EXPLODED DIM side as the hash build side: its partition
+    # size is bounded by |orders|/N_JOIN_SALT no matter how skewed the
+    # fact key is, while building on the fact side would re-create the
+    # whale-key blowup the salt exists to prevent. (And keep it a
+    # shuffle join at all — salting a broadcast would be pointless.)
     return (
-        li.hint("shuffle_hash")  # keep it a shuffle join: salting a broadcast is pointless
-        .join(orders, (li.l_orderkey == orders.o_orderkey) & (li._salt == orders._salt))
+        li.join(
+            orders.hint("shuffle_hash"),
+            (li.l_orderkey == orders.o_orderkey) & (li._salt == orders._salt),
+        )
         .select("l_orderkey", "l_linenumber", "o_orderdate", "l_extendedprice")
     )

@@ -90,6 +90,15 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(gen, FEATURE_SCHEMA)
 
 
+def _frame_offsets(every_n_bytes: int):
+    """Sampled byte offsets of a payload: [0, every, 2·every, …) — empty
+    for empty (0-byte) payloads, so no phantom frame is emitted."""
+    n = F.length("payload")
+    return F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_n_bytes))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 FRAME_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -104,20 +113,21 @@ def frame_features(media: DataFrame, every_n_bytes: int = 1024,
                    frame_bytes: int = 256, decode_stub: bool = True) -> DataFrame:
     """Composed video pipeline: sample frames, decode each, fingerprint.
 
-    Stage 1 (declarative, JVM-side): ``frame_sample`` fans each payload
-    out to one row per sampled offset and carries the payload along so
-    the decode stage owns its bytes — no second join back to the media
-    table, no shuffle between the stages.
+    Stage 1 (declarative, JVM-side): the shared ``_frame_offsets``
+    sampling rule fans each payload out to one row per sampled offset
+    and carries the payload along so the decode stage owns its bytes —
+    no second join back to the media table, no shuffle between the
+    stages.
 
     Stage 2 (Arrow-batched ``mapInPandas``): slice the payload window at
     each offset and fingerprint it — the seam where a real frame decoder
     (pyav / PIL) plugs in when ``decode_stub=False``. Downstream dedup
     (distinct frame_sha per media = scene count) stays declarative.
     """
-    n = F.length("payload")
-    offsets = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
     sampled = media.filter(F.col("payload").isNotNull()).select(
-        "media_id", "payload", F.posexplode(offsets).alias("frame_idx", "byte_offset")
+        "media_id",
+        "payload",
+        F.posexplode(_frame_offsets(every_n_bytes)).alias("frame_idx", "byte_offset"),
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -147,12 +157,11 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
 
     Stands in for video frame extraction: posexplode over computed offsets
     keeps the fan-out declarative (no Python), and the decode of each
-    sampled frame would be a follow-up mapInPandas stage.
+    sampled frame would be a follow-up mapInPandas stage (see
+    ``frame_features``, which shares the ``_frame_offsets`` rule).
     """
-    n = F.length("payload")
-    offsets = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
     return media.select(
         "media_id",
         "kind",
-        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+        F.posexplode(_frame_offsets(every_n_bytes)).alias("frame_idx", "byte_offset"),
     )

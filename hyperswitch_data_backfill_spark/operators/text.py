@@ -273,12 +273,15 @@ TFIDF_TOP_K = 5
     ) t WHERE rk <= {TFIDF_TOP_K}
     """,
     doc="L4f: per-document top-k TF-IDF terms — term frequency per "
-        "(doc, token), document frequency per token (both map-side "
-        "combined), smoothed idf = ln((N+1)/(df+1)), window top-k per "
-        "doc. The df table is vocabulary-sized — small next to the "
-        "corpus — so the enrichment join broadcasts; the tf side never "
-        "reshuffles between its groupBy and the doc-keyed window. The "
-        "standard keyword-extraction / relevance-weighting primitive.",
+        "(doc, token), smoothed idf = ln((N+1)/(df+1)), window top-k per "
+        "doc. df (docs containing the token) is a count over the "
+        "ALREADY-grouped tf table — tf has one row per (doc, token), so "
+        "the count needs no distinct. It is a partial-aggregated groupBy "
+        "plus a broadcast (vocabulary-sized) join back onto tf, NOT a "
+        "token-keyed window: a stopword token appearing in every doc "
+        "would put its whole posting list in one window partition, while "
+        "the groupBy reduces it map-side — the skew-safe 100 TB shape. "
+        "The standard keyword-extraction / relevance-weighting primitive.",
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -287,7 +290,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # scalar job on a metadata-countable scan, not data motion
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "token").select(
         "doc_id",
         "token",

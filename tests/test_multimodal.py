@@ -72,3 +72,13 @@ def test_frame_features_pipeline(spark, media_df):
     )
     got = {r["media_id"]: (r["n_scenes"], r["n_frames"]) for r in scenes.collect()}
     assert got[3][1] == 9 and got[3][0] < got[3][1]
+
+
+def test_frame_ops_skip_empty_payload(spark):
+    """A 0-byte (non-null) payload must produce zero frames, not a
+    phantom frame at offset 0."""
+    from hyperswitch_data_backfill_spark.operators.multimodal import frame_features
+
+    empty = spark.createDataFrame([(9, "video", b"", None)], MEDIA_SCHEMA)
+    assert frame_sample(empty).count() == 0
+    assert frame_features(empty).count() == 0

@@ -147,9 +147,6 @@ def test_stateful_sessionize_event_time_timeout_flush(spark, sliced_event_dir):
 def test_stream_dedup_within_watermark(spark, sliced_event_dir):
     """Replaying the events with every row duplicated must yield each
     event exactly once (duplicates arrive inside the watermark)."""
-    import os
-    import time as _time
-
     from hyperswitch_data_backfill_spark.streaming.pipeline import dedup_stream
 
     d = tempfile.mkdtemp(prefix="evdup-")
