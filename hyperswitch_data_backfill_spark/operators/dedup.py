@@ -15,8 +15,8 @@ Four tiers, cheapest first — the standard pretraining-data funnel:
    matches. This is the 100 TB path: cost is O(docs × shingles) for
    signatures plus a band-bucket shuffle, never O(pairs).
 4. ``dedup_simhash`` — 32-bit SimHash fingerprints; near-dups are
-   fingerprints at small Hamming distance (candidates via identical
-   fingerprint here; banded-bit variant at scale).
+   fingerprints at Hamming distance ≤3, found exhaustively via 4×8-bit
+   banding (pigeonhole: a ≤3-bit difference leaves ≥1 band intact).
 
 Shingle contract (shared with the oracles): 4-token shingles over
 space-split tokens, distinct per document.
@@ -254,15 +254,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    oracle=None,  # depends on xxhash64 bit mixing → rows-only
-    doc="L2c: 32-bit SimHash per document (token-hash bit voting); candidate "
-        "near-dups = identical fingerprint. At scale: split the fingerprint "
-        "into 4 bands of 8 bits and join per band to catch Hamming distance ≤3.",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 32-bit token-hash bit-vote fingerprints.
+
+    One shuffle (groupBy doc_id) with map-side partial sums; exposed
+    separately so tests can brute-force-verify the banding's recall.
+    """
     tok = docs.select(
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token")
     )
@@ -275,23 +272,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = sum(
         F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(32)
     )
-    sigs = votes.select("doc_id", fp.cast("bigint").alias("simhash"))
-    # Same bucket-then-pair shape as dedup_minhash: one shuffle on the
-    # fingerprint, pairs generated inside each bucket — no self-join.
+    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # depends on xxhash64 bit mixing → rows-only
+    doc="L2c: 32-bit SimHash per document (token-hash bit voting), banded "
+        "candidate generation: the fingerprint splits into 4 bands of 8 "
+        "bits; by pigeonhole, any pair at Hamming distance ≤3 agrees on "
+        "at least one full band, so banding finds ALL such pairs while "
+        "only ever pairing within a (band, bits) bucket — one shuffle, "
+        "no self-join, never O(n²). Candidates are then exact-filtered "
+        "by bit_count(xor) ≤ 3 (pure codegen).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    # Same bucket-then-pair shape as dedup_minhash: explode each doc to
+    # its 4 bands, one shuffle on (band, bits), pairs generated inside
+    # each bucket — no self-join.
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * 8).bitwiseAND(F.lit(255)).alias("bits"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", "b.band", "b.bits"
+    )
     buckets = (
-        sigs.groupBy("simhash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        banded.groupBy("band", "bits")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
         .filter(F.size("members") > 1)
     )
     pair_structs = F.expr(
         """
         flatten(transform(sequence(0, size(members) - 2), i ->
             transform(sequence(i + 1, size(members) - 1), j ->
-                struct(members[i] AS id_a, members[j] AS id_b))))
+                struct(members[i] AS a, members[j] AS b))))
         """
     )
-    return buckets.select("simhash", F.explode(pair_structs).alias("p")).select(
-        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), "simhash"
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("id_a"),
+            F.col("p.b.doc_id").alias("id_b"),
+            F.col("p.a.simhash").alias("sim_a"),
+            F.col("p.b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # collapse multi-band collisions
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
     )
 
 
