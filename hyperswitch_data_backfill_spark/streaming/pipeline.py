@@ -247,6 +247,25 @@ def stream_to_kafka_records(
     return event_frame(events, key_cols, topic, tenant_id)
 
 
+def run_foreach_batch(df: DataFrame, batch_writer, trigger_available_now: bool = True):
+    """Micro-batch bridge to sinks with no native streaming support.
+
+    ``batch_writer(batch_df, batch_id)`` receives each micro-batch as a
+    plain batch DataFrame — the pattern for streaming into JDBC,
+    upsert-style stores, or any batch-only writer. Spark guarantees
+    at-least-once delivery (a retried batch re-invokes the writer with
+    the SAME batch_id), so the writer must be idempotent per batch_id —
+    e.g. ``INSERT ... ON CONFLICT`` keyed by (batch_id, row key), or a
+    deterministic overwrite of a per-batch partition. That contract is
+    what the reference's at-least-once Kafka replay relies on downstream
+    (ClickHouse ReplacingMergeTree); document-parity, not an upgrade.
+    """
+    writer = df.writeStream.foreachBatch(batch_writer)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_memory_sink(df: DataFrame, name: str, complete: bool = True):
     """Test harness sink: availableNow → in-memory table (bounded replay)."""
     return (

@@ -309,3 +309,33 @@ def test_stream_stream_left_outer_join_flushes_unmatched(spark):
         assert got == {10: 110, 20: None}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_foreach_batch_bridge_delivers_all_rows_once(spark):
+    """foreachBatch: a batch-only writer (dict keyed by batch_id —
+    idempotent per the contract) must receive every source row exactly
+    once across micro-batches in a bounded replay."""
+    from hyperswitch_data_backfill_spark.streaming.pipeline import run_foreach_batch
+
+    orders = load_table(spark, SF_DIR, "orders")
+    d = tempfile.mkdtemp(prefix="febatch-")
+    try:
+        orders.repartition(4).write.mode("overwrite").parquet(d)
+        received: dict[int, list] = {}
+
+        def writer(batch_df, batch_id):
+            # idempotent: a retry of batch_id overwrites, never appends
+            received[batch_id] = batch_df.select("o_orderkey").collect()
+
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = run_foreach_batch(stream, writer)
+        q.awaitTermination(180)
+        assert len(received) >= 2, "expected multiple micro-batches"
+        got = sorted(r["o_orderkey"] for rows in received.values() for r in rows)
+        assert got == sorted(r["o_orderkey"] for r in orders.collect())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
