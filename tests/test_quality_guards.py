@@ -104,3 +104,42 @@ def test_simhash_banding_catches_all_close_pairs(spark):
     }
     assert got == expected
     assert expected, "fixture produced no Hamming<=3 pairs — guard is vacuous"
+
+
+def test_dedup_idempotence_property(spark):
+    """Property (SURVEY §5): the exact-dedup tier is a fixed point —
+    dedup(dedup(x)) == dedup(x), duplicates removed, results distinct —
+    over hypothesis-generated corpora with a forced duplicate."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    token = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+    doc = st.lists(token, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def run(texts):
+        # force at least one exact duplicate
+        texts = texts + [texts[0]]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        w = Window.partitionBy("text").orderBy("doc_id")
+
+        def exact(d):
+            return (
+                d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+
+        once = exact(df)
+        twice = exact(once)
+        assert sorted(r["doc_id"] for r in once.collect()) == sorted(
+            r["doc_id"] for r in twice.collect()
+        )
+        assert once.count() < df.count()  # the forced duplicate was removed
+        assert once.select("text").distinct().count() == once.count()
+
+    run()
