@@ -74,3 +74,19 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _open_orders(spark, sf_dir).exceptAll(_finished_orders(spark, sf_dir))
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="bag intersect (intersectAll ↔ INTERSECT ALL) — keeps "
+        "min(multiplicity) copies per value, completing the multiset "
+        "algebra next to exceptAll; one shuffle on the value, counts "
+        "reduced map-side.",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _open_orders(spark, sf_dir).intersectAll(_finished_orders(spark, sf_dir))
