@@ -247,8 +247,17 @@ def sample_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.50, 0.95, 0.99], 10000).alias("pcts")
+    # scalar projection (not the raw array) — mirrors agg_percentile's
+    # output shape so the two are drop-in interchangeable downstream
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", [0.50, 0.95, 0.99], 10000).alias("pcts"))
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p95"),
+            F.col("pcts")[2].alias("p99"),
+        )
     )
 
 

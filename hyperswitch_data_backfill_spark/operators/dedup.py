@@ -338,57 +338,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, cluster_id FROM lab
     """,
     doc="L2d: near-dup clusters — connected components over the n-gram "
-        "Jaccard pair graph via iterative min-label propagation (each "
-        "round, every node takes the min label among itself and its "
-        "neighbors; converges in O(component diameter) rounds). The "
-        "survivor-selection step real dedup pipelines need: one doc per "
-        "cluster (cluster_id = min doc_id). Driver only sees a per-round "
-        "convergence COUNT, never data; lineage is cut per round with "
-        "localCheckpoint (on a cluster: checkpoint). At 100 TB swap the "
-        "naive propagation for alternating large-star/small-star — same "
-        "fixpoint, provably fewer rounds on high-diameter graphs. Oracle: "
-        "DuckDB recursive CTE transitive closure.",
+        "Jaccard pair graph via min-label propagation WITH pointer "
+        "doubling: each round a node takes the min label among itself, "
+        "its neighbors, and its current label's label (label ← "
+        "min(label, label[label])), so the label-pointer chains halve "
+        "each round and convergence is O(log diameter), not O(diameter). "
+        "One Spark action per round (the convergence test rides the same "
+        "materialization as the new labels — no separate old-vs-new "
+        "join). Driver only sees a per-round changed-COUNT, never data; "
+        "the pair graph is checkpointed once, and the label frame — "
+        "O(clustered docs), tiny next to the corpus — is cut per round. "
+        "Oracle: DuckDB recursive CTE transitive closure.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).toDF("src", "dst")
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)  # pair graph computed once
     )
-    edges = edges.localCheckpoint(eager=True)  # pair graph computed once
+    # Round 0 folded into initialization: label = min(self, neighbors)
+    # directly off the edge list — one aggregate instead of a full
+    # propagate round (every src appears in edges, both directions).
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nb0"))
+        .select(F.col("src").alias("doc_id"), F.least("src", "nb0").alias("label"))
+    )
+    # log2(diameter) rounds suffice with doubling; 16 covers any graph a
+    # near-dup pair generator could emit (diameter < 2^16).
     converged = False
-    for _ in range(50):
+    for _ in range(16):
         nb_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nb_min"))
         )
+        stepped = labels.join(nb_min, labels.doc_id == nb_min.src, "left").select(
+            "doc_id",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+        )
+        # Pointer jump: also adopt the label of my current label —
+        # min-labels are monotone, so label[label] ≤ label always holds
+        # and chains collapse exponentially.
+        parent = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("parent_label")
+        )
         new_labels = (
-            labels.join(nb_min, labels.doc_id == nb_min.src, "left")
+            stepped.join(parent, "label", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+                "old_label",
+                F.least(F.col("label"), F.coalesce("parent_label", "label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # Convergence test on the just-materialized frame — no extra join.
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.drop("old_label")
         if changed == 0:
             converged = True
             break
     if not converged:
         # Returning intermediate labels would silently split clusters
         # (and break dedup_survivors' representative selection) — fail
-        # loudly instead; a component this deep means the propagation
-        # round cap (or the large-star/small-star variant) needs raising.
-        raise RuntimeError("dedup_clusters: min-label propagation did not converge in 50 rounds")
+        # loudly instead; with doubling, 16 rounds cover diameter 2^16.
+        raise RuntimeError("dedup_clusters: label propagation did not converge in 16 rounds")
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -95,22 +95,29 @@ SESSION_GAP_MIN = 240  # shared with streaming/pipeline.py sessionize_stream
 @register(
     "win_session",
     oracle=f"""
-    WITH o AS (
-        SELECT user_id, ts, event_id, value,
-               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+    WITH e AS (
+        -- micros-exact on BOTH sides: Spark reads events.ts nanos
+        -- truncated to micros (catalog.py), so the oracle must gap-test
+        -- and emit at micros too (same trick as win_range_frame) or
+        -- ns-precision MIN/MAX and boundary flips diverge.
+        SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+    ), o AS (
+        SELECT user_id, us, event_id, value,
+               CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                    OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                       > {SESSION_GAP_MIN * 60 * 1_000_000}
                THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM e
     ), s AS (
         SELECT *, SUM(is_new) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id
+            PARTITION BY user_id ORDER BY us, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_id
         FROM o
     )
     SELECT user_id, session_id,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           make_timestamp(MIN(us)) AS session_start,
+           make_timestamp(MAX(us)) AS session_end,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM s GROUP BY user_id, session_id
