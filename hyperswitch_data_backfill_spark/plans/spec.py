@@ -16,9 +16,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from collections.abc import Mapping
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.registry import register
 from hyperswitch_data_backfill_spark.sinks.kafka import event_frame
 
 # Default-open window bounds (F5): the reference defaults start to year 0
@@ -88,3 +92,111 @@ def compile_entity(
         else [F.col(c) for c in df.columns]
     )
     return event_frame(out, list(spec.key_cols), spec.topic, job.tenant_id, payload)
+
+
+def compile_job(
+    tables: Mapping[str, DataFrame],
+    job: BackfillSpec,
+    consolidated_topic: str | None = None,
+    key_dims: Mapping[str, tuple[DataFrame, str]] | None = None,
+) -> dict[str, DataFrame]:
+    """Compile the WHOLE backfill job — every entity plus the consolidated feed.
+
+    The reference's main loop (``main.rs:190-313``) runs 4 entity dumps ×
+    N merchants × B batches as sequential async tasks; its consolidated
+    topic (``development.toml:672``) is populated by each dump writing
+    twice. Spark-first: one declarative call produces one DataFrame per
+    entity (each an independent lineage Catalyst optimizes separately —
+    filters pushed into each scan) plus ONE ``unionByName`` frame with
+    the topic column rewritten, so the consolidated feed is a zero-copy
+    re-projection of the same scans, not a second read. At 100 TB the
+    per-entity frames are separate jobs a scheduler can run in parallel;
+    the union adds no shuffle (union is partition-concatenation in Spark).
+
+    Returns ``{topic: frame}`` per entity, plus ``consolidated_topic``
+    mapped to the union when requested. ``key_dims`` optionally maps an
+    entity table name to ``(dimension_df, join_col)`` — the merchant
+    key-store broadcast join of ``compile_entity``.
+    """
+    frames: dict[str, DataFrame] = {}
+    for spec in job.entities:
+        dim = (key_dims or {}).get(spec.table)
+        frames[spec.topic] = compile_entity(
+            tables[spec.table],
+            spec,
+            job,
+            key_dim=dim[0] if dim else None,
+            key_dim_col=dim[1] if dim else None,
+        )
+    if consolidated_topic is not None:
+        consolidated = None
+        for frame in frames.values():
+            retopic = frame.withColumn("topic", F.lit(consolidated_topic))
+            consolidated = retopic if consolidated is None else consolidated.unionByName(retopic)
+        frames[consolidated_topic] = consolidated
+    return frames
+
+
+# --- fixture: the whole-job pipeline over orders (≙ payment_intent) and
+# lineitem (≙ payment_attempt), checked end-to-end against a UNION ALL oracle.
+
+_JOB_START, _JOB_END = "1996-01-01 00:00:00", "1997-12-31 23:59:59"
+
+_JOB = BackfillSpec(
+    entities=(
+        EntitySpec(
+            table="orders",
+            merchant_col="o_custkey",
+            time_col="o_orderdate",
+            key_cols=("o_custkey", "o_orderkey"),
+            topic="orders-events",
+            remap={"o_orderkey": "entity_id", "o_custkey": "merchant_id",
+                   "o_orderstatus": "status"},
+        ),
+        EntitySpec(
+            table="lineitem",
+            merchant_col="l_suppkey",
+            time_col="l_shipdate",
+            key_cols=("l_suppkey", "l_orderkey", "l_linenumber"),
+            topic="lineitem-events",
+            remap={"l_orderkey": "entity_id", "l_suppkey": "merchant_id",
+                   "l_linestatus": "status"},
+        ),
+    ),
+    start=_JOB_START,
+    end=_JOB_END,
+)
+
+
+@register(
+    "pipeline_backfill_job",
+    oracle=f"""
+    SELECT CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR) AS key,
+           to_json(struct_pack(
+               entity_id := o_orderkey, merchant_id := o_custkey,
+               status := o_orderstatus, tenant_id := 'default')) AS value,
+           'consolidated-events' AS topic
+    FROM orders
+    WHERE o_orderdate BETWEEN '{_JOB_START}' AND '{_JOB_END}'
+    UNION ALL
+    SELECT CAST(l_suppkey AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)
+               || ':' || CAST(l_linenumber AS VARCHAR) AS key,
+           to_json(struct_pack(
+               entity_id := l_orderkey, merchant_id := l_suppkey,
+               status := l_linestatus, tenant_id := 'default')) AS value,
+           'consolidated-events' AS topic
+    FROM lineitem
+    WHERE l_shipdate BETWEEN '{_JOB_START}' AND '{_JOB_END}'
+    """,
+    doc="Whole-job orchestration (≙ main.rs:190-313): two entity pipelines "
+        "compiled in one call, consolidated feed as a shuffle-free "
+        "unionByName with the topic rewritten (development.toml:672).",
+)
+def pipeline_backfill_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    }
+    return compile_job(tables, _JOB, consolidated_topic="consolidated-events")[
+        "consolidated-events"
+    ]

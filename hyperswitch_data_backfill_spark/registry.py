@@ -75,4 +75,5 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.functions.arrays  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.crypto  # noqa: F401
     import hyperswitch_data_backfill_spark.sinks.kafka  # noqa: F401
+    import hyperswitch_data_backfill_spark.plans.spec  # noqa: F401
     _LOADED = True

@@ -1,0 +1,153 @@
+"""Config bootstrap (S5 parity) + whole-job compile + CLI entry.
+
+Covers the reference's settings/secret path (``encryption.rs:11-186``,
+``main.rs:62-80``) as re-expressed in config.py, the whole-main loop
+(``main.rs:190-313``) as compile_job, and the clap CLI (``main.rs:33-57``)
+as ``python -m hyperswitch_data_backfill_spark``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+SAMPLE_TOML = """
+[replica_database]
+username = "db_user"
+password = "db_pass"
+host = "replica.internal"
+port = 5433
+dbname = "hyperswitch_db"
+pool_size = 5
+
+[secrets]
+admin_api_key = "test_admin"
+master_enc_key = "73ad7bbbbc640c845a150f67d058b279849370cd2c1f3c67c4dd6c869213e13a"
+jwt_secret = "secret"
+
+[events]
+source = "kafka"
+
+[events.kafka]
+brokers = ["broker1:9092", "broker2:9092"]
+intent_analytics_topic = "hyperswitch-payment-intent-events"
+attempt_analytics_topic = "hyperswitch-payment-attempt-events"
+refund_analytics_topic = "hyperswitch-refund-events"
+consolidated_events_topic = "hyperswitch-consolidated-events"
+"""
+
+
+@pytest.fixture()
+def config_path(tmp_path):
+    p = tmp_path / "config.toml"
+    p.write_text(SAMPLE_TOML)
+    return str(p)
+
+
+def test_load_config_roundtrip(config_path):
+    from hyperswitch_data_backfill_spark.config import load_config
+
+    cfg = load_config(config_path, table="payment_intent", tenant_id="t1",
+                      batch_size=5000)
+    assert cfg.replica_database.url == "jdbc:postgresql://replica.internal:5433/hyperswitch_db"
+    assert cfg.replica_database.user == "db_user"
+    assert cfg.replica_database.password == "db_pass"
+    assert cfg.replica_database.fetchsize == 5000
+    assert cfg.replica_database.table == "payment_intent"
+    assert cfg.kafka.bootstrap_servers == "broker1:9092,broker2:9092"
+    assert cfg.kafka.topics["intent"] == "hyperswitch-payment-intent-events"
+    assert cfg.kafka.topics["attempt"] == "hyperswitch-payment-attempt-events"
+    assert cfg.kafka.consolidated_topic == "hyperswitch-consolidated-events"
+    assert cfg.kafka.tenant_id == "t1"
+    assert cfg.master_enc_key.startswith("73ad7b")
+
+
+def test_secret_resolver_hook_and_env(config_path, monkeypatch):
+    from hyperswitch_data_backfill_spark.config import load_config
+
+    # custom hook sees (section, key, value) for every secret key
+    seen = []
+
+    def hook(section, key, value):
+        seen.append((section, key))
+        return f"resolved:{value}"
+
+    cfg = load_config(config_path, resolver=hook)
+    assert cfg.replica_database.password == "resolved:db_pass"
+    assert cfg.master_enc_key == "resolved:" + "73ad7bbbbc640c845a150f67d058b279849370cd2c1f3c67c4dd6c869213e13a"
+    assert ("replica_database", "password") in seen
+    assert ("secrets", "master_enc_key") in seen
+
+    # default env resolver: HYPERSWITCH_SECRET_<SECTION>_<KEY> wins
+    monkeypatch.setenv("HYPERSWITCH_SECRET_REPLICA_DATABASE_PASSWORD", "from_env")
+    cfg2 = load_config(config_path)
+    assert cfg2.replica_database.password == "from_env"
+
+
+def test_redact_masks_secrets(config_path):
+    from hyperswitch_data_backfill_spark.config import load_config
+
+    red = load_config(config_path).redact()
+    assert red["replica_database"]["password"] == "***"
+    assert red["secrets"]["master_enc_key"] == "***"
+    assert red["secrets"]["jwt_secret"] == "***"
+    assert red["replica_database"]["username"] == "db_user"  # not a secret
+
+
+def test_compile_job_two_entities_plus_consolidated(spark):
+    from hyperswitch_data_backfill_spark.catalog import load_table
+    from hyperswitch_data_backfill_spark.plans.spec import _JOB, compile_job
+
+    tables = {
+        "orders": load_table(spark, SF_DIR, "orders"),
+        "lineitem": load_table(spark, SF_DIR, "lineitem"),
+    }
+    frames = compile_job(tables, _JOB, consolidated_topic="consolidated-events")
+    assert set(frames) == {"orders-events", "lineitem-events", "consolidated-events"}
+    n_orders = frames["orders-events"].count()
+    n_lineitem = frames["lineitem-events"].count()
+    assert n_orders > 0 and n_lineitem > 0
+    # consolidated = exact union of the entity frames, topic rewritten
+    assert frames["consolidated-events"].count() == n_orders + n_lineitem
+    topics = [r["topic"] for r in frames["consolidated-events"].select("topic").distinct().collect()]
+    assert topics == ["consolidated-events"]
+    # entity frames keep their own topic and the kafka record shape
+    row = frames["orders-events"].limit(1).collect()[0]
+    assert set(row.asDict()) == {"key", "value", "topic"}
+    assert row["topic"] == "orders-events"
+    assert '"tenant_id":"default"' in row["value"]
+
+
+def test_cli_dry_run_on_fixtures(config_path, capsys, spark):
+    import hyperswitch_data_backfill_spark.__main__ as cli
+
+    rc = cli.main([
+        "-f", config_path,
+        "-s", "1996-01-01",
+        "-e", "1997-12-31 23:59:59",
+        "--parquet-dir", SF_DIR,
+        "--dry-run",
+    ], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    by_topic = {line.split("\t")[0]: line.split("\t") for line in out}
+    assert set(by_topic) == {
+        "orders-events", "lineitem-events", "hyperswitch-consolidated-events"
+    }
+    n = {t: int(v[1]) for t, v in by_topic.items()}
+    assert n["hyperswitch-consolidated-events"] == n["orders-events"] + n["lineitem-events"]
+    assert "entity_id" in by_topic["orders-events"][2]
+
+
+def test_cli_date_parsing_matches_reference_formats():
+    # utility.rs:6-31 accepts seconds, subseconds, and date-only
+    import argparse
+
+    from hyperswitch_data_backfill_spark.__main__ import parse_datetime_arg
+
+    assert parse_datetime_arg("2024-06-26 02:06:05.123456") == "2024-06-26 02:06:05.123456"
+    assert parse_datetime_arg("2024-06-26 02:06:05") == "2024-06-26 02:06:05"
+    assert parse_datetime_arg("2024-06-26") == "2024-06-26 00:00:00"
+    with pytest.raises(argparse.ArgumentTypeError):
+        parse_datetime_arg("26/06/2024")
