@@ -25,9 +25,13 @@ counts, and filter pushdown — see tests/test_sources_sinks.py.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+# plain dotted identifier, or a double-quoted one (no embedded quotes)
+_IDENTIFIER_RE = re.compile(r'[A-Za-z_][A-Za-z0-9_.]*|"[^"]+"')
 
 
 @dataclass(frozen=True)
@@ -61,9 +65,17 @@ def merchant_predicates(
     def fmt(v: str | int) -> str:
         return str(v) if isinstance(v, int) else "'" + str(v).replace("'", "''") + "'"
 
+    if not _IDENTIFIER_RE.fullmatch(merchant_col):
+        raise ValueError(f"merchant_col is not a plain identifier: {merchant_col!r}")
     window = ""
     if time_col and start and end:
-        window = f" AND {time_col} BETWEEN '{start}' AND '{end}'"
+        # These fragments are interpolated into SQL pushed to the source
+        # database: quote-escape the window values like the merchant ids,
+        # and hold the column name to identifier characters so an
+        # untrusted value can't break out of the predicate.
+        if not _IDENTIFIER_RE.fullmatch(time_col):
+            raise ValueError(f"time_col is not a plain identifier: {time_col!r}")
+        window = f" AND {time_col} BETWEEN {fmt(str(start))} AND {fmt(str(end))}"
     preds = []
     for i in range(0, len(merchant_ids), group_size):
         group = merchant_ids[i : i + group_size]

@@ -212,3 +212,24 @@ def test_jdbc_to_kafka_records_end_to_end(spark, derby_table):
         assert payload["amount"] == 100 * int(pid)
         assert payload["tenant_id"] == "tenant1"
         assert r["topic"] == "hyperswitch-payment-intent-events"
+
+
+def test_merchant_predicates_escape_and_validate():
+    """Window values are quote-escaped and column names must be identifiers
+    — an untrusted value can't break out of the pushed-down predicate."""
+    import pytest
+
+    from hyperswitch_data_backfill_spark.sources.jdbc import merchant_predicates
+
+    preds = merchant_predicates(
+        "merchant_id", ["m'1"], "created_at",
+        "2024-01-01' OR '1'='1", "2024-12-31",
+    )
+    assert preds == [
+        "merchant_id IN ('m''1') AND created_at BETWEEN "
+        "'2024-01-01'' OR ''1''=''1' AND '2024-12-31'"
+    ]
+    with pytest.raises(ValueError):
+        merchant_predicates("m; DROP TABLE x", [1])
+    with pytest.raises(ValueError):
+        merchant_predicates("merchant_id", [1], "ts) OR (1=1", "a", "b")
