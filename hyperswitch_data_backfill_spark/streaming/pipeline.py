@@ -106,7 +106,12 @@ def sessionize_stream(
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             start, last, n, tot, sid = state.get
-            state.remove()
+            # Keep an empty tombstone carrying sid+1 (no new timeout →
+            # it never re-fires): a user who comes back after a flush
+            # continues the session numbering instead of restarting at 1,
+            # preserving the "numbering identical to batch win_session"
+            # contract. State stays O(distinct users), same as batch.
+            state.update((None, None, 0, 0, sid + 1))
             yield pd.DataFrame(
                 [(key[0], sid, start, last, n, tot)],
                 columns=["user_id", "session_id", "start_us", "end_us", "n_events", "total_e4"],

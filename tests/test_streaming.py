@@ -339,3 +339,60 @@ def test_foreach_batch_bridge_delivers_all_rows_once(spark):
         assert got == sorted(r["o_orderkey"] for r in orders.collect())
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionize_timeout_preserves_session_numbering(spark):
+    """A user who goes quiet (session flushed by event-time timeout) and then
+    returns must continue session numbering (sid 2), not restart at 1 —
+    the tombstone-state path in sessionize_stream."""
+    import os
+    import time
+
+    d = tempfile.mkdtemp(prefix="sidcont-")
+    try:
+        t0 = "2024-01-01 00:00:00"
+        rows = {
+            # slice0: user 1 opens a session; user 2 seeds the watermark
+            0: [(1, 1, t0, 10.0), (2, 1, "2024-01-01 00:01:00", 10.0),
+                (3, 2, t0, 1.0)],
+            # slice1: user 2 advances event time 10h -> watermark passes
+            # user 1's last event + 4h gap at the END of this batch
+            1: [(4, 2, "2024-01-01 10:00:00", 1.0)],
+            # slice2: no user-1 data -> user 1's state fires hasTimedOut,
+            # flushing session 1 and leaving the sid=2 tombstone
+            2: [(5, 2, "2024-01-01 10:00:01", 1.0)],
+            # slice3: user 1 returns 20h in -> must get session_id 2
+            3: [(6, 1, "2024-01-01 20:00:00", 5.0),
+                (7, 1, "2024-01-01 20:01:00", 5.0)],
+            # slice4+5: advance the watermark again to flush user 1's
+            # second session via timeout too
+            4: [(8, 2, "2024-01-02 16:00:00", 1.0)],
+            5: [(9, 2, "2024-01-02 16:00:02", 1.0)],
+        }
+        schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP_NTZ, value DOUBLE"
+        for i, batch in rows.items():
+            df = spark.createDataFrame(
+                [(e, u, __import__("datetime").datetime.fromisoformat(ts), v)
+                 for e, u, ts, v in batch], schema)
+            df.coalesce(1).write.mode("overwrite").parquet(f"{d}/slice{i}")
+            for root, _, files in os.walk(f"{d}/slice{i}"):
+                for f in files:
+                    os.utime(os.path.join(root, f), (time.time() + i, time.time() + i))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/slice*")
+        )
+        sessions = sessionize_stream(stream, timeout="event_time", watermark="0 seconds")
+        q = write_memory_sink(sessions, "sid_continuity_test", complete=False)
+        q.awaitTermination(180)
+        got = sorted(
+            (r["session_id"], r["n_events"])
+            for r in spark.sql(
+                "SELECT * FROM sid_continuity_test WHERE user_id = 1"
+            ).collect()
+        )
+        assert got == [(1, 2), (2, 2)], f"expected sessions 1 and 2, got {got}"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
