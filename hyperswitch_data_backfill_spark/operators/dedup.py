@@ -142,7 +142,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "index (no cross join — docs only meet if they share a shingle). "
         "Integer set sizes → one double division → engine-exact.",
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_bucket_members: int | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Set size rides along as a window count over the exploded shingles —
     # one shuffle on doc_id instead of a separate aggregate + two
@@ -156,11 +158,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairing below). The input passes once, and there is no join whose
     # strategy AQE can re-roll between runs; pair volume is identical to
     # the self-join formulation — docs only meet if they share a shingle.
+    # Skew guard (the one skew surface here): a stopword-like shingle
+    # shared by k docs makes a k-element posting array in ONE task and
+    # k² pairs. ``max_bucket_members`` drops over-full buckets — exactly
+    # "drop top-df shingles", applied where the skew materializes, no
+    # extra shuffle. Ubiquitous shingles carry no near-dup signal (docs
+    # sharing ONLY them are far below any useful Jaccard threshold), so
+    # genuine dups still meet through their other shared shingles.
+    # Default None = exact oracle parity at fixture scale; set it
+    # (e.g. 1000) on a real corpus.
     buckets = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("members"))
         .filter(F.size("members") > 1)
     )
+    if max_bucket_members is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket_members)
     pair_structs = F.expr(
         """
         flatten(transform(sequence(0, size(members) - 2), i ->
@@ -214,7 +227,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         "skew (a viral shingle set) is bounded because identical band "
         "signatures imply near-identical docs.",
 )
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash(
+    spark: SparkSession, sf_dir: str, max_bucket_members: int | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     bands = F.array(
@@ -229,11 +244,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select("doc_id", "sig", F.explode(bands).alias("b")).select(
         "doc_id", "sig", "b.band", "b.bh"
     )
+    # Same skew guard as dedup_ngram_jaccard: a bucket of k docs with an
+    # identical band signature (k near-identical docs, e.g. boilerplate)
+    # is k² pairs in one task. Over-full buckets are dropped; members of
+    # such a bucket are (near-)exact dups that dedup_exact already
+    # collapses upstream in any real pipeline.
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
         .filter(F.size("members") > 1)
     )
+    if max_bucket_members is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket_members)
     pair_structs = F.expr(
         """
         flatten(transform(sequence(0, size(members) - 2), i ->

@@ -143,3 +143,44 @@ def test_dedup_idempotence_property(spark):
         assert once.select("text").distinct().count() == once.count()
 
     run()
+
+
+def test_posting_list_skew_cap_bounds_pairs(spark, tmp_path):
+    """A pathological corpus where every doc shares one stopword shingle
+    must not explode into O(n²) pairs in one bucket when the skew cap is
+    on — while genuine near-dups (sharing many shingles) still pair up
+    through their other shared shingles."""
+    from hyperswitch_data_backfill_spark.operators.dedup import (
+        dedup_minhash,
+        dedup_ngram_jaccard,
+    )
+
+    stop = "the quick brown fox"  # one 4-token run → one shared shingle
+    rows = []
+    for i in range(400):
+        rows.append((i, f"{stop} unique{i}a unique{i}b unique{i}c unique{i}d", "en", "synth"))
+    # three genuine near-dup pairs: long shared tails, one token differs
+    for j in range(3):
+        base = " ".join(f"tail{j}w{t}" for t in range(12))
+        rows.append((1000 + 2 * j, f"{base} endA", "en", "synth"))
+        rows.append((1001 + 2 * j, f"{base} endB", "en", "synth"))
+    df = spark.createDataFrame(
+        [(d, t, lg, s, len(t)) for d, t, lg, s in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    capped = dedup_ngram_jaccard(spark, sf_dir, max_bucket_members=64)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # no explosion: without the cap the stopword bucket alone is
+    # 400*399/2 ≈ 80k candidate pairs through one task
+    assert len(got) < 1000
+    for j in range(3):
+        assert (1000 + 2 * j, 1001 + 2 * j) in got
+
+    mh = dedup_minhash(spark, sf_dir, max_bucket_members=64)
+    mh_pairs = {(r["id_a"], r["id_b"]) for r in mh.collect()}
+    assert len(mh_pairs) < 1000
+    for j in range(3):
+        assert (1000 + 2 * j, 1001 + 2 * j) in mh_pairs
