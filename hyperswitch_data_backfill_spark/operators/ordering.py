@@ -28,6 +28,53 @@ from hyperswitch_data_backfill_spark.registry import register
 PAGE_SIZE = 100
 
 
+def with_global_row_number(
+    df: DataFrame, sort_cols: list[str], rn_col: str = "rn"
+) -> DataFrame:
+    """Distributed exact global ``row_number`` — no single-partition window.
+
+    ``Window.orderBy(key)`` with no partition funnels the whole table
+    through ONE task; this is the scale-correct replacement:
+
+    1. ``repartitionByRange`` on the sort key — sampled boundaries, one
+       shuffle, partition i's keys all precede partition i+1's;
+    2. ``row_number`` within each partition (parallel local sorts);
+    3. exclusive prefix sum of per-partition counts (a window over
+       #partitions rows — constant-size regardless of data), broadcast
+       back, added to the local number.
+
+    Exact for any partition boundaries, so the range sampler's seed
+    doesn't affect results. Requires ``sort_cols`` to be a unique total
+    order (callers use the PK) for deterministic numbering — same
+    requirement the single-window form has.
+    """
+    parts = df.repartitionByRange(*sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols))
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rn_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 @register(
     "sort_by_key",
     oracle="SELECT * FROM orders ORDER BY o_orderkey",
@@ -61,15 +108,15 @@ def limit_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="O2b: page 3 of the PK-ordered scan via row_number — replaces "
         "LIMIT/OFFSET (payment_intent.rs:65-66) with stable keyset pagination "
-        "(documented deviation, SURVEY §2.5).",
+        "(documented deviation, SURVEY §2.5). Numbering is the distributed "
+        "range-partitioned prefix-sum form, not a single-partition window.",
 )
 def paginate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("o_orderkey")
-    return (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 2 * PAGE_SIZE) & (F.col("rn") <= 3 * PAGE_SIZE))
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return with_global_row_number(df, ["o_orderkey"]).filter(
+        (F.col("rn") > 2 * PAGE_SIZE) & (F.col("rn") <= 3 * PAGE_SIZE)
     )
 
 

@@ -44,15 +44,17 @@ def scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t WHERE rn BETWEEN 51 AND 100
     """,
     doc="S2: paged dimension scan (merchant key stores, main.rs:208-216) — "
-        "keyset-stable row_number pagination instead of LIMIT/OFFSET.",
+        "keyset-stable row_number pagination instead of LIMIT/OFFSET, using "
+        "the distributed global-numbering helper (ordering.py).",
 )
 def scan_customer_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from hyperswitch_data_backfill_spark.operators.ordering import (
+        with_global_row_number,
+    )
 
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_custkey")
     return (
-        cust.withColumn("rn", F.row_number().over(w))
+        with_global_row_number(cust, ["c_custkey"])
         .filter(F.col("rn").between(51, 100))
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "rn")
     )

@@ -134,3 +134,46 @@ def test_salted_join_stays_shuffle_join(spark):
     p = plan(spark, "join_skew_salted")
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
     assert "BroadcastHashJoin" not in p and "NestedLoop" not in p, p
+
+
+def test_global_row_number_is_distributed(spark):
+    """with_global_row_number must not funnel the DATA through one
+    partition: the big-side window partitions by _pid (range partitions),
+    and the only single-partition work is the #partitions-row offset
+    frame."""
+    import pyspark.sql.functions as F
+
+    from hyperswitch_data_backfill_spark.operators.ordering import (
+        with_global_row_number,
+    )
+
+    # correctness on a shuffled multi-partition frame with unique keys
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k")  # 37 coprime to 10000 -> permutation
+    ).repartition(16)
+    got = with_global_row_number(df, ["k"])
+    rows = got.orderBy("k").collect()
+    assert [r["rn"] for r in rows] == list(range(1, 10_001))
+    assert [r["k"] for r in rows] == list(range(10_000))
+
+    # plan shape: the data-side window is partitioned (by _pid), never a
+    # Window whose required ordering forced Exchange SinglePartition on
+    # the full table
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    p = buf.getvalue()
+    # every Window node must sit above a hashpartitioning/rangepartitioning
+    # exchange except the offsets branch, whose input is an aggregate of
+    # one row per partition id
+    assert "row_number" in p
+    single = [
+        seg for seg in p.split("Exchange")[1:] if seg.lstrip().startswith("SinglePartition")
+    ]
+    for seg in single:
+        assert "count" in seg or "_n" in seg or "sum" in seg, (
+            "SinglePartition exchange on the data path:\n" + p
+        )
