@@ -184,3 +184,60 @@ def test_posting_list_skew_cap_bounds_pairs(spark, tmp_path):
     assert len(mh_pairs) < 1000
     for j in range(3):
         assert (1000 + 2 * j, 1001 + 2 * j) in mh_pairs
+
+
+def test_minhash_cross_check_against_spark_ml_lsh(spark):
+    """Independent-implementation cross-check (SURVEY §5 model): our
+    codegen MinHash+LSH and spark.ml's MinHashLSH must BOTH surface every
+    strong near-dup pair (exact n-gram Jaccard >= 0.7) at matched
+    thresholds, and our signature-agreement estimate must track the exact
+    Jaccard for those pairs."""
+    import pyspark.sql.functions as F
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from hyperswitch_data_backfill_spark.operators.dedup import (
+        dedup_minhash,
+        dedup_ngram_jaccard,
+        SHINGLE_K,
+    )
+
+    exact = dedup_ngram_jaccard(spark, SF_DIR).collect()
+    strong = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact if r["jaccard"] >= 0.7}
+    assert strong, "fixture has no strong near-dup pairs; test is vacuous"
+
+    # ours
+    ours = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in dedup_minhash(spark, SF_DIR).collect()}
+    for pair, jac in strong.items():
+        assert pair in ours, f"our LSH missed strong pair {pair} (jaccard={jac})"
+        assert abs(ours[pair] - jac) <= 0.35, (
+            f"est_jaccard {ours[pair]} far from exact {jac} for {pair}"
+        )
+
+    # spark.ml on the same shingle space (binary shingle-count vectors)
+    from hyperswitch_data_backfill_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
+            )
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True).fit(sh)
+    feats = cv.transform(sh).select("doc_id", "features")
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(feats)
+    joined = (
+        lsh.approxSimilarityJoin(feats, feats, 0.5, distCol="dist")  # dist = 1 - jaccard
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    ml_pairs = {(r["id_a"], r["id_b"]) for r in joined.collect()}
+    for pair in strong:
+        assert pair in ml_pairs, f"spark.ml LSH missed strong pair {pair}"
