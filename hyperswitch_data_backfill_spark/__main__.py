@@ -172,9 +172,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             return 0
 
         from hyperswitch_data_backfill_spark.sinks.kafka import write_kafka
+        from hyperswitch_data_backfill_spark.telemetry import (
+            ProgressReporter,
+            job_group,
+        )
 
-        for frame in frames.values():
-            write_kafka(frame, cfg.kafka)
+        for topic, frame in frames.items():
+            with job_group(spark, f"backfill:{topic}", f"produce {topic}"), \
+                    ProgressReporter(spark, prefix=topic):
+                write_kafka(frame, cfg.kafka)
         return 0
     finally:
         if owns_session:
