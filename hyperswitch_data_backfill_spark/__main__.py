@@ -39,32 +39,9 @@ from hyperswitch_data_backfill_spark.config import load_config
 from hyperswitch_data_backfill_spark.plans.spec import (
     DEFAULT_END,
     DEFAULT_START,
+    DEMO_ENTITIES,  # ≙ the reference's compiled-in dump_* pipelines
     BackfillSpec,
-    EntitySpec,
     compile_job,
-)
-
-#: Built-in demo entities (≙ the reference's 4 dump_* pipelines) over the
-#: fixture tables; replace via --entities-module in a real deployment.
-DEMO_ENTITIES: tuple[EntitySpec, ...] = (
-    EntitySpec(
-        table="orders",
-        merchant_col="o_custkey",
-        time_col="o_orderdate",
-        key_cols=("o_custkey", "o_orderkey"),
-        topic="orders-events",
-        remap={"o_orderkey": "entity_id", "o_custkey": "merchant_id",
-               "o_orderstatus": "status"},
-    ),
-    EntitySpec(
-        table="lineitem",
-        merchant_col="l_suppkey",
-        time_col="l_shipdate",
-        key_cols=("l_suppkey", "l_orderkey", "l_linenumber"),
-        topic="lineitem-events",
-        remap={"l_orderkey": "entity_id", "l_suppkey": "merchant_id",
-               "l_linestatus": "status"},
-    ),
 )
 
 _DATE_FORMATS = (  # ≙ utility.rs:6-31 parse_to_primitive_datetime
@@ -149,15 +126,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             for s in entities:
                 src = replace(cfg.replica_database, table=s.table)
                 if merchant_ids is not None:
+                    # ceil, so partition count never exceeds --parallel
+                    # (the flag bounds replica connection load)
                     preds = merchant_predicates(
                         s.merchant_col, list(merchant_ids), s.time_col,
                         args.start_date, args.end_date,
-                        group_size=max(1, len(merchant_ids) // args.parallel),
+                        group_size=-(-len(merchant_ids) // args.parallel),
                     )
                     tables[s.table] = read_jdbc_predicates(spark, src, preds)
                 else:
-                    tables[s.table] = read_jdbc_range(
-                        spark, src, s.merchant_col, 0, 2**31 - 1, args.parallel
+                    tables[s.table] = read_jdbc_bounded(
+                        spark, src, s.merchant_col, args.parallel
                     )
 
         frames = compile_job(tables, job,

@@ -146,34 +146,43 @@ def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, max_bucket_members: int | None = None
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    # Skew guard (the one skew surface here): a stopword-like shingle
+    # shared by k docs makes a k-element posting array in ONE task and
+    # k² pairs. ``max_bucket_members`` drops shingles whose document
+    # frequency exceeds the cap from the WHOLE shingle space — before
+    # set sizes are computed — so the emitted jaccard stays exact over
+    # the df-filtered space (dropping only from the intersection would
+    # silently deflate scores and lose genuine pairs). The hot set is
+    # tiny by construction (shingles in >cap docs), so the anti-join
+    # broadcasts. Default None = full-space oracle parity at fixture
+    # scale; set it (e.g. 1000) on a real corpus — standard max-df
+    # practice: ubiquitous shingles carry no near-dup signal.
+    if max_bucket_members is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_bucket_members)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # Set size rides along as a window count over the exploded shingles —
     # one shuffle on doc_id instead of a separate aggregate + two
     # re-joins against the pair table (matters: the pair table is the
     # big intermediate at scale, never enrich it twice).
-    sh = shingles_df(docs).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
+    sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     # Inverted-index pairing WITHOUT a self-join: group the postings per
     # shingle and emit pairs bucket-locally (same shape as the LSH band
     # pairing below). The input passes once, and there is no join whose
     # strategy AQE can re-roll between runs; pair volume is identical to
     # the self-join formulation — docs only meet if they share a shingle.
-    # Skew guard (the one skew surface here): a stopword-like shingle
-    # shared by k docs makes a k-element posting array in ONE task and
-    # k² pairs. ``max_bucket_members`` drops over-full buckets — exactly
-    # "drop top-df shingles", applied where the skew materializes, no
-    # extra shuffle. Ubiquitous shingles carry no near-dup signal (docs
-    # sharing ONLY them are far below any useful Jaccard threshold), so
-    # genuine dups still meet through their other shared shingles.
-    # Default None = exact oracle parity at fixture scale; set it
-    # (e.g. 1000) on a real corpus.
+    # (With the df-filter above, every posting list is <= cap by
+    # construction — no bucket-level truncation needed.)
     buckets = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("members"))
         .filter(F.size("members") > 1)
     )
-    if max_bucket_members is not None:
-        buckets = buckets.filter(F.size("members") <= max_bucket_members)
     pair_structs = F.expr(
         """
         flatten(transform(sequence(0, size(members) - 2), i ->

@@ -47,13 +47,24 @@ def with_global_row_number(
     doesn't affect results. Requires ``sort_cols`` to be a unique total
     order (callers use the PK) for deterministic numbering — same
     requirement the single-window form has.
+
+    The numbered frame is persisted (memory-and-disk) before branching
+    into the data path and the offsets path: both branches MUST see the
+    same range boundaries, and relying on Catalyst exchange reuse to
+    guarantee that is fragile (two independently materialized
+    repartitionByRange exchanges may sample different boundaries,
+    silently duplicating/skipping rn values). Global numbering is
+    inherently a two-pass operation; the persist is that second pass's
+    input, spilled to disk if it doesn't fit.
     """
+    from pyspark import StorageLevel
+
     parts = df.repartitionByRange(*sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     local = parts.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     offsets = (
         local.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -118,16 +118,24 @@ def compile_job(
     entity table name to ``(dimension_df, join_col)`` — the merchant
     key-store broadcast join of ``compile_entity``.
     """
+    if not job.entities:
+        raise ValueError("compile_job: BackfillSpec has no entities")
     frames: dict[str, DataFrame] = {}
     for spec in job.entities:
         dim = (key_dims or {}).get(spec.table)
-        frames[spec.topic] = compile_entity(
+        compiled = compile_entity(
             tables[spec.table],
             spec,
             job,
             key_dim=dim[0] if dim else None,
             key_dim_col=dim[1] if dim else None,
         )
+        # two entities may legitimately feed one topic (the reference's
+        # consolidated pattern) — union, never overwrite
+        if spec.topic in frames:
+            frames[spec.topic] = frames[spec.topic].unionByName(compiled)
+        else:
+            frames[spec.topic] = compiled
     if consolidated_topic is not None:
         consolidated = None
         for frame in frames.values():
@@ -142,30 +150,31 @@ def compile_job(
 
 _JOB_START, _JOB_END = "1996-01-01 00:00:00", "1997-12-31 23:59:59"
 
-_JOB = BackfillSpec(
-    entities=(
-        EntitySpec(
-            table="orders",
-            merchant_col="o_custkey",
-            time_col="o_orderdate",
-            key_cols=("o_custkey", "o_orderkey"),
-            topic="orders-events",
-            remap={"o_orderkey": "entity_id", "o_custkey": "merchant_id",
-                   "o_orderstatus": "status"},
-        ),
-        EntitySpec(
-            table="lineitem",
-            merchant_col="l_suppkey",
-            time_col="l_shipdate",
-            key_cols=("l_suppkey", "l_orderkey", "l_linenumber"),
-            topic="lineitem-events",
-            remap={"l_orderkey": "entity_id", "l_suppkey": "merchant_id",
-                   "l_linestatus": "status"},
-        ),
+# Demo entity pair (≙ the reference's compiled-in dump_* pipelines) over
+# the fixture tables — shared by the registered fixture query below and
+# the CLI's default entity set (__main__.DEMO_ENTITIES imports this).
+DEMO_ENTITIES: tuple[EntitySpec, ...] = (
+    EntitySpec(
+        table="orders",
+        merchant_col="o_custkey",
+        time_col="o_orderdate",
+        key_cols=("o_custkey", "o_orderkey"),
+        topic="orders-events",
+        remap={"o_orderkey": "entity_id", "o_custkey": "merchant_id",
+               "o_orderstatus": "status"},
     ),
-    start=_JOB_START,
-    end=_JOB_END,
+    EntitySpec(
+        table="lineitem",
+        merchant_col="l_suppkey",
+        time_col="l_shipdate",
+        key_cols=("l_suppkey", "l_orderkey", "l_linenumber"),
+        topic="lineitem-events",
+        remap={"l_orderkey": "entity_id", "l_suppkey": "merchant_id",
+               "l_linestatus": "status"},
+    ),
 )
+
+_JOB = BackfillSpec(entities=DEMO_ENTITIES, start=_JOB_START, end=_JOB_END)
 
 
 @register(

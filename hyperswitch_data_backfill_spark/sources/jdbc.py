@@ -118,6 +118,48 @@ def read_jdbc_range(
     )
 
 
+def read_jdbc_bounded(
+    spark: SparkSession,
+    cfg: JdbcSourceConfig,
+    partition_column: str,
+    num_partitions: int,
+) -> DataFrame:
+    """Range-partitioned scan with DISCOVERED bounds — the no-allow-list path.
+
+    Runs one tiny JDBC query (``SELECT MIN(col), MAX(col)``) to find the
+    key range, then range-partitions the real scan over it. Falls back to
+    an unpartitioned read when the column isn't integral (e.g. varchar
+    merchant ids — Spark's partitionColumn must be numeric/date/timestamp)
+    or the table is empty, rather than crashing or hardcoding bounds that
+    silently funnel out-of-range keys into one partition.
+    """
+    if not _IDENTIFIER_RE.fullmatch(partition_column):
+        raise ValueError(f"partition_column is not a plain identifier: {partition_column!r}")
+    import numbers
+
+    probe_cfg = JdbcSourceConfig(
+        url=cfg.url,
+        table=f"(SELECT MIN({partition_column}) AS lo, MAX({partition_column}) AS hi "
+        f"FROM {cfg.table}) bounds_probe",
+        user=cfg.user,
+        password=cfg.password,
+        fetchsize=cfg.fetchsize,
+        options=cfg.options,
+    )
+    # positional access: engines disagree on unquoted-alias case folding
+    row = _base_reader(spark, probe_cfg).load().first()
+    lo, hi = (row[0], row[1]) if row is not None else (None, None)
+    if (
+        lo is None
+        or not isinstance(lo, numbers.Integral)
+        or not isinstance(hi, numbers.Integral)
+    ):
+        return _base_reader(spark, cfg).load()
+    return read_jdbc_range(
+        spark, cfg, partition_column, int(lo), int(hi) + 1, num_partitions
+    )
+
+
 def read_jdbc_predicates(
     spark: SparkSession, cfg: JdbcSourceConfig, predicates: list[str]
 ) -> DataFrame:

@@ -78,6 +78,7 @@ def sessionize_stream(
     ts_col: str = "ts",
     timeout: str = "none",
     watermark: str = "8 hours",
+    tombstone_ttl_gaps: int = 8,
 ) -> DataFrame:
     """Stateful gap-session operator — ``applyInPandasWithState``.
 
@@ -106,12 +107,21 @@ def sessionize_stream(
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             start, last, n, tot, sid = state.get
-            # Keep an empty tombstone carrying sid+1 (no new timeout →
-            # it never re-fires): a user who comes back after a flush
-            # continues the session numbering instead of restarting at 1,
-            # preserving the "numbering identical to batch win_session"
-            # contract. State stays O(distinct users), same as batch.
+            if n == 0:
+                # tombstone TTL elapsed: the user has been quiet for
+                # tombstone_ttl_gaps gaps — evict for good; if they ever
+                # return, numbering restarts at 1 (documented trade-off)
+                state.remove()
+                return
+            # Flush the open session but keep an empty tombstone carrying
+            # sid+1, armed with a long TTL: a user who comes back within
+            # tombstone_ttl_gaps gaps continues the session numbering
+            # instead of restarting at 1 ("numbering identical to batch
+            # win_session" contract), while churned one-off users are
+            # still evicted — state stays bounded by ACTIVE-ish users,
+            # not all users ever seen.
             state.update((None, None, 0, 0, sid + 1))
+            state.setTimeoutTimestamp((last + tombstone_ttl_gaps * gap_us) // 1000)
             yield pd.DataFrame(
                 [(key[0], sid, start, last, n, tot)],
                 columns=["user_id", "session_id", "start_us", "end_us", "n_events", "total_e4"],

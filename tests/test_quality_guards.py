@@ -241,3 +241,65 @@ def test_minhash_cross_check_against_spark_ml_lsh(spark):
     ml_pairs = {(r["id_a"], r["id_b"]) for r in joined.collect()}
     for pair in strong:
         assert pair in ml_pairs, f"spark.ml LSH missed strong pair {pair}"
+
+
+def test_skew_cap_jaccard_is_exact_over_filtered_space(spark, tmp_path):
+    """Capped n-gram Jaccard must equal a Python oracle computed over the
+    df-filtered shingle space of the SAME corpus — i.e. the cap filters
+    n and inter together instead of deflating scores by dropping shingles
+    from the intersection only."""
+    from itertools import combinations
+
+    from hyperswitch_data_backfill_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLE_K,
+        dedup_ngram_jaccard,
+    )
+
+    CAP = 16
+    stop = "aa bb cc dd"  # hot 4-token run shared by every doc
+    rows = []
+    for j in range(4):
+        base = " ".join(f"p{j}w{t}" for t in range(10))
+        rows.append((100 + 2 * j, f"{stop} {base} endA"))
+        rows.append((101 + 2 * j, f"{stop} {base} endB"))
+    rows += [(i, f"{stop} fill{i}a fill{i}b fill{i}c fill{i}d") for i in range(50)]
+    spark.createDataFrame(
+        [(d, t, "en", "synth", len(t)) for d, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    capped = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in dedup_ngram_jaccard(
+            spark, str(tmp_path), max_bucket_members=CAP
+        ).collect()
+    }
+
+    # Python oracle: same shingling, drop shingles with df > CAP, exact
+    # jaccard over the filtered sets
+    def shingle(text):
+        toks = text.lower().split()
+        return {
+            " ".join(toks[i : i + SHINGLE_K])
+            for i in range(len(toks) - SHINGLE_K + 1)
+        } if len(toks) >= SHINGLE_K else set()
+
+    sets = {d: shingle(t) for d, t in rows}
+    df_count = {}
+    for ss in sets.values():
+        for sh in ss:
+            df_count[sh] = df_count.get(sh, 0) + 1
+    sets = {d: {sh for sh in ss if df_count[sh] <= CAP} for d, ss in sets.items()}
+    expected = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if jac >= JACCARD_THRESHOLD:
+            expected[(a, b)] = (inter, len(sets[a]), len(sets[b]), round(jac, 6))
+    assert capped == expected
+    # and the near-dup pairs sharing the hot shingle were NOT lost
+    for j in range(4):
+        assert (100 + 2 * j, 101 + 2 * j) in capped

@@ -23,10 +23,7 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+from hyperswitch_data_backfill_spark.catalog import TABLES  # noqa: E402  (single source of truth)
 
 
 def _norm(v):
