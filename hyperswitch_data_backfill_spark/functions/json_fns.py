@@ -53,3 +53,37 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").cast("bigint").alias("k_sum"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "map_props_stats",
+    oracle="""
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS k, props FROM events
+    ), ex AS (
+        SELECT k, CAST(json_extract(props, '$."' || k || '"') AS BIGINT) AS v
+        FROM kv
+    )
+    SELECT k, COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax, SUM(v) AS vsum
+    FROM ex GROUP BY k
+    """,
+    doc="X4c: MAP-typed column ops — parse the JSON props object into a real "
+        "map<string,bigint> (typed, not string re-extraction), explode to "
+        "(key, value) pairs, aggregate per key. The map stays a Tungsten "
+        "UnsafeMapData end-to-end (from_json + explode are codegen); per-key "
+        "stats are integer-exact. At 100 TB this is the schema-on-read path "
+        "for heterogenous event properties — no schema migration to add a "
+        "key, and the per-key groupBy is a plain hash shuffle on a "
+        "low-cardinality key space.",
+)
+def map_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("k", "v")
+    )
+    return kv.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum("v").alias("vsum"),
+    )

@@ -243,3 +243,50 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_linenumber", "o_orderdate", "l_extendedprice")
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, n.n_ts, n.n_value
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts AS n_ts, value AS n_value
+        FROM events WHERE event_type = 'purchase'
+    ) n ON e.user_id = n.user_id AND n.n_ts > e.ts
+    """,
+    doc="J4b: forward as-of join — each event annotated with the NEXT "
+        "strictly-later purchase by the same user (time-to-conversion "
+        "shape). Same zero-join carry window as join_asof, mirrored: sort "
+        "each user partition descending and carry the last-seen purchase "
+        "backward. One shuffle on user_id, one in-partition sort; never a "
+        "range cross-product. (Fixture purchase timestamps are tie-free "
+        "per user, so native ASOF is a deterministic oracle.)",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # tag 0 = probe, tag 1 = purchase; DESCENDING ts, and at equal ts the
+    # probe sorts first so a same-instant purchase is not visible (strict >)
+    probe = ev.select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("double").alias("n_val"), F.lit(0).alias("tag"),
+    )
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", F.col("value").alias("n_val"), F.lit(1).alias("tag"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "tag", F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = probe.unionByName(build).select(
+        "event_id", "user_id", "ts", "tag",
+        F.last(F.when(F.col("tag") == 1, F.col("ts")), ignorenulls=True).over(w).alias("n_ts"),
+        F.last(F.when(F.col("tag") == 1, F.col("n_val")), ignorenulls=True).over(w).alias("n_value"),
+    )
+    return carried.filter(F.col("tag") == 0).select(
+        "event_id", "user_id", "ts", "n_ts", "n_value"
+    )

@@ -319,3 +319,44 @@ def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= NEARDUP_COS)
     )
+
+
+@register(
+    "emb_centroid_per_label",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(SUM(CAST(ROUND(v * 1e9) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1e9) AS centroid_val
+    FROM ex GROUP BY label, pos
+    """,
+    doc="L3e: per-label centroid (the IVF training step / class prototype): "
+        "posexplode the vectors and average component-wise. Emitted as "
+        "(label, pos, value) rows, not arrays — the relational form "
+        "downstream joins want. Engine-exact via integer-scaled sums "
+        "(float sums are order-dependent; bigint sums are not; the "
+        "float->decimal casts the engines disagree on are avoided). At "
+        "100 TB: partial aggregation makes this one map-side-combined "
+        "shuffle of (labels x dims) cells — no vector ever crosses the "
+        "wire whole.",
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("v").cast("double") * 1e9).cast("bigint")).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("s").cast("double") / (F.col("cnt") * 1e9)).alias("centroid_val"),
+        )
+    )

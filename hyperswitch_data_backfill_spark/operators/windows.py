@@ -239,3 +239,41 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("roll_value"),
         F.count(F.lit(1)).over(w).alias("roll_n"),
     )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+           ), 6) AS cdist
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    doc="first_value / last_value / nth_value over the full partition frame "
+        "(explicit UNBOUNDED FOLLOWING — the default frame would make "
+        "last_value degenerate to the current row) + cume_dist; all four "
+        "share one keyed shuffle, the two sort orders fold into two Window "
+        "nodes over the same exchange.",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.first("o_totalprice").over(full).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.round(F.cume_dist().over(wc), 6).alias("cdist"),
+    )
