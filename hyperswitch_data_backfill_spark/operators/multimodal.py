@@ -165,3 +165,118 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         "kind",
         F.posexplode(_frame_offsets(every_n_bytes)).alias("frame_idx", "byte_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-format decoders — REAL implementations (numpy-only), no stub.
+#
+# Compressed codecs (PNG/JPEG/FLAC/H.264) need PIL/librosa/pyav and stay
+# behind the NotImplementedError stubs above. RAW formats don't: a raw
+# grayscale bitmap is width×height bytes and raw PCM audio is an int16
+# sample stream, so decode/resize/feature-extract is pure numpy — these
+# paths are fully functional end-to-end in this container.
+# ---------------------------------------------------------------------------
+
+IMAGE_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_w", LongType(), False),
+        StructField("out_h", LongType(), False),
+        StructField("pixels", BinaryType(), True),  # resized raw bitmap
+        StructField("mean_px", StringType(), True),  # formatted, engine-neutral
+    ]
+)
+
+
+def resize_raw_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Decode + nearest-neighbor-resize raw grayscale bitmaps (mapInPandas).
+
+    Input rows: payload = height×width uint8 bytes, meta_json =
+    ``{"width": W, "height": H}``. Each Arrow batch is one Python call;
+    per-image work is two numpy index gathers (no per-pixel Python).
+    Malformed rows (size ≠ W·H, missing dims) yield NULL pixels rather
+    than poisoning the batch — at 100 TB a decode stage must be
+    dead-letter-friendly, never fail the task on one bad file.
+    """
+    import json
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_pixels, out_means = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta_json"]):
+                try:
+                    m = json.loads(meta) if meta else {}
+                    w, h = int(m["width"]), int(m["height"])
+                    img = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    if img.size != w * h:
+                        raise ValueError("payload size != width*height")
+                    img = img.reshape(h, w)
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    small = img[np.ix_(ys, xs)]
+                    out_pixels.append(small.tobytes())
+                    out_means.append(f"{small.mean():.4f}")
+                except Exception:
+                    out_pixels.append(None)
+                    out_means.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "pixels": out_pixels,
+                    "mean_px": out_means,
+                }
+            )
+
+    return media.mapInPandas(gen, IMAGE_RESIZE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("window_idx", LongType(), False),
+        StructField("rms", StringType(), True),  # formatted, engine-neutral
+        StructField("zcr", StringType(), True),
+    ]
+)
+
+
+def audio_window_features(media: DataFrame, window: int = 1024) -> DataFrame:
+    """Windowed RMS + zero-crossing-rate over raw PCM int16 payloads.
+
+    The language-ID-for-audio primitives: per fixed-size sample window,
+    root-mean-square energy and the zero-crossing rate — all vectorized
+    numpy over Arrow batches, one output row per (media, window). Odd
+    trailing bytes and empty payloads produce zero windows, not errors.
+    At scale the fan-out is bounded by payload length; partitioning by
+    media_id keeps one file's windows in one task.
+    """
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, rms, zcr = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                buf = bytes(payload)
+                samples = np.frombuffer(buf[: len(buf) - (len(buf) % 2)], dtype="<i2")
+                n_win = len(samples) // window
+                if n_win == 0:
+                    continue
+                frames = samples[: n_win * window].reshape(n_win, window).astype(np.float64)
+                w_rms = np.sqrt((frames**2).mean(axis=1))
+                signs = np.signbit(frames)
+                w_zcr = (signs[:, 1:] != signs[:, :-1]).mean(axis=1)
+                ids.extend([mid] * n_win)
+                widx.extend(range(n_win))
+                rms.extend(f"{v:.4f}" for v in w_rms)
+                zcr.extend(f"{v:.6f}" for v in w_zcr)
+            yield pd.DataFrame(
+                {"media_id": ids, "window_idx": widx, "rms": rms, "zcr": zcr}
+            )
+
+    return media.mapInPandas(gen, AUDIO_FEATURE_SCHEMA)

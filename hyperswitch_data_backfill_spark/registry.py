@@ -60,20 +60,23 @@ def _load_all_operator_modules() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Import order = driver sweep order: cheap oracle-backed modules
+    # first, expensive approximate/crypto queries last, so a truncated
+    # sweep (hard time budget) loses the least oracle evidence.
     import hyperswitch_data_backfill_spark.operators.relational  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.joins  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.aggregates  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.ordering  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.setops  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.windows  # noqa: F401
-    import hyperswitch_data_backfill_spark.operators.dedup  # noqa: F401
-    import hyperswitch_data_backfill_spark.operators.similarity  # noqa: F401
-    import hyperswitch_data_backfill_spark.operators.text  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.datetime_parse  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.json_fns  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.money  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.arrays  # noqa: F401
-    import hyperswitch_data_backfill_spark.functions.crypto  # noqa: F401
     import hyperswitch_data_backfill_spark.sinks.kafka  # noqa: F401
     import hyperswitch_data_backfill_spark.plans.spec  # noqa: F401
+    import hyperswitch_data_backfill_spark.operators.text  # noqa: F401
+    import hyperswitch_data_backfill_spark.operators.dedup  # noqa: F401
+    import hyperswitch_data_backfill_spark.operators.similarity  # noqa: F401
+    import hyperswitch_data_backfill_spark.functions.crypto  # noqa: F401
     _LOADED = True

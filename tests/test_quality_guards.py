@@ -303,3 +303,28 @@ def test_skew_cap_jaccard_is_exact_over_filtered_space(spark, tmp_path):
     # and the near-dup pairs sharing the hot shingle were NOT lost
     for j in range(4):
         assert (100 + 2 * j, 101 + 2 * j) in capped
+
+
+def test_sim_ivf_trained_recall_floor(spark):
+    """Trained-codebook IVF must reach the same recall floor vs the exact
+    top-k as the fixed-codebook variant is held to, and every reported
+    neighbor's score must equal its exact cosine (re-rank is exact)."""
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        sim_exact_small,
+        sim_ivf_trained,
+    )
+
+    exact = {
+        (r["q_id"], r["vec_id"]): r["cos_sim"]
+        for r in sim_exact_small(spark, SF_DIR).collect()
+    }
+    got = {
+        (r["q_id"], r["vec_id"]): r["cos_sim"]
+        for r in sim_ivf_trained(spark, SF_DIR).collect()
+    }
+    hit = sum(1 for k in got if k in exact)
+    recall = hit / len(exact)
+    assert recall >= 0.5, f"trained-IVF recall {recall:.2f} below floor"
+    for k, v in got.items():
+        if k in exact:
+            assert abs(v - exact[k]) < 1e-9, f"re-rank score mismatch at {k}"
