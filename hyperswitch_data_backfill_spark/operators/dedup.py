@@ -464,3 +464,44 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "dedup_exact_hashkey",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) t WHERE rn = 1
+    """,
+    doc="L1b: the 100 TB variant dedup_exact's docstring promises, as a "
+        "verified query: shuffle on xxhash64(text) — a fixed 8-byte key — "
+        "instead of the full document text, then resolve (rare) hash "
+        "collisions by grouping on the exact text WITHIN each hash bucket. "
+        "Shuffle payload per row drops from O(doc bytes) to O(row minus "
+        "text…) + 8 bytes of key; the oracle (same as dedup_exact) proves "
+        "the rewrite is distribution-only. min_by picks the lowest-doc_id "
+        "survivor in one pass — no window, map-side partial aggregates.",
+)
+def dedup_exact_hashkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.withColumn("_h", F.xxhash64("text"))
+    # groupBy (_h, text): the hash prefixes the shuffle key so equal-hash
+    # rows colocate; including text makes collisions harmless (two texts
+    # with one hash form two groups in the same partition).
+    return (
+        h.groupBy("_h", "text")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "source", "n_chars"), F.col("doc_id")
+            ).alias("s")
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            "text",
+            F.col("s.lang").alias("lang"),
+            F.col("s.source").alias("source"),
+            F.col("s.n_chars").alias("n_chars"),
+        )
+    )

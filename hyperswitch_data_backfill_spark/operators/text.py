@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hyperswitch_data_backfill_spark.catalog import load_table
 from hyperswitch_data_backfill_spark.registry import register
@@ -300,3 +301,56 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TFIDF_TOP_K)
+
+
+NGRAM_FREQ_TOP = 50
+
+
+@register(
+    "text_ngram_freq",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens)),
+                      i -> tokens[i] || ' ' || tokens[i+1])) AS bigram
+        FROM tok WHERE len(tokens) >= 2
+    )
+    SELECT bigram, n, df, rk FROM (
+        SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rk
+        FROM bg GROUP BY bigram
+    ) t WHERE rk <= {NGRAM_FREQ_TOP}
+    """,
+    doc="L4h: corpus-level bigram frequency table (top-{50}) — the vocab/"
+        "phrase-mining primitive (and the df side of the max-df skew cap in "
+        "dedup). One explode + one hash-shuffled count; the global top-k is "
+        "TakeOrdered over the (tiny) aggregated bigram table, never a "
+        "single-partition sort of the corpus. count + doc-frequency ride "
+        "the same aggregate.",
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spread = spark.sparkContext.defaultParallelism
+    toks = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array())
+    bg = (
+        docs.repartition(spread, "doc_id")
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    agg = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NGRAM_FREQ_TOP)
+    )

@@ -177,3 +177,18 @@ def test_global_row_number_is_distributed(spark):
         assert "count" in seg or "_n" in seg or "sum" in seg, (
             "SinglePartition exchange on the data path:\n" + p
         )
+
+
+def test_backfill_job_pushdown_and_no_shuffle(spark):
+    """The whole-job pipeline must stay scan→filter→project→union: window
+    predicates pushed into BOTH parquet scans, columns pruned to the
+    payload, and zero exchanges (union is partition concatenation)."""
+    p = plan(spark, "pipeline_backfill_job")
+    pushed = [seg.split("]", 1)[0] for seg in p.split("PushedFilters: [")[1:]]
+    assert len(pushed) == 2, f"expected 2 scans with pushdown\n{p}"
+    assert any("o_orderdate" in f for f in pushed)
+    assert any("l_shipdate" in f for f in pushed)
+    assert "Exchange" not in p
+    # column pruning: the orders scan must not read o_totalprice
+    read_schemas = [seg.split("\n", 1)[0] for seg in p.split("ReadSchema: ")[1:]]
+    assert all("o_totalprice" not in rs for rs in read_schemas), read_schemas
