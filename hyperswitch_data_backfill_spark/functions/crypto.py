@@ -105,6 +105,27 @@ def xor_transform_udf(data, key):
     return _UDF_CACHE["xor"](data, key)
 
 
+def derive_keys_df(sources: DataFrame, on: str = "source") -> DataFrame:
+    """U4 at scale: derive the key dimension WITHOUT a driver collect.
+
+    ``distinct`` on the key column (an aggregate — map-side combined, so
+    the shuffle is O(distinct keys)) followed by a vectorized key-unwrap
+    UDF. The result is a tiny DataFrame suitable for ``broadcast()``;
+    nothing ever materializes on the driver. Mirrors main.rs:204,211
+    semantically; at 100× merchant counts this replaces the driver-side
+    loop the small-dimension path uses.
+    """
+
+    def impl(names: pd.Series) -> pd.Series:
+        return pd.Series([None if n is None else derive_key(str(n)) for n in names])
+
+    if "derive" not in _UDF_CACHE:
+        _UDF_CACHE["derive"] = pandas_udf(impl, "binary")
+    return sources.select(on).distinct().withColumn(
+        "data_key", _UDF_CACHE["derive"](F.col(on))
+    )
+
+
 def decrypt_with_broadcast_keys(
     fact: DataFrame,
     keys: DataFrame,
@@ -132,10 +153,9 @@ def decrypt_with_broadcast_keys(
 )
 def udf_decrypt(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sources = [r[0] for r in docs.select("source").distinct().collect()]
-    keys = spark.createDataFrame(
-        [(s, derive_key(s)) for s in sorted(sources)], "source string, data_key binary"
-    )
+    # key dimension derived fully distributed (no driver collect) — the
+    # 100× merchant-count shape; broadcast keeps the fact unshuffled
+    keys = derive_keys_df(docs, "source")
     enc = (
         docs.join(F.broadcast(keys), "source", "left")
         .withColumn("ciphertext", xor_transform_udf(F.col("text").cast("binary"), F.col("data_key")))
