@@ -396,3 +396,49 @@ def test_sessionize_timeout_preserves_session_numbering(spark):
         assert got == [(1, 2), (2, 2)], f"expected sessions 1 and 2, got {got}"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compile_job_on_streams_equals_batch(spark):
+    """The WHOLE job (two entities + consolidated unionByName) compiles onto
+    streaming sources unchanged — the continuous-backfill variant of
+    main.rs:190-313 — and a bounded replay of the consolidated feed equals
+    the batch compile_job's consolidated frame."""
+    from hyperswitch_data_backfill_spark.plans.spec import _JOB, compile_job
+
+    batch_tables = {
+        "orders": load_table(spark, SF_DIR, "orders"),
+        "lineitem": load_table(spark, SF_DIR, "lineitem"),
+    }
+    expected = sorted(
+        (r["key"], r["value"], r["topic"])
+        for r in compile_job(batch_tables, _JOB, consolidated_topic="consolidated-events")[
+            "consolidated-events"
+        ].collect()
+    )
+    assert expected
+
+    dirs = {}
+    try:
+        for t, df in batch_tables.items():
+            d = tempfile.mkdtemp(prefix=f"jobstream-{t}-")
+            dirs[t] = d
+            df.repartition(3).write.mode("overwrite").parquet(d)
+        stream_tables = {
+            t: spark.readStream.schema(batch_tables[t].schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            for t, d in dirs.items()
+        }
+        frames = compile_job(stream_tables, _JOB, consolidated_topic="consolidated-events")
+        out = frames["consolidated-events"]
+        assert out.isStreaming
+        q = write_memory_sink(out, "job_stream_test", complete=False)
+        q.awaitTermination(240)
+        got = sorted(
+            (r["key"], r["value"], r["topic"])
+            for r in spark.sql("SELECT * FROM job_stream_test").collect()
+        )
+        assert got == expected
+    finally:
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
