@@ -57,3 +57,52 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm(F.col("embedding")), 6).alias("l2_norm"),
         F.element_at("embedding", 1).cast("double").alias("head"),
     )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, sv,
+               sqrt(CAST(list_sum(list_transform(sv, x -> x * x)) AS DOUBLE)) AS nrm
+        FROM s
+    )
+    SELECT vec_id,
+           ROUND(nrm / 1000000.0, 6) AS l2_norm,
+           list_transform(sv,
+               x -> CAST(round((CAST(x AS DOUBLE) * 127.0) / nrm) AS TINYINT)) AS q8
+    FROM n WHERE nrm > 0
+    """,
+    doc="L2-normalize + symmetric int8 quantization of the embedding "
+        "column — the standard 4x storage/bandwidth shrink before ANN "
+        "indexing. Engine-exact despite the float pipeline: elements are "
+        "first scaled to 1e-6-resolution BIGINTs (exact in both engines), "
+        "the squared-sum folds integers, and every double op after that "
+        "has bit-identical operands on both sides. Pure codegen "
+        "transform/aggregate — per-row, no shuffle, no UDF.",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    df = emb.select("vec_id", scaled.alias("sv"))
+    ssq = F.aggregate(
+        F.col("sv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    df = df.withColumn("nrm", F.sqrt(ssq.cast("double"))).filter(F.col("nrm") > 0)
+    q8 = F.transform(
+        F.col("sv"),
+        lambda x: F.round((x.cast("double") * F.lit(127.0)) / F.col("nrm")).cast("tinyint"),
+    )
+    return df.select(
+        "vec_id",
+        F.round(F.col("nrm") / F.lit(1000000.0), 6).alias("l2_norm"),
+        q8.alias("q8"),
+    )

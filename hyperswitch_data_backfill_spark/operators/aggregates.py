@@ -356,3 +356,31 @@ def sample_stratified_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= STRATUM_N)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+    doc="A8: fixed-width histogram — floor-division binning then a plain "
+        "grouped count/sum, the distribution profile every data-quality "
+        "dashboard wants. Binning is a per-row codegen expression, so the "
+        "shuffle carries O(buckets) after map-side partial aggregation — "
+        "the cheapest possible profile of a 100 TB column (contrast an "
+        "exact percentile, which buffers values per group).",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )

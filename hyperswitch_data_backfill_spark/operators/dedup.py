@@ -505,3 +505,65 @@ def dedup_exact_hashkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.n_chars").alias("n_chars"),
         )
     )
+
+
+LEV_MIN_SHARED = 2      # candidate gate: >= 2 shared shingles
+LEV_PREFIX = 120        # verify on a fixed prefix — bounds cost per pair
+LEV_MAX_DIST = 25       # absolute edit-distance threshold on the prefix
+
+
+@register(
+    "neardup_levenshtein",
+    oracle=_PAIR_PREFIX + f"""
+    SELECT id_a, id_b, inter,
+           levenshtein(substr(da.text, 1, {LEV_PREFIX}),
+                       substr(db.text, 1, {LEV_PREFIX})) AS edit_dist
+    FROM raw_pairs
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    WHERE inter >= {LEV_MIN_SHARED}
+      AND levenshtein(substr(da.text, 1, {LEV_PREFIX}),
+                      substr(db.text, 1, {LEV_PREFIX})) <= {LEV_MAX_DIST}
+    """,
+    doc="L2d: edit-distance near-dup pairs — the classic two-phase ER "
+        "shape: CHEAP candidate generation (shingle inverted index, docs "
+        "only meet if they share >= LEV_MIN_SHARED shingles — never "
+        "all-pairs) then an EXPENSIVE verifier (Levenshtein) on the "
+        "surviving pairs only, cost-bounded to a fixed text prefix. The "
+        "pair table carries doc ids only; texts join in afterward keyed "
+        "by doc_id, so the O(L^2) distance runs once per candidate, "
+        "JVM-side (built-in levenshtein, no UDF).",
+)
+def neardup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    # same bucket-local pair emission as dedup_ngram_jaccard, minus the
+    # set-size window (jaccard not needed — inter count is the gate)
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(sequence(0, size(ids) - 2), i ->
+            transform(sequence(i + 1, size(ids) - 1), j ->
+                struct(ids[i] AS id_a, ids[j] AS id_b))))
+        """
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= LEV_MIN_SHARED)
+    )
+    pre = F.substring(F.col("text"), 1, LEV_PREFIX)
+    ta = docs.select(F.col("doc_id").alias("id_a"), pre.alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), pre.alias("_tb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("edit_dist") <= LEV_MAX_DIST)
+        .select("id_a", "id_b", "inter", "edit_dist")
+    )

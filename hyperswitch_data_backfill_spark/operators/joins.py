@@ -290,3 +290,58 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("tag") == 0).select(
         "event_id", "user_id", "ts", "n_ts", "n_value"
     )
+
+
+@register(
+    "tpch_q3_topk",
+    oracle="""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="flagship composed analytics (TPC-H Q3 shape): dim filter -> "
+        "broadcast customer into orders, shuffle join to lineitem on the "
+        "order key, decimal-exact revenue aggregate, top-10 via "
+        "TakeOrderedAndProject (heap per partition + driver merge of 10 "
+        "rows — no global sort materialization). The exact multi-join "
+        "shape the downstream ClickHouse dashboards run over the replayed "
+        "events [dep]; deterministic tiebreak on l_orderkey.",
+)
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("double")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

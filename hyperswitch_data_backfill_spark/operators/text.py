@@ -354,3 +354,49 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= NGRAM_FREQ_TOP)
     )
+
+
+@register(
+    "text_length_quantile_gate",
+    oracle="""
+    WITH c AS (
+        SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+    ), r AS (
+        SELECT n_chars,
+               SUM(cnt) OVER (ORDER BY n_chars
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM c
+    ), keep AS (
+        SELECT n_chars FROM r
+        WHERE CAST(cum AS DOUBLE) / n >= 0.1 AND CAST(cum AS DOUBLE) / n <= 0.9
+    )
+    SELECT d.doc_id, d.n_chars, d.lang
+    FROM documents d JOIN keep USING (n_chars)
+    """,
+    doc="length-quantile corpus gate: drop the shortest 10% and longest "
+        "10% of documents by cumulative length distribution — a standard "
+        "pretraining filter. Rank-based, not value-interpolated: the "
+        "cumulative fraction is an integer ratio (exact in both engines), "
+        "so the gate is deterministic where interpolated percentiles are "
+        "last-ulp fragile. Scale shape: the distribution is computed on "
+        "the DISTINCT-length table (tiny — one groupBy shuffle), its "
+        "windows run over O(distinct lengths) rows, and the kept-lengths "
+        "set broadcasts back onto the corpus — no global row window, no "
+        "second scan of the documents.",
+)
+def text_length_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    frac = F.sum("cnt").over(w_cum).cast("double") / F.sum("cnt").over(w_all)
+    keep = (
+        counts.withColumn("_f", frac)
+        .filter((F.col("_f") >= 0.1) & (F.col("_f") <= 0.9))
+        .select("n_chars")
+    )
+    return docs.join(F.broadcast(keep), "n_chars").select("doc_id", "n_chars", "lang")

@@ -69,6 +69,7 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.operators.ordering  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.setops  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.windows  # noqa: F401
+    import hyperswitch_data_backfill_spark.operators.compaction  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.datetime_parse  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.json_fns  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.money  # noqa: F401

@@ -192,3 +192,32 @@ def test_backfill_job_pushdown_and_no_shuffle(spark):
     # column pruning: the orders scan must not read o_totalprice
     read_schemas = [seg.split("\n", 1)[0] for seg in p.split("ReadSchema: ")[1:]]
     assert all("o_totalprice" not in rs for rs in read_schemas), read_schemas
+
+
+def test_q3_broadcasts_dim_and_takes_ordered(spark):
+    """tpch_q3_topk: the filtered customer dim must broadcast (never
+    shuffle the orders fact for a dimension), and the top-10 must compile
+    to TakeOrderedAndProject — a per-partition heap, not a global sort."""
+    p = plan(spark, "tpch_q3_topk")
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, f"top-k materialized a global sort:\n{p}"
+
+
+def test_compaction_single_shuffle_each(spark):
+    """compact_latest / scd2_intervals: exactly one Exchange — the keyed
+    shuffle; a second one means the window re-partitioned needlessly."""
+    for name in ("compact_latest", "scd2_intervals"):
+        p = plan(spark, name)
+        # "Exchange (" matches tree nodes only (details render as "(n) Exchange")
+        assert p.count("Exchange (") == 1, f"{name}: expected 1 Exchange\n{p}"
+    # the top-1 window prunes map-side BEFORE the shuffle (Partial
+    # WindowGroupLimit) — at 100 TB the shuffle carries one row per
+    # (key × input partition), not the full event history
+    assert "WindowGroupLimit" in plan(spark, "compact_latest")
+
+
+def test_quantize_has_no_shuffle_and_no_python(spark):
+    """emb_quantize_int8 is per-row codegen: no Exchange, no Python worker."""
+    p = plan(spark, "emb_quantize_int8")
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p

@@ -328,3 +328,37 @@ def test_sim_ivf_trained_recall_floor(spark):
     for k, v in got.items():
         if k in exact:
             assert abs(v - exact[k]) < 1e-9, f"re-rank score mismatch at {k}"
+
+
+def test_merge_upsert_semantics(spark):
+    """merge_upsert: keys = base ∪ delta; every overlapping key carries
+    the delta row (src='delta'); no key appears twice."""
+    from hyperswitch_data_backfill_spark.operators.compaction import merge_upsert
+
+    rows = merge_upsert(spark, SF_DIR).collect()
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate keys after upsert"
+    by_src = {s: {r.o_orderkey for r in rows if r.src == s} for s in ("base", "delta")}
+    assert by_src["delta"], "empty delta leg"
+    assert not (by_src["base"] & by_src["delta"])
+
+
+def test_compact_latest_one_row_per_key(spark):
+    from hyperswitch_data_backfill_spark.operators.compaction import compact_latest
+
+    rows = compact_latest(spark, SF_DIR).collect()
+    assert len({r.user_id for r in rows}) == len(rows)
+
+
+def test_quantized_vectors_bounded_and_unit_norm(spark):
+    """emb_quantize_int8: q8 in [-127,127]; dequantized norm ~127 (unit)."""
+    import math
+
+    from hyperswitch_data_backfill_spark.functions.arrays import emb_quantize_int8
+
+    rows = emb_quantize_int8(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:50]:
+        assert all(-127 <= q <= 127 for q in r.q8)
+        qn = math.sqrt(sum(q * q for q in r.q8))
+        assert abs(qn - 127.0) < 2.0, f"vec {r.vec_id}: |q8|={qn}"
