@@ -384,3 +384,42 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("o_totalprice")).cast("double").alias("total"),
         )
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY COUNT(*) DESC, o_orderpriority
+               ) AS rn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) t WHERE rn = 1
+    """,
+    doc="A9: deterministic per-group mode (most frequent value, "
+        "lexicographic tiebreak) — two-phase: grouped counts shuffle on "
+        "the composite key with map-side partials, then the argmax window "
+        "runs over O(distinct values) rows, not the corpus. The SQL-exact "
+        "sibling of what a heavy-hitters sketch approximates at 100 TB.",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )

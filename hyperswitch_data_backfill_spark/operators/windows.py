@@ -277,3 +277,42 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
         F.round(F.cume_dist().over(wc), 6).alias("cdist"),
     )
+
+
+@register(
+    "win_sliding",
+    oracle="""
+    WITH x AS (
+        SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) - s.off AS win_start_us, value
+        FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(3600000000 AS BIGINT))) s(off)
+    )
+    SELECT win_start_us,
+           win_start_us + 7200000000 AS win_end_us,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM x GROUP BY 1
+    """,
+    doc="batch-emulated SLIDING window (2h size, 1h slide) over the event "
+        "stream — the overlapping-window twin of win_tumbling. Spark's "
+        "window() expands each row into size/slide = 2 bucket replicas "
+        "before one grouped aggregate (Expand + single shuffle, map-side "
+        "partials); the oracle enumerates the same two epoch-aligned "
+        "starts per event arithmetically. Micros-bigint bounds on both "
+        "sides. Streaming twin: the same expression under a watermark "
+        "(streaming/pipeline.py tumbling_agg generalizes).",
+)
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("win_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("win_end_us"),
+            "n",
+            "total_value",
+        )
+    )

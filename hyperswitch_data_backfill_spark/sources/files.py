@@ -1,0 +1,95 @@
+"""File sources (CSV / JSON lines / parquet) with enforced schemas.
+
+The reference reads only Postgres, but a backfill engine's input is
+frequently a dump file: CSV/JSONL exports, parquet snapshots. These
+builders mirror the engine's static-schema stance (SURVEY §1.3 — the
+reference's Diesel schemas are compile-time fixed): **schemas are always
+declared, never inferred**. Inference costs an extra full pass over the
+data at 100 TB and silently changes types between runs; a declared
+``StructType`` does neither.
+
+Design: csv/json are scanned as TEXT and parsed with ``from_csv`` /
+``from_json`` expressions rather than the format readers. Two reasons:
+
+1. The quarantine contract. Spark's internal ``_corrupt_record`` column
+   on raw csv/json scans cannot be queried alone
+   (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — even
+   ``clean.count()`` trips it after column pruning — and the documented
+   workaround is caching the whole input, a non-starter at 100 TB.
+   Expression-level parsing has no such restriction: the malformed line
+   lands in a regular string column (same stance as the decrypt UDF's
+   quarantine, functions/crypto.py), and clean/dead-letter frames are
+   plain filters sharing one scan.
+2. One scan, two consumers. Text scans split by line across files and
+   blocks exactly like the csv reader's fast path; parsing happens in
+   whole-stage codegen.
+
+Trade-off (documented): no multi-line quoted-newline CSV records and no
+header skipping — at-scale interchange files are headerless/escaped
+exports or (better) parquet, where predicate pushdown also works.
+Non-splittable codecs (gzip/bzip2) serialize the scan — prefer zstd/lz4.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+@dataclass(frozen=True)
+class FileSourceConfig:
+    """Declarative file-source spec (the dump-file twin of JdbcSourceConfig)."""
+
+    path: str
+    format: str  # csv | json | parquet
+    schema: StructType | None = None  # required for csv/json
+    options: dict[str, str] = field(default_factory=dict)
+
+
+def read_file_source(spark: SparkSession, cfg: FileSourceConfig) -> DataFrame:
+    """Build the DataFrame for a file source; never infers a schema.
+
+    csv/json rows carry the dead-letter column ``_corrupt_record``
+    (NULL for clean rows, the raw line otherwise); blank lines are
+    dropped. ``split_corrupt`` separates the two frames.
+    """
+    fmt = cfg.format.lower()
+    if fmt == "parquet":
+        return spark.read.options(**cfg.options).parquet(cfg.path)
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"unsupported file source format: {cfg.format!r}")
+    if cfg.schema is None:
+        raise ValueError(f"{fmt} source requires an explicit schema (no inference)")
+    schema = StructType(
+        [f for f in cfg.schema.fields if f.name != CORRUPT_COL]
+    ).add(CORRUPT_COL, "string")
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+        **cfg.options,
+    }
+    raw = spark.read.text(cfg.path).filter(F.length(F.trim(F.col("value"))) > 0)
+    if fmt == "csv":
+        # from_csv takes a DDL schema string, not a StructType
+        parsed = F.from_csv(F.col("value"), schema.toDDL(), opts)
+    else:
+        parsed = F.from_json(F.col("value"), schema, opts)
+    return raw.select(parsed.alias("_r")).select("_r.*")
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the dead-letter column, quarantined rows).
+
+    The quarantine frame keeps the full row — partially-parsed fields
+    plus the raw line in ``_corrupt_record`` — triage needs the context.
+    """
+    if CORRUPT_COL not in df.columns:
+        return df, df.filter(F.lit(False))
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return clean, bad

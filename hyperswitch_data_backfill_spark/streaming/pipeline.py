@@ -290,3 +290,29 @@ def write_memory_sink(df: DataFrame, name: str, complete: bool = True):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the streaming twin of J1.
+
+    The reference fetches each merchant's key store once and reuses it
+    per row (``main.rs:219-249``); in a continuous pipeline that lookup
+    is a stream-static join against the dimension table. Spark plans the
+    static side as a broadcast per micro-batch — no stream state, no
+    watermark needed (unlike stream-stream joins), and the dimension is
+    re-resolved every batch so slowly-changing dims pick up updates
+    without a restart.
+
+    Scale: the dim must stay broadcast-sized (key stores, currency
+    tables — yes; a billion-row dim — no: pre-bucket both sides and use
+    a stream-stream join instead). ``how`` left keeps unmatched facts
+    (quarantine-friendly); inner drops them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"stream-static enrichment supports left/inner, got {how!r}")
+    return stream.join(F.broadcast(dim), key, how)

@@ -255,3 +255,78 @@ def test_jdbc_bounded_falls_back_for_varchar_key(spark, derby_table):
 
     df = read_jdbc_bounded(spark, _derby_cfg(), '"merchant_id"', 4)
     assert df.count() == 200
+
+
+# ---------------------------------------------------------------- files
+
+
+def _files_schema():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType([StructField("id", LongType()), StructField("name", StringType())])
+
+
+def test_csv_source_schema_enforced_and_quarantine(spark, tmp_path):
+    from hyperswitch_data_backfill_spark.sources.files import (
+        CORRUPT_COL,
+        FileSourceConfig,
+        read_file_source,
+        split_corrupt,
+    )
+
+    p = tmp_path / "dump.csv"
+    p.write_text("1,alice\n2,bob\nnot_a_number,carol\n")
+    df = read_file_source(
+        spark, FileSourceConfig(path=str(p), format="csv", schema=_files_schema())
+    )
+    assert df.schema[CORRUPT_COL].dataType.typeName() == "string"
+    clean, bad = split_corrupt(df)
+    assert {(r.id, r.name) for r in clean.collect()} == {(1, "alice"), (2, "bob")}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0][CORRUPT_COL]
+
+
+def test_json_source_quarantines_broken_lines(spark, tmp_path):
+    from hyperswitch_data_backfill_spark.sources.files import (
+        FileSourceConfig,
+        read_file_source,
+        split_corrupt,
+    )
+
+    p = tmp_path / "dump.jsonl"
+    p.write_text('{"id": 1, "name": "alice"}\n{broken\n{"id": 2, "name": "bob"}\n')
+    df = read_file_source(
+        spark, FileSourceConfig(path=str(p), format="json", schema=_files_schema())
+    )
+    clean, bad = split_corrupt(df)
+    assert clean.count() == 2
+    assert bad.count() == 1
+
+
+def test_file_source_requires_schema_and_known_format(spark):
+    import pytest
+
+    from hyperswitch_data_backfill_spark.sources.files import (
+        FileSourceConfig,
+        read_file_source,
+    )
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_file_source(spark, FileSourceConfig(path="/x", format="csv"))
+    with pytest.raises(ValueError, match="unsupported"):
+        read_file_source(spark, FileSourceConfig(path="/x", format="xml"))
+
+
+def test_parquet_file_source_reads_fixture(spark):
+    from hyperswitch_data_backfill_spark.sources.files import (
+        FileSourceConfig,
+        read_file_source,
+        split_corrupt,
+    )
+
+    df = read_file_source(
+        spark,
+        FileSourceConfig(path=f"{SF_DIR}/customer.parquet", format="parquet"),
+    )
+    clean, bad = split_corrupt(df)
+    assert clean.count() > 0 and bad.count() == 0

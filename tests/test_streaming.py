@@ -442,3 +442,43 @@ def test_compile_job_on_streams_equals_batch(spark):
     finally:
         for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_static_enrichment_equals_batch(spark, event_stream_dir):
+    """enrich_stream_with_dim: replaying the event stream joined to a
+    static user dimension must equal the batch broadcast join, and
+    unmatched facts must survive a left enrichment."""
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        enrich_stream_with_dim,
+        read_parquet_stream,
+        write_memory_sink,
+    )
+
+    ev_batch = load_table(spark, SF_DIR, "events")
+    # static dim: one attribute per user, deliberately missing some keys
+    dim = (
+        ev_batch.select("user_id").distinct()
+        .filter(F.col("user_id") % 3 != 0)
+        .withColumn("tier", (F.col("user_id") % 5).cast("int"))
+    )
+    stream = read_parquet_stream(
+        spark, event_stream_dir, ev_batch.schema, max_files_per_trigger=2
+    )
+    enriched = enrich_stream_with_dim(
+        stream.select("event_id", "user_id"), dim, "user_id", how="left"
+    )
+    q = write_memory_sink(enriched, "enriched_mem", complete=False)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_id, r.user_id, r.tier)
+        for r in spark.table("enriched_mem").collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.tier)
+        for r in ev_batch.select("event_id", "user_id")
+        .join(F.broadcast(dim), "user_id", "left")
+        .collect()
+    }
+    assert got == want
+    assert any(t is None for (_, _, t) in got), "expected unmatched facts kept"
