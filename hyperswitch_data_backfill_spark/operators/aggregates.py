@@ -423,3 +423,51 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+                    AS DOUBLE) AS s2
+        FROM events GROUP BY user_id
+    ), scored AS (
+        SELECT e.event_id, e.user_id, e.value,
+               (e.value - s.s1 / s.n)
+                 / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS z
+        FROM events e JOIN stats s USING (user_id)
+        WHERE s.n > 1 AND s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n) > 0
+    )
+    SELECT event_id, user_id, value, ROUND(z, 6) AS z
+    FROM scored WHERE abs(z) > 2.5
+    """,
+    doc="A10: per-key z-score anomaly gate — population moments from "
+        "DECIMAL-exact sums (s1, s2), so mean/variance/z are computed "
+        "from bit-identical operands on both engines; only the final "
+        "round(6) touches a fold-order-free double pipeline. Shape: one "
+        "grouped aggregate (map-side partials) + a stats join back on "
+        "the key — the grouped-stats twin of text_tfidf's skew-safe "
+        "broadcast pattern; no global window, no second pass.",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("n") > 1) & (var > 0))
+        .withColumn("_z", z)  # gate on the UNROUNDED z, exactly like the oracle
+        .filter(F.abs(F.col("_z")) > 2.5)
+        .select("event_id", "user_id", "value", F.round("_z", 6).alias("z"))
+    )

@@ -215,3 +215,35 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "scalar_subquery_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    doc="correlated SCALAR subquery — orders above their own merchant's "
+        "average. Catalyst decorrelates to one grouped aggregate joined "
+        "back on the correlation key, so the per-row probe the SQL "
+        "describes runs as ONE shuffle + join, not N subqueries. The "
+        "threshold is exact-decimal sum / count in double, so both "
+        "engines compare bit-identical values (a float AVG would diverge "
+        "at the last ulp between reduction orders).",
+)
+def scalar_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM _sq_orders o
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+            FROM _sq_orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )

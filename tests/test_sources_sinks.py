@@ -330,3 +330,63 @@ def test_parquet_file_source_reads_fixture(spark):
     )
     clean, bad = split_corrupt(df)
     assert clean.count() > 0 and bad.count() == 0
+
+
+# ---------------------------------------------------------------- tables
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """write_table(partition_by=status): reading one status must show
+    partition pruning in the plan, not a filter over the full scan."""
+    from hyperswitch_data_backfill_spark.sinks.tables import TableSinkConfig, write_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_table(
+        orders,
+        TableSinkConfig(
+            path=out, mode="overwrite", partition_by=("o_orderstatus",),
+            files_per_partition=2,
+        ),
+    )
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+    # small-files control: each partition dir holds <= files_per_partition files
+    import glob
+
+    for d in glob.glob(f"{out}/o_orderstatus=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) <= 2, d
+
+
+def test_sorted_write_orders_rows_within_files(spark, tmp_path):
+    from hyperswitch_data_backfill_spark.sinks.tables import TableSinkConfig, write_table
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    out = str(tmp_path / "orders_sorted")
+    write_table(
+        orders,
+        TableSinkConfig(
+            path=out, mode="overwrite", sort_by=("o_orderkey",), files_per_partition=4
+        ),
+    )
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert 1 <= len(files) <= 4
+    for f in files:
+        keys = [r.o_orderkey for r in spark.read.parquet(f).collect()]
+        assert keys == sorted(keys), f"rows not sorted within {f}"
+
+
+def test_bucketed_write_requires_table_name(spark, tmp_path):
+    from hyperswitch_data_backfill_spark.sinks.tables import TableSinkConfig, write_table
+
+    with pytest.raises(ValueError, match="table_name"):
+        write_table(
+            load_table(spark, SF_DIR, "orders"),
+            TableSinkConfig(path=str(tmp_path), bucket_by=(4, ("o_orderkey",))),
+        )
