@@ -280,3 +280,76 @@ def audio_window_features(media: DataFrame, window: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(gen, AUDIO_FEATURE_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("src_rate", LongType(), True),
+        StructField("dst_rate", LongType(), False),
+        StructField("n_in", LongType(), True),
+        StructField("n_out", LongType(), True),
+        StructField("payload", BinaryType(), True),  # resampled int16 PCM
+    ]
+)
+
+
+def resample_pcm(media: DataFrame, dst_rate: int = 16_000) -> DataFrame:
+    """Linear-interpolation resample of raw PCM int16 payloads (mapInPandas).
+
+    Source rate comes from each row's ``meta_json`` ``{"rate": R}``; the
+    output grid places n_out = round(n_in * dst/src) samples on the same
+    time axis and interpolates with one vectorized ``np.interp`` per
+    payload — no per-sample Python, no external DSP library (linear
+    interpolation is the honest no-dependency kernel; a polyphase
+    filter would slot into the same row contract). Malformed rows
+    (missing/invalid rate, empty payload) yield NULL payload — the
+    dead-letter stance every decode stage here shares. Scale: per-row
+    work is O(samples), rows never interact — embarrassingly parallel
+    over whatever partitioning the binary source arrived with.
+    """
+    import json
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_rates, n_ins, n_outs, payloads = [], [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta_json"]):
+                try:
+                    m = json.loads(meta) if meta else {}
+                    src = int(m["rate"])
+                    if src <= 0:
+                        raise ValueError("bad rate")
+                    buf = bytes(payload)
+                    x = np.frombuffer(
+                        buf[: len(buf) - (len(buf) % 2)], dtype="<i2"
+                    ).astype(np.float64)
+                    if x.size == 0:
+                        raise ValueError("empty payload")
+                    n_out = max(1, round(x.size * dst_rate / src))
+                    # same time axis: sample i sits at i/rate seconds
+                    t_out = np.arange(n_out) * (src / dst_rate)
+                    y = np.interp(t_out, np.arange(x.size), x)
+                    out = np.clip(np.rint(y), -32768, 32767).astype("<i2")
+                    src_rates.append(src)
+                    n_ins.append(x.size)
+                    n_outs.append(n_out)
+                    payloads.append(out.tobytes())
+                except Exception:
+                    src_rates.append(None)
+                    n_ins.append(None)
+                    n_outs.append(None)
+                    payloads.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_rate": pd.array(src_rates, dtype="Int64"),
+                    "dst_rate": dst_rate,
+                    "n_in": pd.array(n_ins, dtype="Int64"),
+                    "n_out": pd.array(n_outs, dtype="Int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(gen, AUDIO_RESAMPLE_SCHEMA)

@@ -143,3 +143,35 @@ def test_audio_window_features_real_pcm(spark):
         assert r["rms"] == "1000.0000"
         # sign flips every 4 samples -> ~1 transition per 4 boundaries
         assert abs(float(r["zcr"]) - 0.25) < 0.01
+
+
+def test_resample_pcm_linear(spark):
+    """Linear resample: exact on a ramp (linear interp reproduces a line)."""
+    import numpy as np
+
+    from hyperswitch_data_backfill_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resample_pcm,
+    )
+
+    ramp = np.arange(0, 1000, 2, dtype="<i2")  # 500 samples at 8 kHz
+    rows = [
+        (1, "audio", bytearray(ramp.tobytes()), json.dumps({"rate": 8000})),
+        (2, "audio", bytearray(ramp.tobytes()), json.dumps({"rate": 32000})),
+        (3, "audio", bytearray(b""), json.dumps({"rate": 8000})),   # empty
+        (4, "audio", bytearray(ramp.tobytes()), None),               # no rate
+        (5, "audio", bytearray(ramp.tobytes()), json.dumps({"rate": 0})),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in resample_pcm(media, dst_rate=16_000).collect()}
+
+    # 2x upsample of a ramp: y[i] = i (step halves from 2 to 1)
+    up = np.frombuffer(bytes(got[1]["payload"]), dtype="<i2")
+    assert got[1]["n_in"] == 500 and got[1]["n_out"] == 1000
+    assert np.array_equal(up[:998], np.arange(998))
+    # 2x downsample: every other sample, step doubles to 4
+    down = np.frombuffer(bytes(got[2]["payload"]), dtype="<i2")
+    assert got[2]["n_out"] == 250
+    assert np.array_equal(down, np.arange(0, 1000, 4))
+    for bad in (3, 4, 5):
+        assert got[bad]["payload"] is None and got[bad]["n_out"] is None
