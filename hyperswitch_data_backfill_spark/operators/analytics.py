@@ -1,0 +1,290 @@
+"""Behavioral & statistical analytics — event-log and measure-matrix ops.
+
+Product-analytics queries every event pipeline grows (activity islands,
+conversion funnel, cohort retention) plus exact distributed statistics
+(co-moments from decimal sums) and measure unpivoting. All integer/
+decimal arithmetic until the final projection so the DuckDB oracles are
+value-exact; timestamps ride as epoch-microsecond BIGINTs (the engine's
+micros canon, see catalog.py).
+
+Scale notes per query are in the docstrings; the shared shape is one
+shuffle keyed on the entity (user_id / group key) and map-side-combined
+aggregates — no windows over unpartitioned data, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.registry import register
+
+_EPOCH = "1970-01-01"
+
+
+def _day(ts_col: str = "ts"):
+    """Epoch-day integer from the engine-canonical timestamp_ntz."""
+    return F.datediff(F.to_date(F.col(ts_col)), F.lit(_EPOCH).cast("date"))
+
+
+@register(
+    "win_gap_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), r AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    )
+    SELECT user_id,
+           CAST(MIN(d) AS BIGINT) AS island_start_day,
+           CAST(MAX(d) AS BIGINT) AS island_end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM r GROUP BY user_id, grp
+    """,
+    doc="Gaps-and-islands: maximal runs of consecutive active days per "
+        "user via the classic day-minus-row_number grouping key. Two "
+        "staged shuffles, both over the map-side-deduped (user, day) "
+        "pairs (bounded by users × days, a tiny fraction of raw events): "
+        "(user_id, d) for distinct, then user_id for the window; the "
+        "final island aggregate reuses the window's partitioning with no "
+        "third Exchange (verified in the plan).",
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", _day().alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    return (
+        days.withColumn("grp", F.col("d") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("d").cast("bigint").alias("island_start_day"),
+            F.max("d").cast("bigint").alias("island_end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("grp")
+    )
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+@register(
+    "funnel_steps",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), s1 AS (
+        SELECT user_id, MIN(us) AS t1 FROM e
+        WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+        WHERE event_type = '{FUNNEL_STEPS[1]}' AND us >= t1 GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+        WHERE event_type = '{FUNNEL_STEPS[2]}' AND us >= t2 GROUP BY e.user_id
+    )
+    SELECT s1.user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+           CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    doc="Ordered conversion funnel (signup → click → purchase): per user, "
+        "the earliest step-k event at-or-after the step-(k-1) time — "
+        "strictly ordered, so a purchase before signup does not convert. "
+        "Three per-user min-aggregates chained by equi-joins on user_id: "
+        "every stage shuffles on the same key, so the plan is one "
+        "partitioning reused end-to-end; state per user is one timestamp "
+        "per step. Timestamps emitted as epoch-micros BIGINT (micros "
+        "canon).",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    s1 = (
+        e.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1_us"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(F.col("us") >= F.col("t1_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2_us"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(F.col("us") >= F.col("t2_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3_us"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t2_us").isNotNull().cast("int")
+        + F.col("t3_us").isNotNull().cast("int")
+    ).cast("bigint")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "t1_us", "t2_us", "t3_us", stage.alias("stage"))
+    )
+
+
+@register(
+    "retention_cohort",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+        FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(w) AS cohort_week FROM uw GROUP BY user_id
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(w - cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM uw JOIN cohort USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+    doc="Cohort retention matrix: users bucketed by first-active epoch-"
+        "week, counted per week offset. Epoch-aligned integer weeks "
+        "(day // 7) on both engines — no date_trunc('week') start-of-week "
+        "convention to diverge on. Distinct (user, week) pairs + per-user "
+        "min + re-join all shuffle on user_id, then one small final agg; "
+        "uw rows are bounded by users × weeks, a tiny fraction of raw "
+        "events.",
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select("user_id", (_day() / 7).cast("bigint").alias("w")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "agg_corr_moments",
+    oracle="""
+    WITH sc AS (
+        -- ×100 scaled integers: exact for 2-decimal money doubles;
+        -- HUGEINT sums never overflow (Spark twin: decimal(38,0))
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS HUGEINT) AS xi,
+               CAST(round(l_extendedprice * 100) AS HUGEINT) AS yi
+        FROM lineitem
+    ), m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(xi) AS DOUBLE) / 100.0 AS sx,
+               CAST(SUM(yi) AS DOUBLE) / 100.0 AS sy,
+               CAST(SUM(xi * yi) AS DOUBLE) / 10000.0 AS sxy,
+               CAST(SUM(xi * xi) AS DOUBLE) / 10000.0 AS sxx,
+               CAST(SUM(yi * yi) AS DOUBLE) / 10000.0 AS syy
+        FROM sc GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS covar_samp,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS regr_slope,
+           ROUND(sy / CAST(n AS DOUBLE)
+                 - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx)
+                   * sx / CAST(n AS DOUBLE), 6) AS regr_intercept
+    FROM m
+    """,
+    doc="Exact distributed statistics: per-group covariance, Pearson "
+        "correlation, and OLS slope/intercept computed from DECIMAL "
+        "co-moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — the mergeable-"
+        "moments pattern. Unlike engine-native corr()/covar_samp() "
+        "(Welford merge order ⇒ float drift between engines), decimal "
+        "sums are exact and associative, so one map-side-combined shuffle "
+        "yields bit-identical results on any partitioning — the property "
+        "that makes the answer stable on 10 executors or 1000. Final "
+        "double arithmetic is the same expression on both engines.",
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("decimal(19,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)")
+    m = li.select("l_returnflag", x.alias("xi"), y.alias("yi")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sxi"),
+        F.sum("yi").alias("syi"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxyi"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxxi"),
+        F.sum(F.col("yi") * F.col("yi")).alias("syyi"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sxi").cast("double") / 100.0
+    sy = F.col("syi").cast("double") / 100.0
+    sxy = F.col("sxyi").cast("double") / 10000.0
+    sxx = F.col("sxxi").cast("double") / 10000.0
+    syy = F.col("syyi").cast("double") / 10000.0
+    cov_num = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_num / var_x
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(cov_num / (n * (n - F.lit(1.0))), 6).alias("covar_samp"),
+        F.round(cov_num / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("regr_slope"),
+        F.round(sy / n - slope * sx / n, 6).alias("regr_intercept"),
+    )
+
+
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "agg_unpivot",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT l_returnflag, '{c}' AS measure,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               ROUND(CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_val
+        FROM lineitem GROUP BY l_returnflag
+        """
+        for c in _UNPIVOT_MEASURES
+    ),
+    doc="Wide→long unpivot (melt) of the lineitem measure columns, then "
+        "per-(group, measure) decimal-exact totals. Spark's unpivot is a "
+        "zero-shuffle Expand node (each input row emits one row per "
+        "measure map-side), feeding a single map-side-combined aggregate "
+        "— the declarative replacement for per-measure query loops. "
+        "Oracle is the equivalent UNION ALL of per-measure aggregates.",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=list(_UNPIVOT_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    dec = F.col("val").cast("decimal(18,4)")
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("total"),
+            F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias("avg_val"),
+        )
+    )

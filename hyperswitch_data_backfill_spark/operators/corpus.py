@@ -1,0 +1,291 @@
+"""Corpus curation — training-data pipeline stages beyond SURVEY §2.11 L1-L8.
+
+The four standard curation passes an LLM data pipeline runs between raw
+crawl and tokenizer (chunking, PII scrubbing, repetition filtering,
+benchmark decontamination) plus domain-mix sampling. Like operators/text.py,
+everything is pure Spark SQL expressions (split / higher-order functions /
+regexp) so the hot path stays in whole-stage codegen; the only shuffles
+are the aggregates/joins each stage inherently needs.
+
+Tokenization contract: ``split(text, ' ')`` with empties removed —
+byte-identical between Spark and the DuckDB oracles (see text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.operators.text import tokens
+from hyperswitch_data_backfill_spark.registry import register
+
+CHUNK_TOKENS = 64   # window size
+CHUNK_STRIDE = 48   # 16-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(least({CHUNK_TOKENS}, len(toks) - start) AS BIGINT) AS chunk_tokens,
+           array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
+    FROM s
+    """,
+    doc="Curation: split each document into overlapping token windows "
+        f"({CHUNK_TOKENS} tokens, stride {CHUNK_STRIDE}) — the standard "
+        "context-window chunker feeding an embedding or pretraining stage. "
+        "Fully declarative: sequence → posexplode → slice, no UDF, no "
+        "shuffle at all (chunking is per-row); output inherits the scan's "
+        "partitioning. At 100 TB this is a map-only stage that fuses with "
+        "the scan.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") > 0)
+        .select("doc_id", F.col("toks"), F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.least(F.lit(CHUNK_TOKENS), F.size("toks") - F.col("start"))
+            .cast("bigint")
+            .alias("chunk_tokens"),
+            F.concat_ws(" ", F.slice("toks", F.col("start") + 1, F.lit(CHUNK_TOKENS))).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_CARD_PAT = r"[0-9]{12,19}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH blob AS (
+        -- the fixtures carry no natural PII, so both engines build the
+        -- same deterministic contact blob from customer columns; the
+        -- operator under test is the redaction expression itself
+        SELECT c_custkey,
+               'reach ' || lower(replace(c_name, '#', '.')) || '@example.com pay '
+                 || lpad(CAST(c_custkey * 7919 + 1234567 AS VARCHAR), 16, '0')
+                 || ' ok' AS blob
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(blob, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                          '{_CARD_PAT}', '<CARD>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(blob, '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(blob, '{_CARD_PAT}')) AS BIGINT) AS n_cards,
+           CAST(length(blob) AS BIGINT) AS n_chars_in
+    FROM blob
+    """,
+    doc="Curation: PII scrubbing — regexp redaction of emails and long "
+        "digit runs (card/account numbers) with per-row match counts. "
+        "Pure codegen regexp_replace/regexp_extract_all: map-only, no "
+        "shuffle, fuses with the scan at 100 TB. Patterns are RE2/Java "
+        "common-subset so engine parity is exact.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    blob = F.concat(
+        F.lit("reach "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com pay "),
+        F.lpad((F.col("c_custkey") * 7919 + 1234567).cast("string"), 16, "0"),
+        F.lit(" ok"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(blob, _EMAIL_PAT, "<EMAIL>"), _CARD_PAT, "<CARD>"
+    )
+    return cust.select(
+        "c_custkey",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(blob, F.lit(_EMAIL_PAT), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(blob, F.lit(_CARD_PAT), 0)).cast("bigint").alias("n_cards"),
+        F.length(blob).cast("bigint").alias("n_chars_in"),
+    )
+
+
+REPETITION_THRESHOLD = 0.10  # Gopher-style: flag if top bigram > 10% of all
+
+
+@register(
+    "text_repetition_gate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), ix AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2
+    ), b AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram FROM ix
+    ), c AS (
+        SELECT doc_id, bigram, COUNT(*) AS n FROM b GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+           CAST(SUM(n) AS BIGINT) AS total_bigrams,
+           ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_ratio,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) > {REPETITION_THRESHOLD} AS flagged
+    FROM c GROUP BY doc_id
+    """,
+    doc="Curation: repetition filter — per-document top-bigram fraction "
+        "(Gopher/C4-style repetitious-text gate). Bigrams are built "
+        "declaratively (transform over an index sequence), then two "
+        "map-side-combined aggregates keyed by doc_id: each shuffle moves "
+        "only per-partition (doc,bigram,count) partials, and per-doc "
+        "state is bounded by document length, not corpus size. (A "
+        "pre-explode repartition(doc_id) that makes both aggs exchange-"
+        "free was measured 10x slower here: it forfeits map-side combine "
+        "and pins 200 non-coalesced partitions.)",
+)
+def text_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def bigram(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        )
+
+    ratio = F.col("top_bigram_n").cast("double") / F.col("total_bigrams")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigram(F.col("toks"))).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("top_bigram_n"),
+            F.sum("n").cast("bigint").alias("total_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "top_bigram_n",
+            "total_bigrams",
+            F.round(ratio, 6).alias("top_bigram_ratio"),
+            (ratio > REPETITION_THRESHOLD).alias("flagged"),
+        )
+    )
+
+
+DECONTAM_NGRAM = 5
+DECONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 → stand-in benchmark set
+
+
+@register(
+    "decontam_ngram",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), ix AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {DECONTAM_NGRAM - 1})) AS i
+        FROM t WHERE len(toks) >= {DECONTAM_NGRAM}
+    ), grams AS (
+        SELECT doc_id, array_to_string(toks[i : i + {DECONTAM_NGRAM - 1}], ' ') AS g
+        FROM ix
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+    ), hit AS (
+        SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+    """,
+    doc=f"Curation: benchmark decontamination — drop any training document "
+        f"sharing a {DECONTAM_NGRAM}-gram with the held-out benchmark set "
+        f"(stand-in: doc_id % {DECONTAM_BENCH_MOD} == 0). The benchmark "
+        "n-gram set is distinct-aggregated (small by construction — eval "
+        "suites are MBs, not TBs) and broadcast into a semi-join against "
+        "the corpus n-gram stream, then contaminated ids anti-join back. "
+        "Corpus n-grams are a map-only explode that never materializes: "
+        "they flow straight into the broadcast-hash semi-join probe.",
+)
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def grams(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - (DECONTAM_NGRAM - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + k) for k in range(DECONTAM_NGRAM)]
+            ),
+        )
+
+    exploded = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= DECONTAM_NGRAM)
+        .select("doc_id", F.explode(grams(F.col("toks"))).alias("g"))
+    )
+    bench = (
+        exploded.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0).select("g").distinct()
+    )
+    hit = (
+        exploded.join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+        .join(hit, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@register(
+    "sample_weighted_mix",
+    oracle="""
+    SELECT doc_id, source,
+           ROUND(((CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4) + 1) * 0.2, 1)
+               AS keep_prob
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < ((CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4) + 1) * 20
+    """,
+    doc="Curation: domain-mix weighted sampling — per-source keep "
+        "probability (here derived from the source id; in production a "
+        "broadcast weights dimension) applied via the same md5(doc_id) "
+        "bucket as sample_stable_split, so the kept set is deterministic, "
+        "engine-portable, and stable under re-runs/repartitioning. "
+        "Map-only: a pure per-row expression with no shuffle — the "
+        "standard way to hit a target domain mixture at 100 TB without "
+        "a global sort or sample().",
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("bigint")
+    keep_pct = ((src_num % 4) + 1) * 20  # 20/40/60/80 %
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return (
+        docs.where(bucket < keep_pct)
+        .select(
+            "doc_id",
+            "source",
+            F.round(keep_pct.cast("double") / 100, 1).alias("keep_prob"),
+        )
+    )

@@ -77,6 +77,8 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.sinks.kafka  # noqa: F401
     import hyperswitch_data_backfill_spark.plans.spec  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.text  # noqa: F401
+    import hyperswitch_data_backfill_spark.operators.corpus  # noqa: F401
+    import hyperswitch_data_backfill_spark.operators.analytics  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.dedup  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.similarity  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.crypto  # noqa: F401
