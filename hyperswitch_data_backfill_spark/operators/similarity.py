@@ -210,6 +210,9 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_K = 16  # centroids (cells)
+
+# (applicationId, plan hash, k, seed) -> normalized codebook ndarray.
+_CODEBOOK_CACHE: dict[tuple, np.ndarray] = {}
 IVF_NPROBE = 3  # cells probed per query
 
 
@@ -374,10 +377,22 @@ def ivf_train_kmeans(emb: DataFrame, k: int = IVF_K, seed: int = 7) -> np.ndarra
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # Seeded KMeans is deterministic for a fixed input, so the trained
+    # codebook is memoized per (application, input) — training is several
+    # blocking spark.ml jobs, and composed callers (recall tests, repeat
+    # sweeps) must not retrain per call. The codebook is k × dim floats —
+    # trivially driver-sized.
+    key = (emb.sparkSession.sparkContext.applicationId,
+           emb.semanticHash(), k, seed)
+    cached = _CODEBOOK_CACHE.get(key)
+    if cached is not None:
+        return cached
     feats = emb.select(array_to_vector(F.col("embedding")).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=5).fit(feats)
     c = np.stack([np.asarray(ctr) for ctr in model.clusterCenters()])
-    return c / np.linalg.norm(c, axis=1, keepdims=True)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    _CODEBOOK_CACHE[key] = c
+    return c
 
 
 def cells_for_codebook(centroids: np.ndarray, nprobe: int):

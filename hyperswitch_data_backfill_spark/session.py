@@ -37,6 +37,29 @@ _RUNTIME_CONFS = {
 }
 
 
+def _shuffle_partitions_for(spark: SparkSession) -> str | None:
+    """Local-mode shuffle sizing for sessions that kept Spark's 200 default.
+
+    A vanilla ``local[k]`` session runs every exchange (and every
+    explicit ``repartitionByRange``) as 200 tasks — pure scheduler
+    overhead at test scale, and AQE does not coalesce user-requested
+    repartitions. If the session looks local AND the user left
+    ``spark.sql.shuffle.partitions`` at the 200 default, size it to the
+    scheduler's actual slot count instead. A deliberately configured
+    value (anything != 200) or a cluster master is never overridden —
+    on a real cluster partition count is a capacity decision that
+    belongs to the job config / AQE.
+    """
+    try:
+        if not spark.sparkContext.master.startswith("local"):
+            return None
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") != "200":
+            return None
+        return str(spark.sparkContext.defaultParallelism)
+    except Exception:  # pragma: no cover - context already stopped
+        return None
+
+
 def prepare_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable confs to an existing session.
 
@@ -47,6 +70,12 @@ def prepare_session(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    sp = _shuffle_partitions_for(spark)
+    if sp is not None:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+        except Exception:  # pragma: no cover
             pass
     return spark
 
