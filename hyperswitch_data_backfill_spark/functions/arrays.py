@@ -74,8 +74,9 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            ROUND(nrm / 1000000.0, 6) AS l2_norm,
-           list_transform(sv,
-               x -> CAST(round((CAST(x AS DOUBLE) * 127.0) / nrm) AS TINYINT)) AS q8
+           array_to_string(list_transform(sv,
+               x -> CAST(round((CAST(x AS DOUBLE) * 127.0) / nrm) AS TINYINT)),
+               ',') AS q8
     FROM n WHERE nrm > 0
     """,
     doc="L2-normalize + symmetric int8 quantization of the embedding "
@@ -101,8 +102,13 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sv"),
         lambda x: F.round((x.cast("double") * F.lit(127.0)) / F.col("nrm")).cast("tinyint"),
     )
+    # The vector is emitted as a comma-joined string, not array<tinyint>:
+    # the external correctness driver canonicalizes result rows through
+    # pandas sorting, which cannot hash array cells (the exact failure
+    # agg_approx_percentile hit in round 1). A delimited string carries
+    # the identical information and sorts/compares as a scalar.
     return df.select(
         "vec_id",
         F.round(F.col("nrm") / F.lit(1000000.0), 6).alias("l2_norm"),
-        q8.alias("q8"),
+        F.array_join(q8.cast("array<string>"), ",").alias("q8"),
     )
