@@ -353,3 +353,145 @@ def resample_pcm(media: DataFrame, dst_rate: int = 16_000) -> DataFrame:
             )
 
     return media.mapInPandas(gen, AUDIO_RESAMPLE_SCHEMA)
+
+# ---------------------------------------------------------------------------
+# Driver-visible multimodal queries.
+#
+# The fixtures carry no media table, so these derive one deterministically
+# from `documents`: payload = the document's (ASCII) text bytes truncated
+# to a multiple of the image width, metadata = the computed dimensions.
+# That makes the REAL numpy decode paths above oracle-checkable — DuckDB
+# reproduces the byte arithmetic with ord(substr(...)) over the same text
+# (strlen == char count for this ASCII fixture) — so L5 gets full
+# hash-level driver evidence, not just pytest. The mapInPandas plumbing
+# exercised here is byte-identical to what a real binaryFile ingest feeds.
+# ---------------------------------------------------------------------------
+
+from hyperswitch_data_backfill_spark.catalog import load_table  # noqa: E402
+from hyperswitch_data_backfill_spark.registry import register  # noqa: E402
+
+_IMG_W = 8  # synthetic image width (bytes per row)
+
+
+def doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → MEDIA_SCHEMA frame: payload = text bytes, dims in meta.
+
+    Truncates each text to a multiple of _IMG_W bytes so payload size ==
+    width × height exactly (the decode contract); fixture text is ASCII,
+    so 1 char == 1 byte on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    usable = F.expr(f"{_IMG_W} * (octet_length(text) div {_IMG_W})")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(
+            F.expr(f"substring(text, 1, {_IMG_W} * (octet_length(text) div {_IMG_W}))"),
+            "UTF-8",
+        ).alias("payload"),
+        F.to_json(
+            F.struct(
+                F.lit(_IMG_W).alias("width"),
+                (usable / _IMG_W).cast("int").alias("height"),
+            )
+        ).alias("meta_json"),
+    )
+
+
+@register(
+    "multimodal_resize_mean",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id AS media_id, text,
+               (strlen(text) // {_IMG_W}) AS h
+        FROM documents
+    ), sel AS (
+        SELECT media_id,
+               flatten([[ord(substr(text,
+                             ((r * h) // 4) * {_IMG_W} + ((c * {_IMG_W}) // 4) + 1,
+                             1))
+                         FOR c IN range(4)] FOR r IN range(4)]) AS px
+        FROM d
+    )
+    SELECT media_id, CAST(4 AS BIGINT) AS out_w, CAST(4 AS BIGINT) AS out_h,
+           printf('%.4f', list_sum(px) / 16.0) AS mean_px
+    FROM sel
+    """,
+    doc="L5a: REAL raw-bitmap decode + nearest-neighbor 4x4 resize "
+        "(mapInPandas, vectorized numpy index gathers) over a media frame "
+        "derived from documents; the oracle replays the identical "
+        "byte-index arithmetic in SQL, so the decode path is hash-checked "
+        "end to end. mean_px is sum/16 — a 4-fraction-bit double, so the "
+        "%.4f rendering is exact on both engines.",
+)
+def multimodal_resize_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = doc_media(spark, sf_dir)
+    return resize_raw_images(media, out_w=4, out_h=4).select(
+        "media_id", "out_w", "out_h", "mean_px"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(o // 64 AS INT) AS frame_idx, CAST(o AS INT) AS byte_offset
+    FROM documents,
+         unnest(range(0, {_IMG_W} * (strlen(text) // {_IMG_W}), 64)) AS t(o)
+    """,
+    doc="L5b: declarative frame sampling — posexplode over computed byte "
+        "offsets (one row per sampled frame position, no Python); the "
+        "fan-out a video frame-extract stage consumes. Offsets every 64 "
+        "bytes over the truncated payload.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = doc_media(spark, sf_dir)
+    return frame_sample(media, every_n_bytes=64)
+
+
+_AUDIO_WIN = 64  # samples per analysis window
+
+
+@register(
+    "multimodal_audio_rms",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id AS media_id,
+               substr(text, 1, {_IMG_W} * (strlen(text) // {_IMG_W})) AS t
+        FROM documents
+    ), s AS (
+        SELECT media_id,
+               list_transform(range(0, strlen(t) // 2), i ->
+                   CASE WHEN ord(substr(t, 2*i + 2, 1)) >= 128
+                        THEN ord(substr(t, 2*i + 1, 1)) + 256 * ord(substr(t, 2*i + 2, 1)) - 65536
+                        ELSE ord(substr(t, 2*i + 1, 1)) + 256 * ord(substr(t, 2*i + 2, 1))
+                   END) AS smp
+        FROM d
+    ), w AS (
+        SELECT media_id, (len(smp) // {_AUDIO_WIN}) AS n_win, smp
+        FROM s WHERE len(smp) >= {_AUDIO_WIN}
+    ), win AS (
+        SELECT media_id, k AS window_idx,
+               list_slice(smp, k * {_AUDIO_WIN} + 1, (k + 1) * {_AUDIO_WIN}) AS ws
+        FROM w, unnest(range(0, n_win)) AS t(k)
+    )
+    SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx,
+           printf('%.4f',
+                  sqrt(list_sum(list_transform(ws, x -> CAST(x * x AS DOUBLE)))
+                       / {_AUDIO_WIN}.0)) AS rms,
+           printf('%.6f',
+                  list_sum(list_transform(range(0, {_AUDIO_WIN} - 1), i ->
+                      CASE WHEN (ws[i + 1] < 0) <> (ws[i + 2] < 0) THEN 1 ELSE 0 END))
+                  / {_AUDIO_WIN - 1}.0) AS zcr
+    FROM win
+    """,
+    doc="L5c: REAL raw-PCM int16 decode + windowed RMS / zero-crossing "
+        "rate (mapInPandas, vectorized numpy) over the same derived media "
+        "frame read as little-endian samples; the oracle rebuilds each "
+        "int16 from its byte pair in SQL. Both engines divide integer "
+        "sums by the same power-of-two window then format the identical "
+        "double, so the fixed-point renderings agree bit-for-bit.",
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = doc_media(spark, sf_dir)
+    return audio_window_features(media, window=_AUDIO_WIN)

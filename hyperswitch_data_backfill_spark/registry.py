@@ -79,6 +79,7 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.operators.text  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.corpus  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.analytics  # noqa: F401
+    import hyperswitch_data_backfill_spark.operators.multimodal  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.dedup  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.similarity  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.crypto  # noqa: F401
