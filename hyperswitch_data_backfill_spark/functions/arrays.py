@@ -112,3 +112,54 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("nrm") / F.lit(1000000.0), 6).alias("l2_norm"),
         F.array_join(q8.cast("array<string>"), ",").alias("q8"),
     )
+
+
+_RP_OUT_DIMS = 16
+_RP_A = 2654435761  # Knuth multiplicative hash constant
+_RP_B = 40503
+
+
+@register(
+    "emb_random_projection",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+        FROM embeddings
+    )
+    SELECT vec_id,
+    """
+    + ",\n    ".join(
+        f"""list_sum(list_transform(range(0, len(sv)), i ->
+               sv[i + 1] * ((i * {_RP_A} + {j} * {_RP_B}) % 2001 - 1000))) AS p{j}"""
+        for j in range(_RP_OUT_DIMS)
+    )
+    + "\n    FROM s",
+    doc="Embedding dimensionality reduction via seeded random projection "
+        "(Johnson-Lindenstrauss style): a 16 x dim matrix whose entries "
+        "derive from a multiplicative hash of (row, col) — no stored "
+        "model, both engines regenerate it from arithmetic. Elements are "
+        "first scaled to 1e-6-resolution BIGINTs, so every dot product "
+        "is exact integer math (engine-identical); pure codegen "
+        "transform/aggregate per row, no shuffle, no UDF. The 100 TB "
+        "shape: map-only, fuses with the scan; downstream ANN indexes "
+        "the 16-dim output at 4x less compute per distance.",
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    df = emb.select("vec_id", scaled.alias("sv"))
+    projections = [
+        F.expr(
+            f"""aggregate(
+                   zip_with(sv, sequence(0, size(sv) - 1),
+                            (x, i) -> x * ((i * {_RP_A}L + {j * _RP_B}L) % 2001 - 1000)),
+                   0L, (acc, v) -> acc + v)"""
+        ).alias(f"p{j}")
+        for j in range(_RP_OUT_DIMS)
+    ]
+    return df.select("vec_id", *projections)

@@ -288,3 +288,60 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias("avg_val"),
         )
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+@register(
+    "profile_columns",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT({c}) AS n_nonnull,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM orders
+    """
+        for c in _PROFILE_COLS
+    ),
+    doc="Data-profiling: per-column completeness/cardinality/range over "
+        "orders in ONE pass — a single aggregate computes count, non-null "
+        "count, exact distinct, and min/max (string-rendered) for every "
+        "column, then a 1-row explode unpivots to the long profile table. "
+        "Physical shape: one Expand (one projection per DISTINCT column) "
+        "feeding one map-side-combined shuffle — the table is scanned "
+        "once no matter how many columns are profiled. At 100 TB swap "
+        "count_distinct for approx_count_distinct (same single-pass "
+        "plan, sketch-sized state); exact here for oracle parity.",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
