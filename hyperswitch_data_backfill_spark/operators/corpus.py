@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hyperswitch_data_backfill_spark.catalog import load_table
 from hyperswitch_data_backfill_spark.operators.text import tokens
@@ -288,4 +289,61 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.round(keep_pct.cast("double") / 100, 1).alias("keep_prob"),
         )
+    )
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {PACK_BUDGET} AS BIGINT) AS offset_in_seq,
+           ((cum - 1) // {PACK_BUDGET}) <> ((cum - n_tokens) // {PACK_BUDGET})
+               AS spans_boundary
+    FROM c
+    """,
+    doc=f"Curation: training-sequence packing — concatenate each source's "
+        f"documents in doc_id order and chop into {PACK_BUDGET}-token "
+        "context windows (the standard GPT-style pack): every document "
+        "gets the sequence it starts in, its token offset inside that "
+        "sequence, and whether it spans a boundary. One window prefix-sum "
+        "per source — a single shuffle on the source key; deterministic "
+        "packing is inherently a per-stream sequential pass, so the "
+        "stream key (source here; source×day in production) is the "
+        "parallelism unit. No driver state, no UDF.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select(
+        "doc_id", "source", n_tok.cast("bigint").alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    # Integer `div`, not double `/` + cast: exact at any corpus size.
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {PACK_BUDGET}").alias("seq_id"),
+        F.expr(f"(cum - n_tokens) % {PACK_BUDGET}").alias("offset_in_seq"),
+        F.expr(
+            f"((cum - 1) div {PACK_BUDGET}) != ((cum - n_tokens) div {PACK_BUDGET})"
+        ).alias("spans_boundary"),
     )
