@@ -40,6 +40,12 @@ JACCARD_THRESHOLD = 0.5
 # (applicationId, sf_dir) -> [(doc_id, cluster_id)] — see dedup_clusters.
 _CLUSTER_LABEL_CACHE: dict[tuple[str, str], list] = {}
 
+# Pair-graph size up to which dedup_clusters union-finds on the driver
+# instead of looping distributed jobs. 2M edges ≈ 32 MB of longs — cheap
+# against driver memory, and path-halving union-find labels it in well
+# under a second.
+_EDGE_DRIVER_LIMIT = 2_000_000
+
 # Shared DuckDB oracle fragments: ONE definition of the shingle/pair graph
 # serves dedup_ngram_jaccard, dedup_clusters, and dedup_survivors, so the
 # pair definition cannot drift between the three oracles.
@@ -377,19 +383,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, cluster_id FROM lab
     """,
     doc="L2d: near-dup clusters — connected components over the n-gram "
-        "Jaccard pair graph via min-label propagation WITH pointer "
-        "doubling: each round a node takes the min label among itself, "
-        "its neighbors, and its current label's label (label ← "
-        "min(label, label[label])), so the label-pointer chains halve "
-        "each round and convergence is O(log diameter), not O(diameter). "
-        "One Spark action per round (the convergence test rides the same "
-        "materialization as the new labels — no separate old-vs-new "
-        "join). Driver only sees a per-round changed-COUNT, never data; "
-        "the pair graph is checkpointed once, and the label frame — "
-        "O(clustered docs), tiny next to the corpus — is cut per round. "
-        "Oracle: DuckDB recursive CTE transitive closure.",
+        "Jaccard pair graph, scale-adaptive: the thresholded pair set is "
+        "O(near-dup pairs), orders of magnitude smaller than the corpus, "
+        "so when it fits the driver comfortably (<= _EDGE_DRIVER_LIMIT "
+        "edges) a driver-side union-find labels it in one collect — no "
+        "iterative jobs at all. Past the limit, distributed min-label "
+        "propagation WITH pointer doubling (label ← min(label, "
+        "label[label]) each round, so chains halve and convergence is "
+        "O(log diameter)); one action per round, pair graph checkpointed "
+        "once, labels O(clustered docs). Same fixpoint either way — the "
+        "pytest suite forces both paths. Oracle: DuckDB recursive CTE "
+        "transitive closure.",
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, edge_driver_limit: int | None = None
+) -> DataFrame:
     # Label memo: the propagation loop is iterative (several blocking
     # Spark jobs), and dedup_survivors composes on top of it — without a
     # memo the whole loop runs twice per sweep. The final labels are
@@ -401,7 +409,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _CLUSTER_LABEL_CACHE.get(cache_key)
     if cached is not None:
         return spark.createDataFrame(cached, "doc_id bigint, cluster_id bigint")
+    limit = _EDGE_DRIVER_LIMIT if edge_driver_limit is None else edge_driver_limit
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    # Scale-adaptive: count the (deduplicated, thresholded) pair set
+    # first. It is NOT corpus-sized — it is the near-dup pair list — so
+    # the common case collects onto the driver and union-finds in
+    # microseconds instead of running a multi-job distributed loop.
+    # limit+1 bounds the driver transfer before deciding.
+    head = [(r.id_a, r.id_b) for r in pairs.limit(limit + 1).collect()]
+    if len(head) <= limit:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in head:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min: keep the smaller id as root so labels
+                # match the min-label fixpoint (and the oracle)
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels_local = sorted((x, find(x)) for x in parent)
+        _CLUSTER_LABEL_CACHE[cache_key] = labels_local
+        return spark.createDataFrame(labels_local, "doc_id bigint, cluster_id bigint")
     edges = (
         pairs.unionByName(
             pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))

@@ -362,3 +362,24 @@ def test_quantized_vectors_bounded_and_unit_norm(spark):
         assert all(-127 <= q <= 127 for q in r.q8)
         qn = math.sqrt(sum(q * q for q in r.q8))
         assert abs(qn - 127.0) < 2.0, f"vec {r.vec_id}: |q8|={qn}"
+
+
+def test_cluster_driver_and_distributed_paths_agree(spark):
+    """dedup_clusters' scale-adaptive split: the driver union-find
+    (default at fixture scale) and the distributed min-label propagation
+    (forced via edge_driver_limit=0) must land on the identical
+    fixpoint."""
+    from hyperswitch_data_backfill_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    dedup._CLUSTER_LABEL_CACHE.clear()
+    local = sorted(map(tuple, dedup.dedup_clusters(spark, sf).collect()))
+    dedup._CLUSTER_LABEL_CACHE.clear()
+    dist = sorted(
+        map(tuple, dedup.dedup_clusters(spark, sf, edge_driver_limit=0).collect())
+    )
+    dedup._CLUSTER_LABEL_CACHE.clear()
+    assert local == dist
+    # labels are the component minimum: every cluster_id labels itself
+    ids = dict(local)
+    assert all(ids.get(cid, cid) == cid for _, cid in local)
