@@ -131,8 +131,10 @@ _RP_B = 40503
     SELECT vec_id,
     """
     + ",\n    ".join(
-        f"""list_sum(list_transform(range(0, len(sv)), i ->
-               sv[i + 1] * ((i * {_RP_A} + {j} * {_RP_B}) % 2001 - 1000))) AS p{j}"""
+        # CAST: DuckDB list_sum over BIGINTs returns HUGEINT -> pandas
+        # float64, hash-mismatching Spark's int64 on identical values.
+        f"""CAST(list_sum(list_transform(range(0, len(sv)), i ->
+               sv[i + 1] * ((i * {_RP_A} + {j} * {_RP_B}) % 2001 - 1000))) AS BIGINT) AS p{j}"""
         for j in range(_RP_OUT_DIMS)
     )
     + "\n    FROM s",

@@ -64,7 +64,10 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT k, CAST(json_extract(props, '$."' || k || '"') AS BIGINT) AS v
         FROM kv
     )
-    SELECT k, COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax, SUM(v) AS vsum
+    -- CAST on SUM: DuckDB SUM(BIGINT) -> HUGEINT -> pandas float64,
+    -- which hash-mismatches Spark's int64 despite equal values.
+    SELECT k, COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax,
+           CAST(SUM(v) AS BIGINT) AS vsum
     FROM ex GROUP BY k
     """,
     doc="X4c: MAP-typed column ops — parse the JSON props object into a real "

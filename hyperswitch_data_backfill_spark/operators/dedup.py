@@ -405,10 +405,16 @@ def dedup_clusters(
     # caching the collected rows per (application, sf_dir) is driver-safe
     # and turns the second call into a createDataFrame. (Deterministic
     # output: min-label propagation has a unique fixpoint.)
+    # The memo assumes immutable fixtures under sf_dir for the lifetime
+    # of the application (true for the driver's read-only test data).
+    # Bypass it entirely when a caller forces edge_driver_limit: the
+    # cache is path-agnostic, so a forced-path call must not read (or
+    # poison) the default path's entry.
     cache_key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _CLUSTER_LABEL_CACHE.get(cache_key)
-    if cached is not None:
-        return spark.createDataFrame(cached, "doc_id bigint, cluster_id bigint")
+    if edge_driver_limit is None:
+        cached = _CLUSTER_LABEL_CACHE.get(cache_key)
+        if cached is not None:
+            return spark.createDataFrame(cached, "doc_id bigint, cluster_id bigint")
     limit = _EDGE_DRIVER_LIMIT if edge_driver_limit is None else edge_driver_limit
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
     # Scale-adaptive: count the (deduplicated, thresholded) pair set
@@ -434,7 +440,8 @@ def dedup_clusters(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         labels_local = sorted((x, find(x)) for x in parent)
-        _CLUSTER_LABEL_CACHE[cache_key] = labels_local
+        if edge_driver_limit is None:
+            _CLUSTER_LABEL_CACHE[cache_key] = labels_local
         return spark.createDataFrame(labels_local, "doc_id bigint, cluster_id bigint")
     edges = (
         pairs.unionByName(
@@ -492,12 +499,21 @@ def dedup_clusters(
         # loudly instead; with doubling, 16 rounds cover diameter 2^16.
         raise RuntimeError("dedup_clusters: label propagation did not converge in 16 rounds")
     result = labels.select("doc_id", F.col("label").alias("cluster_id"))
-    _CLUSTER_LABEL_CACHE[cache_key] = [
-        (r.doc_id, r.cluster_id) for r in result.collect()
-    ]
-    return spark.createDataFrame(
-        _CLUSTER_LABEL_CACHE[cache_key], "doc_id bigint, cluster_id bigint"
-    )
+    # This branch exists precisely because the edge list outgrew the
+    # driver — labels can be up to 2x edges nodes, so collecting them for
+    # the memo would reintroduce the OOM the branch avoids.  `labels` is
+    # already localCheckpointed (materialized on executors), so returning
+    # the frame lazily is free; memoize only when the label count is
+    # verified driver-sized.
+    n_labels = result.count()
+    if edge_driver_limit is None and n_labels <= _EDGE_DRIVER_LIMIT:
+        _CLUSTER_LABEL_CACHE[cache_key] = [
+            (r.doc_id, r.cluster_id) for r in result.collect()
+        ]
+        return spark.createDataFrame(
+            _CLUSTER_LABEL_CACHE[cache_key], "doc_id bigint, cluster_id bigint"
+        )
+    return result
 
 
 @register(

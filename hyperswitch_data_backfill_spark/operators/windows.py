@@ -109,10 +109,13 @@ SESSION_GAP_MIN = 240  # shared with streaming/pipeline.py sessionize_stream
                THEN 1 ELSE 0 END AS is_new
         FROM e
     ), s AS (
-        SELECT *, SUM(is_new) OVER (
+        -- CAST: DuckDB windowed SUM over ints yields HUGEINT, which
+        -- pandas materializes as float64 (1.0) vs Spark's int64 (1) —
+        -- the driver's exact hash then diverges on identical values.
+        SELECT *, CAST(SUM(is_new) OVER (
             PARTITION BY user_id ORDER BY us, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS session_id
+        ) AS BIGINT) AS session_id
         FROM o
     )
     SELECT user_id, session_id,

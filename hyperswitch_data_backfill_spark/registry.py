@@ -42,14 +42,90 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
+# The external correctness driver sweeps at most 50 queries per round, in
+# the order queries() yields them.  Rounds 1-2 covered the relational /
+# join / aggregate / window core (all green in CORRECTNESS_r01/r02); the
+# 53 remaining keys had zero driver evidence.  _DRIVER_WINDOW therefore
+# front-loads exactly 50 keys this round: the 49 never-swept oracle-backed
+# queries plus win_session (red in r1/r2 from a DuckDB HUGEINT-vs-BIGINT
+# oracle type bug, now fixed — needs a green re-check).  Evidence for the
+# already-green core persists from prior rounds.  Rotation policy: once a
+# key is driver-green AND its implementation is unchanged, it may drop out
+# of the window to make room for unswept or changed keys.
+_DRIVER_WINDOW: list[str] = [
+    "win_session",          # red r1/r2: oracle type bug fixed, re-verify first
+    "win_first_last",
+    "win_sliding",
+    "compact_latest",
+    "merge_upsert",
+    "scd2_intervals",
+    "parse_datetime_multi",
+    "json_extract",
+    "json_extract_agg",
+    "map_props_stats",      # oracle CAST fix this round — verify
+    "math_money",
+    "date_trunc_bucket",
+    "array_ops",
+    "emb_quantize_int8",
+    "emb_random_projection",  # oracle CAST fix this round — verify
+    "kafka_payload_shape",
+    "json_serialize",
+    "pipeline_backfill_job",
+    "text_tokens",
+    "text_stats",
+    "text_quality",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_token_count_bpe",
+    "pipeline_clean_corpus",
+    "text_tfidf",
+    "text_ngram_freq",
+    "text_length_quantile_gate",
+    "text_chunk_overlap",
+    "text_pii_redact",
+    "text_repetition_gate",
+    "decontam_ngram",
+    "sample_weighted_mix",
+    "pack_sequences",
+    "win_gap_islands",
+    "funnel_steps",
+    "retention_cohort",
+    "agg_corr_moments",
+    "agg_unpivot",
+    "profile_columns",
+    "multimodal_resize_mean",
+    "multimodal_frame_sample",
+    "multimodal_audio_rms",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_exact_hashkey",
+    "neardup_levenshtein",
+    "sim_exact_small",
+    "neardup_cosine",
+    "emb_centroid_per_label",
+]
+
+
+def _ordered_names() -> list[str]:
+    """Driver-window keys first (stable order), then the rest in
+    registration order."""
+    window = [n for n in _DRIVER_WINDOW if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(window)]
+    return window + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all_operator_modules()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all_operator_modules()
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 _LOADED = False

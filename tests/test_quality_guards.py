@@ -359,8 +359,10 @@ def test_quantized_vectors_bounded_and_unit_norm(spark):
     rows = emb_quantize_int8(spark, SF_DIR).collect()
     assert rows
     for r in rows[:50]:
-        assert all(-127 <= q <= 127 for q in r.q8)
-        qn = math.sqrt(sum(q * q for q in r.q8))
+        # q8 is a comma-joined string (driver-hashable scalar), not array
+        qs = [int(t) for t in r.q8.split(",")]
+        assert all(-127 <= q <= 127 for q in qs)
+        qn = math.sqrt(sum(q * q for q in qs))
         assert abs(qn - 127.0) < 2.0, f"vec {r.vec_id}: |q8|={qn}"
 
 

@@ -1,0 +1,62 @@
+"""Registry hygiene: every fixture key must carry driver-checkable
+evidence — an exact DuckDB oracle, or a documented rows-only rationale
+(approximate/crypto operators whose output is inherently
+non-deterministic across engines, each guarded by its own pytest).
+
+The external driver sweeps at most 50 queries per round in queries()
+order; registry._DRIVER_WINDOW pins which 50 go first. These tests keep
+that contract from silently rotting (keys stranded outside every
+window, window entries that don't exist, oracle-less keys with no
+sanctioned reason).
+"""
+
+from hyperswitch_data_backfill_spark import registry
+
+# SURVEY §5.2-sanctioned rows-only keys: approximate sketches (HLL, KLL,
+# MinHash, SimHash, LSH/IVF ANN) and ciphertext output — no exact
+# cross-engine oracle exists BY DESIGN; each has pytest recall/round-trip
+# guards (test_quality_guards.py, test_crypto.py).
+SANCTIONED_ROWS_ONLY = {
+    "agg_approx_distinct",   # HLL sketch — estimate, not exact
+    "agg_approx_percentile", # KLL/GK sketch — rank-error bound only
+    "dedup_minhash",         # probabilistic signatures; recall-guarded
+    "dedup_simhash",         # probabilistic fingerprints; recall-guarded
+    "sim_topk",              # LSH ANN — recall floor vs exact baseline
+    "sim_ivf",               # IVF ANN — recall floor vs exact baseline
+    "sim_ivf_trained",       # KMeans-trained IVF — recall floor
+    "udf_decrypt",           # ciphertext/nonce output; round-trip pytest
+}
+
+
+def test_every_key_has_oracle_or_sanctioned_rationale():
+    registry._load_all_operator_modules()
+    missing = {
+        n
+        for n, q in registry.REGISTRY.items()
+        if q.oracle is None and n not in SANCTIONED_ROWS_ONLY
+    }
+    assert not missing, f"oracle-less keys without documented rationale: {sorted(missing)}"
+    stale = SANCTIONED_ROWS_ONLY - set(registry.REGISTRY)
+    assert not stale, f"sanctioned keys no longer registered: {sorted(stale)}"
+    gained = {n for n in SANCTIONED_ROWS_ONLY if registry.REGISTRY[n].oracle is not None}
+    assert not gained, f"keys gained oracles — drop from allowlist: {sorted(gained)}"
+
+
+def test_driver_window_is_exactly_50_real_keys():
+    registry._load_all_operator_modules()
+    win = registry._DRIVER_WINDOW
+    assert len(win) == 50
+    assert len(set(win)) == 50, "duplicate keys in _DRIVER_WINDOW"
+    unknown = set(win) - set(registry.REGISTRY)
+    assert not unknown, f"window names not in registry: {sorted(unknown)}"
+
+
+def test_queries_yield_window_first_then_all():
+    qs = registry.queries()
+    names = list(qs)
+    assert names[:50] == [n for n in registry._DRIVER_WINDOW if n in registry.REGISTRY]
+    assert set(names) == set(registry.REGISTRY), "queries() must expose every key"
+    oracles = registry.oracle_sql()
+    assert set(oracles) == {
+        n for n, q in registry.REGISTRY.items() if q.oracle is not None
+    }
