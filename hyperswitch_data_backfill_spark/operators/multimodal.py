@@ -3,11 +3,13 @@
 Pattern: media is an opaque ``binary`` payload column + a typed metadata
 struct; all real decode/resize/frame-sample work happens in Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through the driver and
-each batch is one Python invocation. The image/audio libraries are not
-in this container, so the decode step is a clearly-marked stub
-(``decode_stub=True`` → deterministic fake features; ``False`` raises
-NotImplementedError where PIL/librosa would be called) — the Spark-side
-plumbing (schema, batching, partitioning) is real and tested.
+each batch is one Python invocation. Decode capability is per-format
+(operators/codecs.py): raw bitmaps / raw PCM and PNG / WAV containers
+decode for real with stdlib+numpy; JPEG and non-WAV audio dispatch to
+PIL / soundfile when importable and raise a clearly-marked
+``NotImplementedError`` otherwise. ``extract_features(decode_stub=True)``
+keeps the deterministic fake-feature path for tests that only exercise
+the Spark-side plumbing (schema, batching, partitioning).
 
 Ingest path for real deployments: ``spark.read.format("binaryFile")``
 (path/modificationTime/length/content), partitioned by directory layout.
@@ -58,16 +60,51 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode/feature-extract media payloads via mapInPandas.
 
     Each Arrow batch is processed in one Python call; per-row work is
-    numpy/bytes-level. With ``decode_stub=False`` this is where a real
-    decoder (PIL.Image.open / librosa.load / pyav) plugs in.
+    numpy/bytes-level. With ``decode_stub=False`` payloads are decoded
+    for real, dispatched by container magic (operators/codecs.py): PNG
+    and WAV natively (stdlib zlib/wave + numpy), JPEG/other-audio via
+    PIL/soundfile when importable. Undecodable rows dead-letter to a
+    NULL feature — at 100 TB a decode stage must never fail the task on
+    one bad file.
     """
+
+    def _real_feature(b) -> str | None:
+        if b is None:
+            return None
+        from hyperswitch_data_backfill_spark.operators import codecs
+
+        payload = bytes(b)
+        kind = codecs.sniff(payload)
+        try:
+            if kind in ("png", "jpeg"):
+                img = codecs.decode_image(payload)
+                return f"{kind}:{img.shape[0]}x{img.shape[1]}:mean={img.mean():.4f}"
+            if kind == "wav":
+                pcm, rate = codecs.decode_wav(payload)
+                return f"wav:{pcm.shape[0]}x{pcm.shape[1]}@{rate}"
+            return None  # raw/unknown container: dead-letter
+        except (NotImplementedError, ValueError):
+            return None  # per-format capability guard or corrupt payload
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/librosa/pyav — not in this container"
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": pdf["kind"],
+                        "n_bytes": pdf["payload"].map(
+                            lambda b: len(b) if b is not None else None
+                        ),
+                        "content_sha": pdf["payload"].map(
+                            lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                            if b is not None
+                            else None
+                        ),
+                        "feature": pdf["payload"].map(_real_feature),
+                    }
                 )
+                continue
             payloads = pdf["payload"]
             out = pd.DataFrame(
                 {
@@ -170,11 +207,11 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Raw-format decoders — REAL implementations (numpy-only), no stub.
 #
-# Compressed codecs (PNG/JPEG/FLAC/H.264) need PIL/librosa/pyav and stay
-# behind the NotImplementedError stubs above. RAW formats don't: a raw
-# grayscale bitmap is width×height bytes and raw PCM audio is an int16
-# sample stream, so decode/resize/feature-extract is pure numpy — these
-# paths are fully functional end-to-end in this container.
+# A raw grayscale bitmap is width×height bytes and raw PCM audio is an
+# int16 sample stream, so decode/resize/feature-extract is pure numpy —
+# fully functional end-to-end in this container. Compressed containers
+# (PNG/WAV natively; JPEG/FLAC via optional PIL/soundfile) are handled
+# by operators/codecs.py — see the round-trip fixture queries below.
 # ---------------------------------------------------------------------------
 
 IMAGE_RESIZE_SCHEMA = StructType(
@@ -406,15 +443,19 @@ def doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                (strlen(text) // {_IMG_W}) AS h
         FROM documents
     ), sel AS (
-        SELECT media_id,
+        SELECT media_id, h,
                flatten([[ord(substr(text,
                              ((r * h) // 4) * {_IMG_W} + ((c * {_IMG_W}) // 4) + 1,
                              1))
                          FOR c IN range(4)] FOR r IN range(4)]) AS px
         FROM d
     )
+    -- h = 0 (doc shorter than one scanline) mirrors Spark's dead-letter
+    -- behavior: the decoder emits the row with NULL mean_px, while
+    -- ord(substr(...)) past end-of-string would silently yield -1 and
+    -- fabricate a numeric row — so NULL it out explicitly.
     SELECT media_id, CAST(4 AS BIGINT) AS out_w, CAST(4 AS BIGINT) AS out_h,
-           printf('%.4f', list_sum(px) / 16.0) AS mean_px
+           CASE WHEN h > 0 THEN printf('%.4f', list_sum(px) / 16.0) END AS mean_px
     FROM sel
     """,
     doc="L5a: REAL raw-bitmap decode + nearest-neighbor 4x4 resize "
@@ -495,3 +536,171 @@ _AUDIO_WIN = 64  # samples per analysis window
 def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = doc_media(spark, sf_dir)
     return audio_window_features(media, window=_AUDIO_WIN)
+
+
+# ---------------------------------------------------------------------------
+# Compressed-codec round-trips — REAL PNG / WAV bytes through the pure
+# stdlib+numpy decoders in operators/codecs.py (round 3; closes the
+# round-2 "codec decode is a stub" gap for formats a bare container can
+# decode). The fixture queries synthesize payloads from the documents
+# table, ENCODE them to genuine compressed containers, then DECODE them
+# back inside the same Arrow batch; because the round trip is the
+# identity on pixels/samples, the DuckDB oracle can hash-check the
+# result by replaying the pre-codec byte arithmetic in SQL.
+# ---------------------------------------------------------------------------
+
+CODEC_IMG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("codec", StringType(), False),
+        StructField("mean_px", StringType(), True),  # formatted, engine-neutral
+    ]
+)
+
+
+@register(
+    "multimodal_png_roundtrip",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id AS media_id, (strlen(text) // {_IMG_W}) AS h,
+               substr(text, 1, {_IMG_W} * (strlen(text) // {_IMG_W})) AS t
+        FROM documents
+    )
+    SELECT media_id, 'png' AS codec,
+           CASE WHEN h > 0 THEN printf('%.4f',
+                list_sum(list_transform(range(1, strlen(t) + 1),
+                                        i -> ord(substr(t, i, 1))))
+                / CAST(strlen(t) AS DOUBLE))
+           END AS mean_px
+    FROM d
+    """,
+    doc="L5d: REAL compressed-codec round-trip — each doc-derived gray "
+        "bitmap is PNG-ENCODED (zlib deflate, Up filter) then PNG-DECODED "
+        "by the pure stdlib decoder (codecs.py: chunk walk, inflate, "
+        "per-scanline unfilter) inside one mapInPandas batch; the mean "
+        "pixel of the decoded image must equal the mean byte of the "
+        "original payload (round-trip identity), which the oracle "
+        "computes directly in SQL. Docs shorter than one scanline "
+        "dead-letter to NULL on both engines. At 100 TB this is the "
+        "image-ingest decode stage: Arrow-batched, driver-free, "
+        "per-format capability-guarded.",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    import numpy as np
+
+    from hyperswitch_data_backfill_spark.operators import codecs
+
+    media = doc_media(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means = []
+            for payload, meta in zip(pdf["payload"], pdf["meta_json"]):
+                try:
+                    m = json.loads(meta)
+                    w, h = int(m["width"]), int(m["height"])
+                    if h <= 0:
+                        raise ValueError("empty image")
+                    img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(h, w)
+                    png = codecs.encode_png(img, filter_type=2)
+                    back = codecs.decode_png(png)
+                    if back.shape != img.shape:
+                        raise ValueError("roundtrip shape mismatch")
+                    means.append(f"{back.mean():.4f}")
+                except Exception:
+                    means.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "codec": "png",
+                    "mean_px": means,
+                }
+            )
+
+    return media.mapInPandas(gen, CODEC_IMG_SCHEMA)
+
+
+CODEC_WAV_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("codec", StringType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("rms", StringType(), True),  # formatted, engine-neutral
+    ]
+)
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id AS media_id,
+               substr(text, 1, {_IMG_W} * (strlen(text) // {_IMG_W})) AS t
+        FROM documents
+    ), s AS (
+        SELECT media_id,
+               list_transform(range(0, strlen(t) // 2), i ->
+                   CASE WHEN ord(substr(t, 2*i + 2, 1)) >= 128
+                        THEN ord(substr(t, 2*i + 1, 1)) + 256 * ord(substr(t, 2*i + 2, 1)) - 65536
+                        ELSE ord(substr(t, 2*i + 1, 1)) + 256 * ord(substr(t, 2*i + 2, 1))
+                   END) AS smp
+        FROM d
+    )
+    SELECT media_id, 'wav' AS codec,
+           CAST(len(smp) AS BIGINT) AS n_samples,
+           CASE WHEN len(smp) > 0 THEN printf('%.4f',
+                sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE)
+                     / len(smp)))
+           END AS rms
+    FROM s
+    """,
+    doc="L5e: REAL audio-container round-trip — doc-derived int16 PCM is "
+        "packed into a genuine RIFF/WAV container (stdlib wave) and "
+        "parsed back by codecs.decode_wav inside the same Arrow batch; "
+        "full-stream RMS of the decoded samples must equal the RMS of "
+        "the source byte pairs, which the oracle rebuilds in SQL "
+        "(little-endian int16 from consecutive ords). Integer sums stay "
+        "exact, both engines then format the identical double.",
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import numpy as np
+
+    from hyperswitch_data_backfill_spark.operators import codecs
+
+    media = doc_media(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, rmss = [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                b = b[: len(b) - (len(b) % 2)]
+                pcm = np.frombuffer(b, dtype="<i2")
+                if pcm.size == 0:
+                    ns.append(0)
+                    rmss.append(None)
+                    continue
+                wav = codecs.encode_wav(pcm, rate=16_000)
+                back, rate = codecs.decode_wav(wav)
+                back = back.ravel()
+                if rate != 16_000 or not np.array_equal(back, pcm):
+                    ns.append(int(pcm.size))
+                    rmss.append(None)  # dead-letter: roundtrip mismatch
+                    continue
+                ss = int(np.sum(back.astype(np.int64) ** 2))
+                rmss.append(f"{math.sqrt(ss / back.size):.4f}")
+                ns.append(int(back.size))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "codec": "wav",
+                    "n_samples": ns,
+                    "rms": rmss,
+                }
+            )
+
+    return media.mapInPandas(gen, CODEC_WAV_SCHEMA)

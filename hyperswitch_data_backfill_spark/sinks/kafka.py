@@ -80,6 +80,41 @@ def write_kafka(records: DataFrame, cfg: KafkaSinkConfig) -> None:
     writer.save()
 
 
+def write_kafka_stream(
+    records: DataFrame,
+    cfg: KafkaSinkConfig,
+    checkpoint_dir: str,
+    batch_sink=None,
+):
+    """Streaming produce of a key/value/topic frame (S4, streaming leg).
+
+    Default path: ``writeStream.format("kafka")`` — executors produce
+    each micro-batch straight to the brokers, exactly-once *per batch id*
+    on retry (at-least-once overall, the reference's envelope).
+
+    ``batch_sink(batch_df, batch_id)`` reroutes every micro-batch through
+    ``foreachBatch`` instead — the dead-letter/test seam: the identical
+    records frame executes as a real sink action with no broker or
+    connector jar present. The production and test paths share every
+    plan node up to the sink.
+    """
+    if batch_sink is not None:
+        return (
+            records.writeStream.foreachBatch(batch_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    writer = (
+        records.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    for k, v in cfg.extra_options.items():
+        writer = writer.option(k, v)
+    return writer.trigger(availableNow=True).start()
+
+
 def _intent_payload_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders ≙ payment_intent: the flagship event projection.
 

@@ -1,0 +1,106 @@
+"""Pure-codec tests: PNG encode/decode (all filter types) and WAV
+container round-trips — the real compressed-decode layer behind the
+multimodal operators (operators/codecs.py)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from hyperswitch_data_backfill_spark.operators import codecs
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 5), (16, 16), (3, 9, 3), (4, 4, 4)])
+@pytest.mark.parametrize("filter_type", [0, 1, 2])
+def test_png_roundtrip(shape, filter_type):
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = codecs.decode_png(codecs.encode_png(img, filter_type=filter_type))
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+def _manual_png(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Hand-filtered grayscale PNG stream — covers decoder filters 3/4,
+    which the minimal encoder never emits."""
+    h, w = img.shape
+    scan = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y, ft in zip(range(h), ftypes):
+        cur = img[y].astype(np.int32)
+        scan.append(ft)
+        for x in range(w):
+            left = int(cur[x - 1]) if x >= 1 else 0
+            up, ul = int(prev[x]), (int(prev[x - 1]) if x >= 1 else 0)
+            if ft == 3:
+                pred = (left + up) >> 1
+            elif ft == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            else:
+                pred = 0
+            scan.append((int(cur[x]) - pred) & 0xFF)
+        prev = cur
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        codecs.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_average_and_paeth_filters():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    assert (codecs.decode_png(_manual_png(img, [3, 4, 3, 4, 4, 3])) == img).all()
+
+
+def test_png_unsupported_variants_fail_loudly():
+    img = np.zeros((2, 2), dtype=np.uint8)
+    png = bytearray(codecs.encode_png(img))
+    # patch IHDR bit depth (offset: 8 magic + 8 len/type + 8 w/h)
+    png[24] = 16
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        codecs.decode_png(bytes(png))
+    with pytest.raises(ValueError, match="not a PNG"):
+        codecs.decode_png(b"\xff\xd8\xffjunk")
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-32768, 32767, size=777, dtype=np.int16)
+    out, rate = codecs.decode_wav(codecs.encode_wav(mono, 22050))
+    assert rate == 22050 and (out.ravel() == mono).all()
+    stereo = rng.integers(-32768, 32767, size=(300, 2), dtype=np.int16)
+    out2, _ = codecs.decode_wav(codecs.encode_wav(stereo, 44100))
+    assert out2.shape == (300, 2) and (out2 == stereo).all()
+
+
+def test_sniff_magic_dispatch():
+    assert codecs.sniff(codecs.encode_png(np.zeros((1, 1), dtype=np.uint8))) == "png"
+    assert codecs.sniff(codecs.encode_wav(np.zeros(4, dtype=np.int16))) == "wav"
+    assert codecs.sniff(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
+    assert codecs.sniff(b"RIFFxxxxAVI ") == "raw"
+    assert codecs.sniff(b"plain bytes") == "raw"
+
+
+def test_decode_image_jpeg_requires_pil():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present — JPEG path exercised elsewhere")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        codecs.decode_image(b"\xff\xd8\xff\xe0 fake jpeg")

@@ -38,10 +38,29 @@ def test_extract_features_stub(spark, media_df):
     assert rows[4]["n_bytes"] is None and rows[4]["content_sha"] is None
 
 
-def test_extract_features_real_decoder_is_explicit_stub(spark, media_df):
-    out = extract_features(media_df, decode_stub=False)
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
-        out.collect()
+def test_extract_features_real_decode_dispatches_by_magic(spark):
+    """decode_stub=False: PNG and WAV payloads decode for real (stdlib
+    codecs); unknown containers dead-letter to a NULL feature."""
+    import numpy as np
+
+    from hyperswitch_data_backfill_spark.operators import codecs
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    png = codecs.encode_png(img)
+    pcm = np.array([0, 1000, -1000, 32767, -32768] * 10, dtype=np.int16)
+    wav = codecs.encode_wav(pcm, rate=8000)
+    rows = [
+        (1, "image", bytearray(png), json.dumps({"w": 8, "h": 8})),
+        (2, "audio", bytearray(wav), json.dumps({"sr": 8000})),
+        (3, "video", b"\x00\x00ftyp" + b"c" * 64, json.dumps({"fps": 30})),
+        (4, "image", None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_features(media, decode_stub=False).collect()}
+    assert out[1]["feature"] == f"png:8x8:mean={img.mean():.4f}"
+    assert out[2]["feature"] == "wav:50x1@8000"
+    assert out[3]["feature"] is None  # unknown container: dead-letter
+    assert out[4]["feature"] is None and out[4]["n_bytes"] is None
 
 
 def test_frame_sample_offsets(spark, media_df):

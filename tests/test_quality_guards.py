@@ -385,3 +385,92 @@ def test_cluster_driver_and_distributed_paths_agree(spark):
     # labels are the component minimum: every cluster_id labels itself
     ids = dict(local)
     assert all(ids.get(cid, cid) == cid for _, cid in local)
+
+
+def test_salted_join_bounds_whale_key_partition(spark):
+    """The 100 TB skew story, measured instead of argued: a whale key
+    holding ~90% of the fact side serializes one reducer under a naive
+    shuffle join; the join_skew_salted rewrite (salt fact, explode dim)
+    must spread it so the max output-partition row count drops by at
+    least the salt-factor margin. AQE is disabled inside the test so the
+    measurement isolates OUR rewrite, not runtime mitigation."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # enough reducers that distinct (key, salt) buckets rarely collide
+    # into one partition — collisions would blur the measurement
+    conf.set("spark.sql.shuffle.partitions", "256")
+    try:
+        n, salt_n = 40_000, 8
+        # 90% of fact rows share key 1; the rest are uniform
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 10 != 0, F.lit(1).cast("bigint"))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("row_id"),
+        )
+        dim = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+
+        def partition_profile(joined):
+            """(max rows in any partition, number of partitions holding
+            whale-key rows)."""
+            per = (
+                joined.select("k", F.spark_partition_id().alias("pid"))
+                .groupBy("pid")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max((F.col("k") == 1).cast("int")).alias("has_whale"),
+                )
+                .collect()
+            )
+            return (
+                max(r["n"] for r in per),
+                sum(r["has_whale"] for r in per),
+            )
+
+        naive = fact.join(dim.hint("shuffle_hash"), "k")
+        fact_s = fact.withColumn(
+            "_salt", F.pmod(F.xxhash64("row_id"), F.lit(salt_n)).cast("int")
+        )
+        dim_s = dim.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+        )
+        salted = fact_s.join(
+            dim_s.hint("shuffle_hash"),
+            (fact_s.k == dim_s.k) & (fact_s._salt == dim_s._salt),
+        )
+
+        # same relation out of both plans
+        assert naive.count() == salted.count() == n
+        naive_max, naive_whale_parts = partition_profile(naive)
+        # project the fact-side key only (narrow op — partition ids survive)
+        salted_max, salted_whale_parts = partition_profile(
+            salted.select(fact_s["k"].alias("k"))
+        )
+        whale_rows = int(n * 0.9)
+        assert naive_max >= whale_rows, "naive join should serialize the whale key"
+        assert naive_whale_parts == 1, "naive: whale key lives in one reducer"
+        # the salt must spread the whale across several reducers and cut
+        # the max reducer load; the bounds tolerate an occasional
+        # (key,salt)->partition hash collision
+        assert salted_whale_parts >= salt_n // 2, (
+            f"whale spread across only {salted_whale_parts} partitions"
+        )
+        assert salted_max <= naive_max // 2, (
+            f"salted max partition {salted_max} vs naive {naive_max}"
+        )
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

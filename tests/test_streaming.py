@@ -482,3 +482,115 @@ def test_stream_static_enrichment_equals_batch(spark, event_stream_dir):
     }
     assert got == want
     assert any(t is None for (_, _, t) in got), "expected unmatched facts kept"
+
+
+def test_write_kafka_stream_foreachbatch_produces_exact_triples(spark, tmp_path):
+    """S4 sink action end-to-end: the streaming produce path executes via
+    foreachBatch (no broker in this container) and must emit exactly the
+    key/value/topic triples of the oracle-checked batch projection."""
+    from hyperswitch_data_backfill_spark.sinks.kafka import (
+        KafkaSinkConfig,
+        kafka_payload_shape,
+        write_kafka_stream,
+    )
+
+    # materialize orders as a multi-file stream source
+    src = str(tmp_path / "orders_stream")
+    load_table(spark, SF_DIR, "orders").repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=2)
+
+    # identical projection as the batch fixture query, on the stream
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.sinks.kafka import event_frame
+
+    payload = [
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("amount_minor"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("created_at"),
+    ]
+    records = event_frame(
+        stream, ["o_custkey", "o_orderkey"], "orders-events", "default", payload
+    )
+
+    produced: list[tuple] = []
+    batch_ids: list[int] = []
+
+    def sink(batch_df, batch_id):
+        batch_ids.append(batch_id)
+        produced.extend(
+            (r["key"], r["value"], r["topic"]) for r in batch_df.collect()
+        )
+
+    cfg = KafkaSinkConfig(bootstrap_servers="unused:9092")
+    q = write_kafka_stream(records, cfg, str(tmp_path / "ckpt"), batch_sink=sink)
+    q.awaitTermination(120)
+
+    expected = {
+        (r["key"], r["value"], r["topic"])
+        for r in kafka_payload_shape(spark, SF_DIR).collect()
+    }
+    assert len(produced) == len(expected), "row count through the sink action"
+    assert set(produced) == expected, "exact key/value/topic triples"
+    assert batch_ids, "foreachBatch writer was never invoked"
+
+
+@pytest.mark.parametrize("n_slices", [2, 7])
+def test_stateful_sessionize_parity_property_sf001(spark, n_slices, tmp_path):
+    """Batch≡stream sessionizer contract at 10x fixture scale (sf0.01)
+    and varying replay granularity: however the event history is sliced
+    into in-order micro-batches, the stateful sessionizer's closed
+    sessions must equal the batch win_session result minus each user's
+    final (still-open) session. Slice boundaries land at arbitrary
+    points inside sessions, so state must correctly carry sessions
+    across micro-batch boundaries."""
+    import os
+    import time
+
+    from pyspark.sql.window import Window
+
+    from hyperswitch_data_backfill_spark.operators.windows import win_session
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / n_slices
+    d = str(tmp_path / f"slices{n_slices}")
+    for i in range(n_slices):
+        s = lo + i * span
+        e = hi if i == n_slices - 1 else lo + (i + 1) * span
+        cond = (F.col("ts") >= s) & (
+            (F.col("ts") <= e) if i == n_slices - 1 else (F.col("ts") < e)
+        )
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(f"{d}/slice{i}")
+        for root, _, files in os.walk(f"{d}/slice{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (time.time() + i, time.time() + i))
+
+    batch = win_session(spark, sf)
+    w_last = F.max("session_id").over(Window.partitionBy("user_id"))
+    expected = {
+        tuple(r)
+        for r in batch.withColumn("_last", w_last)
+        .filter(F.col("session_id") != F.col("_last"))
+        .drop("_last")
+        .collect()
+    }
+    assert expected, "sf0.01 must yield closed sessions — vacuous otherwise"
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/slice*")
+    )
+    sessions = sessionize_stream(stream)
+    q = write_memory_sink(sessions, f"sessions_prop_{n_slices}", complete=False)
+    q.awaitTermination(300)
+    got = {
+        tuple(r)
+        for r in spark.sql(f"SELECT * FROM sessions_prop_{n_slices}").collect()
+    }
+    assert got == expected
