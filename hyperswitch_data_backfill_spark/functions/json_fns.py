@@ -90,3 +90,34 @@ def map_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("vmax"),
         F.sum("v").alias("vsum"),
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(NULL AS BIGINT) AS missing_val,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k
+    FROM events
+    """,
+    doc="X4d: Spark 4 VARIANT path — parse_json once into the binary "
+        "semi-structured VARIANT type, then typed variant_get extraction "
+        "(no per-access string re-parse, unlike get_json_object chains) "
+        "and try_variant_get for absent paths (NULL, not error). At "
+        "100 TB VARIANT is the schema-on-read format of choice: the "
+        "parse cost is paid once per row, extractions are byte-offset "
+        "lookups, and Parquet VARIANT shredding lets the scan prune to "
+        "the accessed paths. Oracle replays the same typed extraction "
+        "with DuckDB's JSON functions.",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_id", "event_type", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        "event_type",
+        F.variant_get("v", "$.k", "bigint").alias("k_val"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("missing_val"),
+        F.variant_get("v", "$.k", "bigint").isNotNull().alias("has_k"),
+    )

@@ -347,3 +347,137 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"((cum - 1) div {PACK_BUDGET}) != ((cum - n_tokens) div {PACK_BUDGET})"
         ).alias("spans_boundary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the 100 TB scale path for decontam_ngram.
+#
+# decontam_ngram broadcasts the DISTINCT benchmark n-gram STRINGS into a
+# semi-join. Fine while eval suites are MBs; but a large decontamination
+# list (every n-gram of every benchmark + held-out set, easily 10^9
+# grams) would blow the broadcast. The classic fix is a Bloom filter:
+# constant-size bitset, zero false negatives (no contaminated doc
+# survives), tunable false-positive rate (a few extra clean docs
+# dropped — harmless for training-data curation).
+#
+# Spark 4's SQL surface doesn't expose bloom_filter_agg/might_contain as
+# public functions, so the filter is built AS A DATAFRAME PLAN:
+# gram → k Kirsch-Mitzenmacher positions (h1 + i*h2 over xxhash64, two
+# seeds) → (word, bit) → groupBy word with bit_or partial aggregation.
+# The materialized bitset is O(BLOOM_M/64) longs — CONSTANT in corpus
+# size — and rides a single-row broadcast join back onto the probe side,
+# where the k probes are pure codegen bit arithmetic. No Python worker,
+# no giant broadcast set, one shuffle (the word-group agg over the
+# benchmark slice only).
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 18  # bits; ~10 bits/gram at fixture scale → p ≈ 1e-2
+BLOOM_K = 5        # probes; optimal k ≈ (m/n) ln 2
+
+
+def _bloom_positions(g: Column) -> list[Column]:
+    """K bit positions via Kirsch-Mitzenmacher double hashing: pos_i =
+    (h1 + i*h2) mod m — two xxhash64 seeds give k independent-enough
+    probes without k hash evaluations."""
+    # reduce both hashes mod m BEFORE combining: full-range i*h2 would
+    # overflow int64 under ANSI mode, and (a + i·b) mod m is unchanged
+    h1 = F.pmod(F.xxhash64(g), F.lit(BLOOM_M))
+    h2 = F.pmod(F.xxhash64(g, F.lit(1)), F.lit(BLOOM_M))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_M)) for i in range(BLOOM_K)]
+
+
+def build_bloom(grams: DataFrame, col: str = "g") -> list[int]:
+    """Aggregate a gram column into a Bloom bitset (list of BLOOM_M/32
+    32-bit words in bigints). The driver transfer is the CONSTANT-size
+    bitset, never the gram set: explode k positions, map-side-combined
+    bit_or per word. 32-bit words keep every value positive, so the
+    probe side can test bits with exact power-of-two division (Spark's
+    shiftleft/shiftright builtins take only literal shift amounts)."""
+    pos = grams.select(
+        F.explode(F.array(*_bloom_positions(F.col(col)))).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 32).cast("int").alias("w"),
+            # 2^(p%32) exactly: double pow is exact for exponents <= 32
+            F.pow(F.lit(2.0), (F.col("p") % 32).cast("int")).cast("bigint").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    bitset = [0] * (BLOOM_M // 32)
+    for r in words:
+        bitset[r["w"]] = r["bits"]
+    return bitset
+
+
+def might_contain(bloom_col: Column, g: Column) -> Column:
+    """Codegen Bloom probe: all k bits set → maybe-member. bloom_col is
+    an array<bigint> column (the broadcast single-row bitset of 32-bit
+    words). Bit test: floor(word / 2^bit) odd — exact because word <
+    2^32 and 2^bit are both exactly representable doubles."""
+    conds = [
+        F.pmod(
+            F.floor(
+                F.element_at(bloom_col, (p / 32).cast("int") + 1)
+                / F.pow(F.lit(2.0), (p % 32).cast("int"))
+            ).cast("bigint"),
+            F.lit(2),
+        )
+        == 1
+        for p in _bloom_positions(g)
+    ]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+@register(
+    "decontam_bloom",
+    oracle=None,  # Bloom FPs drop a few extra clean docs — output is
+    # hash-incomparable to an exact engine; guarded by pytest instead:
+    # survivors ⊆ exact survivors (no false negatives, bounded extra drops).
+    doc=f"Curation at 100 TB: Bloom-filter benchmark decontamination — "
+        f"same contract as decontam_ngram (drop any training doc sharing "
+        f"a {DECONTAM_NGRAM}-gram with the doc_id % {DECONTAM_BENCH_MOD} "
+        "benchmark slice) but the membership structure is a constant-size "
+        f"bitset ({BLOOM_M} bits, {BLOOM_K} probes) instead of a broadcast "
+        "string set. Zero false negatives by construction; false "
+        "positives only ever drop extra CLEAN docs. Probe side is pure "
+        "codegen bit arithmetic on a single-row broadcast array — the "
+        "n-gram stream never shuffles.",
+)
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def grams(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - (DECONTAM_NGRAM - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + k) for k in range(DECONTAM_NGRAM)]
+            ),
+        )
+
+    exploded = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= DECONTAM_NGRAM)
+        .select("doc_id", F.explode(grams(F.col("toks"))).alias("g"))
+    )
+    bench_grams = exploded.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0).select("g")
+    bitset = build_bloom(bench_grams)
+    bloom_row = spark.createDataFrame([(bitset,)], "bloom array<bigint>")
+    hit = (
+        exploded.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bloom_row))
+        .where(might_contain(F.col("bloom"), F.col("g")))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+        .join(hit, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )

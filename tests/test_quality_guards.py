@@ -474,3 +474,63 @@ def test_salted_join_bounds_whale_key_partition(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_bloom_decontam_no_false_negatives_and_bounded_extra_drops(spark):
+    """Bloom membership has zero false negatives by construction, so the
+    bloom decontam must drop EVERY doc the exact decontam drops; false
+    positives may drop extra clean docs, bounded by the filter's FP rate."""
+    from hyperswitch_data_backfill_spark.operators.corpus import (
+        decontam_bloom,
+        decontam_ngram,
+    )
+
+    exact = {r["doc_id"] for r in decontam_ngram(spark, SF_DIR).collect()}
+    bloom = {r["doc_id"] for r in decontam_bloom(spark, SF_DIR).collect()}
+    assert bloom <= exact, "bloom kept a doc the exact decontam dropped (false negative!)"
+    extra_drops = len(exact - bloom)
+    assert extra_drops <= max(2, len(exact) // 50), (
+        f"bloom dropped {extra_drops} extra docs of {len(exact)} — FP rate off"
+    )
+
+
+def test_bloom_filter_membership_properties(spark):
+    """Direct bitset contract: every inserted key probes true; a disjoint
+    key set probes mostly false (FP rate within an order of magnitude of
+    the m/n design point)."""
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.operators.corpus import (
+        build_bloom,
+        might_contain,
+    )
+
+    members = spark.range(2000).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("g")
+    )
+    bitset = build_bloom(members)
+    bloom_row = spark.createDataFrame([(bitset,)], "bloom array<bigint>")
+
+    hits = (
+        members.join(F.broadcast(bloom_row))
+        .select(might_contain(F.col("bloom"), F.col("g")).alias("hit"))
+        .groupBy()
+        .agg(F.sum(F.col("hit").cast("int")).alias("n"))
+        .first()["n"]
+    )
+    assert hits == 2000, "a member probed false — bloom must have no false negatives"
+
+    probes = 20_000
+    others = spark.range(probes).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("g")
+    )
+    fps = (
+        others.join(F.broadcast(bloom_row))
+        .select(might_contain(F.col("bloom"), F.col("g")).alias("hit"))
+        .groupBy()
+        .agg(F.sum(F.col("hit").cast("int")).alias("n"))
+        .first()["n"]
+    )
+    # 2000 keys * 5 probes in 2^18 bits → ~3.8% bits set → FP ≈ 0.038^5 ≈ 8e-8;
+    # allow a generous ceiling — the guard is against gross mis-wiring
+    assert fps <= probes * 0.01, f"FP rate {fps / probes:.4f} far above design"
