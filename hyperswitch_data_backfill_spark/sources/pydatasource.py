@@ -1,0 +1,141 @@
+"""Custom Python DataSource (Spark 4 DataSource API) — SURVEY §2.1 S7.
+
+The reference's only input is Postgres; its file-dump twin here already
+covers CSV/JSONL/parquet (sources/files.py). This module adds the
+EXTENSIBILITY surface a 100 TB platform needs: a first-class custom
+source registered through ``spark.dataSource.register`` and consumed as
+``spark.read.format("oplog")`` — no JVM code, yet fully partitioned and
+filter-prunable.
+
+The concrete source is a change-log ("oplog") directory reader: each
+file is JSONL of ``{op, seq, entity_id, amount, shard}`` records — the
+shape a CDC drain or backfill journal produces. Design points, mapped to
+the API:
+
+- ``partitions()`` → one ``InputPartition`` per oplog file: Spark
+  schedules one task per file, so a 10k-file journal reads with 10k-way
+  parallelism and per-file retry granularity.
+- ``pushFilters()`` (Spark 4.1) → equality/IN filters on the ``shard``
+  column prune whole FILES on the driver (files are named
+  ``shard=<n>-*.jsonl``), before any executor reads a byte — the Python
+  analogue of partition pruning. Residual filters are returned to Spark
+  and re-applied by the engine, so over-pruning is the only bug class
+  to guard (pytest covers it).
+- ``read()`` runs in the Python worker per partition and yields tuples;
+  Arrow batches them back to the JVM. Malformed lines follow the same
+  dead-letter contract as sources/files.py: they surface as rows with
+  NULL fields + the raw line in ``_corrupt_record``, never a task
+  failure.
+
+This is deliberately a BATCH source; the streaming CDC path is covered
+by streaming/pipeline.py over file streams. Reference parity: the
+reference has no pluggable-source layer at all (main.rs wires Postgres
+directly); this is north-star surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+OPLOG_SCHEMA_DDL = (
+    "op string, seq bigint, entity_id bigint, amount bigint, "
+    "shard int, _corrupt_record string"
+)
+
+_SHARD_RE = re.compile(r"shard=(\d+)-")
+
+
+class OplogFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class OplogReader(DataSourceReader):
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("oplog source requires .option('path', <dir>) or load(<dir>)")
+        self.shard_filter: set[int] | None = None
+
+    def pushFilters(self, filters):
+        """Accept shard = <n> equality/IN filters (whole-file pruning);
+        everything else is returned as residual for Spark to re-apply."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        residual = []
+        for f in filters:
+            if isinstance(f, EqualTo) and tuple(f.attribute) == ("shard",):
+                vals = {int(f.value)}
+            elif isinstance(f, In) and tuple(f.attribute) == ("shard",):
+                vals = {int(v) for v in f.value}
+            else:
+                residual.append(f)
+                continue
+            self.shard_filter = (
+                vals if self.shard_filter is None else self.shard_filter & vals
+            )
+        return iter(residual)
+
+    def _files(self) -> list[str]:
+        out = []
+        for name in sorted(os.listdir(self.dir)):
+            if not name.endswith(".jsonl"):
+                continue
+            if self.shard_filter is not None:
+                m = _SHARD_RE.match(name)
+                # unparseable names can't be pruned safely — keep them
+                if m and int(m.group(1)) not in self.shard_filter:
+                    continue
+            out.append(os.path.join(self.dir, name))
+        return out
+
+    def partitions(self):
+        return [OplogFilePartition(p) for p in self._files()]
+
+    def read(self, partition: OplogFilePartition):
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line.strip():
+                    continue
+                try:
+                    rec = json.loads(line)
+                    yield (
+                        str(rec["op"]),
+                        int(rec["seq"]),
+                        int(rec["entity_id"]),
+                        int(rec["amount"]),
+                        int(rec["shard"]),
+                        None,
+                    )
+                except (ValueError, KeyError, TypeError):
+                    # dead-letter, never a task failure
+                    yield (None, None, None, None, None, line)
+
+
+class OplogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "oplog"
+
+    def schema(self) -> str:
+        return OPLOG_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return OplogReader(self.options)
+
+
+def register_oplog_source(spark) -> None:
+    """Idempotent registration: spark.read.format('oplog').load(dir).
+
+    Also flips on Python-source filter pushdown (off by default in
+    Spark 4.1; a runtime conf, self-applied here the same way
+    catalog.load_table applies the nanos conf) — without it Spark
+    refuses to initialize a reader that implements pushFilters."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OplogDataSource)
