@@ -159,4 +159,5 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.operators.dedup  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.similarity  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.crypto  # noqa: F401
+    import hyperswitch_data_backfill_spark.operators.layout  # noqa: F401
     _LOADED = True

@@ -27,10 +27,11 @@ the API:
   NULL fields + the raw line in ``_corrupt_record``, never a task
   failure.
 
-This is deliberately a BATCH source; the streaming CDC path is covered
-by streaming/pipeline.py over file streams. Reference parity: the
-reference has no pluggable-source layer at all (main.rs wires Postgres
-directly); this is north-star surface.
+The source has both legs: a partitioned BATCH reader (``OplogReader``)
+and a streaming CDC tail (``OplogStreamReader``,
+``SimpleDataSourceStreamReader``) with a file-watermark offset model.
+Reference parity: the reference has no pluggable-source layer at all
+(main.rs wires Postgres directly); this is north-star surface.
 """
 
 from __future__ import annotations
@@ -39,7 +40,12 @@ import json
 import os
 import re
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 OPLOG_SCHEMA_DDL = (
@@ -129,6 +135,9 @@ class OplogDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return OplogReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "OplogStreamReader":
+        return OplogStreamReader(self.options)
+
 
 def register_oplog_source(spark) -> None:
     """Idempotent registration: spark.read.format('oplog').load(dir).
@@ -139,3 +148,77 @@ def register_oplog_source(spark) -> None:
     refuses to initialize a reader that implements pushFilters."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(OplogDataSource)
+
+
+# ------------------------------------------------- streaming (CDC tail) --
+
+
+class OplogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming leg of the oplog source: tail the directory for NEW
+    files — the CDC drain shape (a journal only ever appends files).
+
+    Offset model: ``{"last": "<filename>"}`` — the high-watermark file
+    name under lexicographic order (journal files sort by name:
+    ``shard=<n>-<seq>.jsonl``). ``read(start)`` returns rows of every
+    file past the watermark plus the advanced offset; replay for
+    retried batches goes through ``readBetweenOffsets`` with the same
+    deterministic file-ordering rule, so a batch always re-reads
+    exactly its original slice (Spark's exactly-once-per-batch
+    contract for simple stream readers).
+
+    The simple reader runs driver-side and is meant for modest
+    per-batch volumes (Spark buffers a batch before distributing);
+    journals with huge batches should use the batch reader per
+    partition directory instead. Documented trade-off, same stance as
+    the reference's single-threaded drainer loop.
+    """
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("oplog stream requires .option('path', <dir>)")
+
+    def _files(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.dir) if n.endswith(".jsonl")
+        )
+
+    def _rows(self, names: list[str]):
+        for name in names:
+            with open(os.path.join(self.dir, name), encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if not line.strip():
+                        continue
+                    try:
+                        rec = json.loads(line)
+                        yield (
+                            str(rec["op"]),
+                            int(rec["seq"]),
+                            int(rec["entity_id"]),
+                            int(rec["amount"]),
+                            int(rec["shard"]),
+                            None,
+                        )
+                    except (ValueError, KeyError, TypeError):
+                        yield (None, None, None, None, None, line)
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def read(self, start: dict):
+        names = [n for n in self._files() if n > start.get("last", "")]
+        if not names:
+            return iter(()), start
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator for replay, which needs a copyable
+        # (list) iterator — fine here, the simple reader is driver-side
+        # and per-batch volumes are modest by contract (see docstring)
+        return iter(list(self._rows(names))), {"last": names[-1]}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        return self._rows([n for n in self._files() if lo < n <= hi])
+
+    def commit(self, end: dict) -> None:
+        pass  # no external cursor to advance; files are immutable

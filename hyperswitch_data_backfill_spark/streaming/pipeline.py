@@ -316,3 +316,29 @@ def enrich_stream_with_dim(
     if how not in ("left", "inner"):
         raise ValueError(f"stream-static enrichment supports left/inner, got {how!r}")
     return stream.join(F.broadcast(dim), key, how)
+
+
+def idempotent_parquet_batch_writer(base_dir: str):
+    """An exactly-once-effect foreachBatch writer for parquet lakes.
+
+    Spark's foreachBatch contract is at-least-once: a failed/retried
+    micro-batch re-invokes the writer with the SAME batch_id. This
+    writer makes the retry a no-op-equivalent by making the batch id
+    the write unit: each batch deterministically OVERWRITES its own
+    ``batch_id=<id>/`` partition directory, so replaying batch 7 can
+    only replace batch 7's files, never duplicate them. Downstream
+    readers see ``base_dir`` as one parquet table (partition-discovered
+    ``batch_id`` column, prunable).
+
+    The same pattern backs the reference's at-least-once Kafka replay
+    (ClickHouse ReplacingMergeTree collapses replays [dep]); here the
+    collapse is structural instead of merge-time.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(f"{base_dir}/batch_id={batch_id}")
+        )
+
+    return write

@@ -534,3 +534,37 @@ def test_bloom_filter_membership_properties(spark):
     # 2000 keys * 5 probes in 2^18 bits → ~3.8% bits set → FP ≈ 0.038^5 ≈ 8e-8;
     # allow a generous ceiling — the guard is against gross mis-wiring
     assert fps <= probes * 0.01, f"FP rate {fps / probes:.4f} far above design"
+
+
+def test_zorder_touches_fewer_buckets_than_linear(spark):
+    """The data-skipping claim, measured: for a 2-D box predicate
+    (quarter of the customer range x quarter of the date range), the
+    number of DISTINCT z-buckets holding matching rows must be well
+    under the number of date-linear buckets at the same bucket count —
+    i.e. a z-ordered lake reads ~4x fewer files for box queries."""
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.operators.layout import layout_zorder
+
+    z = layout_zorder(spark, SF_DIR).cache()
+    try:
+        ck_max, dt_max = z.agg(F.max("custkey_dim"), F.max("date_dim")).first()
+        box = z.filter(
+            (F.col("custkey_dim") < ck_max / 4) & (F.col("date_dim") < dt_max / 4)
+        )
+        n_matching = box.count()
+        assert n_matching > 50, "box predicate too selective — test is vacuous"
+
+        # same bucket count both ways (256): z top-8-bits vs date-linear
+        n_buckets = 256
+        lin_bucket = (F.col("date_dim") * n_buckets / (dt_max + 1)).cast("int")
+        z_touched = box.select("z_bucket").distinct().count()
+        lin_touched = box.select(lin_bucket.alias("lb")).distinct().count()
+        # date-linear must read every bucket of the date quarter (~64);
+        # z-order confines the box to the buckets whose bounding box
+        # intersects it (~16 for a quarter-quarter box)
+        assert z_touched < lin_touched / 2, (
+            f"z-order touched {z_touched} buckets vs linear {lin_touched}"
+        )
+    finally:
+        z.unpersist()

@@ -485,3 +485,63 @@ def test_python_datasource_end_to_end_filter_correctness(spark, tmp_path):
     got = base.filter("shard = 1 AND amount >= 200").collect()
     assert len(got) == 6  # i in 2..7 → amount 200..700
     assert all(r["shard"] == 1 and r["amount"] >= 200 for r in got)
+
+
+def test_python_datasource_stream_reader_offsets(tmp_path):
+    """Offset contract unit test: read() advances the file watermark,
+    readBetweenOffsets() replays exactly the original slice, and an
+    empty poll leaves the offset unchanged."""
+    from hyperswitch_data_backfill_spark.sources.pydatasource import (
+        OplogStreamReader,
+    )
+
+    d = str(tmp_path / "oplog")
+    _write_oplog(d, 0, 3)
+    r = OplogStreamReader({"path": d})
+    start = r.initialOffset()
+    rows1, off1 = r.read(start)
+    rows1 = list(rows1)
+    assert len(rows1) == 3 and off1["last"].startswith("shard=0-")
+
+    # no new files → empty batch, offset unchanged
+    rows_empty, off_same = r.read(off1)
+    assert list(rows_empty) == [] and off_same == off1
+
+    _write_oplog(d, 1, 4)
+    rows2, off2 = r.read(off1)
+    assert len(list(rows2)) == 4 and off2["last"].startswith("shard=1-")
+
+    # replay: each batch re-reads exactly its slice
+    assert len(list(r.readBetweenOffsets(start, off1))) == 3
+    assert len(list(r.readBetweenOffsets(off1, off2))) == 4
+    assert len(list(r.readBetweenOffsets(start, off2))) == 7
+
+
+def test_python_datasource_streaming_end_to_end(spark, tmp_path):
+    """readStream through the registered oplog source: availableNow
+    replay must surface every clean row plus dead-letter lines."""
+    from hyperswitch_data_backfill_spark.sources.pydatasource import (
+        register_oplog_source,
+    )
+
+    d = str(tmp_path / "oplog")
+    for s in range(3):
+        _write_oplog(d, s, 5)
+    _write_oplog(d, 3, 2, corrupt=True)
+    register_oplog_source(spark)
+    stream = spark.readStream.format("oplog").option("path", d).load()
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("oplog_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM oplog_stream_test").collect()
+    clean = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(clean) == 17 and len(bad) == 1
+    assert {r["shard"] for r in clean} == {0, 1, 2, 3}

@@ -594,3 +594,48 @@ def test_stateful_sessionize_parity_property_sf001(spark, n_slices, tmp_path):
         for r in spark.sql(f"SELECT * FROM sessions_prop_{n_slices}").collect()
     }
     assert got == expected
+
+
+def test_idempotent_batch_writer_replay_is_duplicate_free(spark, tmp_path):
+    """Re-invoking the writer with the same batch_id (Spark's retry
+    shape) must leave exactly one copy of the batch's rows."""
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        idempotent_parquet_batch_writer,
+    )
+
+    out = str(tmp_path / "lake")
+    write = idempotent_parquet_batch_writer(out)
+    b0 = spark.range(10).withColumnRenamed("id", "v")
+    b1 = spark.range(10, 15).withColumnRenamed("id", "v")
+    write(b0, 0)
+    write(b1, 1)
+    write(b1, 1)  # retry replays the same batch
+    got = spark.read.parquet(out)
+    assert got.count() == 15
+    assert got.select("v").distinct().count() == 15
+    # partition column discovered and prunable
+    assert got.filter("batch_id = 1").count() == 5
+
+
+def test_idempotent_writer_end_to_end_stream(spark, tmp_path):
+    """Drive it through a real writeStream.foreachBatch run."""
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        idempotent_parquet_batch_writer,
+        read_parquet_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_DIR, "events").limit(200)
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    stream = read_parquet_stream(spark, src, ev.schema, max_files_per_trigger=1)
+    out = str(tmp_path / "lake")
+    q = (
+        stream.writeStream.foreachBatch(idempotent_parquet_batch_writer(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
