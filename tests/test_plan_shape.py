@@ -221,3 +221,83 @@ def test_quantize_has_no_shuffle_and_no_python(spark):
     p = plan(spark, "emb_quantize_int8")
     assert "Exchange" not in p, p
     assert "Python" not in p, p
+
+
+def test_runtime_bloom_filter_join_injects(spark):
+    """100 TB shuffle-join hygiene: with a selective dim filter, Spark's
+    runtime Bloom-filter optimization must inject a might_contain probe
+    on the fact side (rows drop BEFORE the shuffle). The fixture tables
+    are far below the production applicationSideScanSizeThreshold, so
+    the test lowers it to observe the mechanism; production clusters
+    keep the default (10 GB) so the probe only appears where it pays."""
+    import re
+
+    from hyperswitch_data_backfill_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        fact = load_table(spark, SF_DIR, "lineitem")
+        dim = load_table(spark, SF_DIR, "orders").filter("o_orderstatus = 'F'")
+        j = fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert re.search(r"(?i)bloom", optimized), "no runtime bloom filter injected"
+        # and the result is unaffected by the probe (bloom FPs are re-checked)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved[
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+            ],
+        )
+        plain = fact.join(dim, fact.l_orderkey == dim.o_orderkey).count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        assert j.count() == plain
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """Lake-layout payoff: joining a date-partitioned fact against a
+    filtered dim must prune fact partitions at RUNTIME (DPP) — the scan
+    carries a dynamicpruning subquery instead of reading every dir."""
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    fact_dir = str(tmp_path / "orders_by_status")
+    load_table(spark, SF_DIR, "orders").write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # the dim filter must be on a NON-join column: a filter on the join
+    # key itself is statically propagated (no DPP needed); DPP is for
+    # partitions only discoverable by executing the dim side
+    dim = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderstatus")
+        .distinct()
+    )
+    j = fact.join(F.broadcast(dim), "o_orderstatus")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP did not engage on the partitioned scan"
+    # every status carries urgent orders in the fixture, so DPP keeps all
+    # partitions here — equality against the plain join proves no
+    # over-pruning; the plan assertion above proves the mechanism
+    assert j.count() == fact.join(dim, "o_orderstatus").count()

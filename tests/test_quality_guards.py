@@ -568,3 +568,36 @@ def test_zorder_touches_fewer_buckets_than_linear(spark):
         )
     finally:
         z.unpersist()
+
+
+def test_zvalue_interleave_is_invertible(spark):
+    """Property: the Morton code is a bijection — deinterleaving the
+    even/odd bits recovers (a, b) exactly for random 16-bit inputs."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.operators.layout import Z_BITS, zvalue
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, (1 << Z_BITS) - 1), st.integers(0, (1 << Z_BITS) - 1)
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "a bigint, b bigint")
+        rows = df.select(
+            "a", "b", zvalue(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+        for r in rows:
+            a = b = 0
+            for i in range(Z_BITS):
+                b |= ((r["z"] >> (2 * i)) & 1) << i
+                a |= ((r["z"] >> (2 * i + 1)) & 1) << i
+            assert (a, b) == (r["a"], r["b"]), f"z={r['z']} decoded to {(a, b)}"
+
+    run()

@@ -545,3 +545,52 @@ def test_python_datasource_streaming_end_to_end(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(clean) == 17 and len(bad) == 1
     assert {r["shard"] for r in clean} == {0, 1, 2, 3}
+
+
+def test_jdbc_write_roundtrip_and_overwrite(spark, derby_table):
+    """S8/JDBC write leg: parallel batched write to Derby, read back
+    exactly; overwrite replaces content; connection cap coalesces."""
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.sinks.jdbc import (
+        JdbcSinkConfig,
+        write_jdbc,
+    )
+    from hyperswitch_data_backfill_spark.sources.jdbc import read_jdbc_range
+
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("payment_id"),
+        F.concat(F.lit("m"), (F.col("id") % 3).cast("string")).alias("merchant_id"),
+        (F.col("id") * 7).alias("amount"),
+    ).repartition(8)
+
+    cfg = JdbcSinkConfig(
+        url=DERBY_URL,
+        table="recon_out",
+        mode="overwrite",
+        truncate=False,  # Derby can't TRUNCATE via the connector — recreate
+        num_partitions=2,
+        options={"driver": DERBY_DRIVER},
+    )
+    write_jdbc(df, cfg)
+
+    src_cfg = JdbcSourceConfig(
+        url=DERBY_URL, table="recon_out", options={"driver": DERBY_DRIVER}
+    )
+    back = read_jdbc_range(
+        spark, src_cfg, partition_column='"payment_id"',
+        lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    got = {(r["payment_id"], r["merchant_id"], r["amount"]) for r in back.collect()}
+    want = {(r["payment_id"], r["merchant_id"], r["amount"]) for r in df.collect()}
+    assert got == want
+
+    # overwrite replaces, never appends
+    write_jdbc(df.filter("payment_id < 10"), cfg)
+    assert (
+        read_jdbc_range(
+            spark, src_cfg, partition_column='"payment_id"',
+            lower_bound=0, upper_bound=100, num_partitions=2,
+        ).count()
+        == 10
+    )
