@@ -345,3 +345,58 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+# strictly consecutive funnel: view immediately followed by click then
+# purchase — the discriminating MATCH_RECOGNIZE shape (the gaps-allowed
+# variant is funnel_steps; at fixture scale this one splits users ~1:2)
+_FUNNEL_RE = "(^|>)view>click>purchase(>|$)"
+
+
+@register(
+    "seq_pattern_funnel",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS seq,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, seq,
+           regexp_matches(seq, '{_FUNNEL_RE}') AS hit
+    FROM s
+    """,
+    doc="L10f: sequence-pattern detection (MATCH_RECOGNIZE shape without "
+        "the MATCH_RECOGNIZE dependency) — each user's event history is "
+        "collapsed to one ordered type-string (micros-exact order, "
+        "event_id tiebreak — same determinism trick as win_session) and "
+        "a view→…→click→…→purchase funnel regex runs over it in codegen. "
+        "One shuffle on user_id; the regex is a common Java/RE2 subset "
+        "so both engines agree. The 100 TB posture: per-user sequences "
+        "are bounded (sessions, not lifetimes) — for unbounded histories "
+        "compose with win_session to scope sequences per session first.",
+)
+def seq_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["event_type"]
+                ),
+                ">",
+            ).alias("seq"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        "seq",
+        F.col("seq").rlike(_FUNNEL_RE).alias("hit"),
+    )

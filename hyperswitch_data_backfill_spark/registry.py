@@ -52,6 +52,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-green core persists from prior rounds.  Rotation policy: once a
 # key is driver-green AND its implementation is unchanged, it may drop out
 # of the window to make room for unswept or changed keys.
+# ROUND-4 ROTATION PLAN (written round 3): once CORRECTNESS_r03 lands
+# green for this window, rotate in the keys still without driver
+# evidence — the round-3 additions (multimodal_png_roundtrip,
+# multimodal_wav_roundtrip, json_variant_extract, layout_zorder) and
+# the 9 rows-only keys (driver records a rows-only check) — then fill
+# the remaining ~37 slots with the most load-bearing r1/r2-green keys
+# as a regression re-check (tpch_q3_topk, join_*, agg_*, win_* core).
 _DRIVER_WINDOW: list[str] = [
     "win_session",          # red r1/r2: oracle type bug fixed, re-verify first
     "win_first_last",

@@ -34,6 +34,12 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Pandas-UDF stages (similarity matmuls, codec decoders) are BLAS /
+    # byte-level batch work: bigger Arrow batches amortize the per-batch
+    # Python round-trip. Measured on sim_topk at sf0.1: 1.08 s -> 0.86 s
+    # vs the 10k default; memory per batch stays small (embeddings are
+    # ~KB/row). Round 3.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
 }
 
 

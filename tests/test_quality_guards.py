@@ -601,3 +601,23 @@ def test_zvalue_interleave_is_invertible(spark):
             assert (a, b) == (r["a"], r["b"]), f"z={r['z']} decoded to {(a, b)}"
 
     run()
+
+
+def test_seq_pattern_funnel_discriminates(spark):
+    """The consecutive view>click>purchase pattern must split users into
+    both classes (a pattern hitting everyone or no one is vacuous), and
+    hit implies the substring is genuinely present in order."""
+    from hyperswitch_data_backfill_spark.operators.analytics import (
+        seq_pattern_funnel,
+    )
+
+    rows = seq_pattern_funnel(spark, SF_DIR).collect()
+    hits = [r for r in rows if r["hit"]]
+    misses = [r for r in rows if not r["hit"]]
+    assert hits and misses, "pattern does not discriminate on the fixture"
+    for r in hits:
+        steps = r["seq"].split(">")
+        assert any(
+            steps[i : i + 3] == ["view", "click", "purchase"]
+            for i in range(len(steps) - 2)
+        )
