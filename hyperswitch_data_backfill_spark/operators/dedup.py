@@ -642,3 +642,59 @@ def neardup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= LEV_MAX_DIST)
         .select("id_a", "id_b", "inter", "edit_dist")
     )
+
+
+CONTAIN_THRESHOLD = 0.5  # same level as JACCARD_THRESHOLD → superset relation holds
+
+
+@register(
+    "dedup_containment",
+    oracle=_PAIR_PREFIX + f"""
+    SELECT id_a, id_b, inter, n_a, n_b,
+           ROUND(CAST(inter AS DOUBLE) / LEAST(n_a, n_b), 6) AS containment
+    FROM scored_pairs
+    WHERE CAST(inter AS DOUBLE) / LEAST(n_a, n_b) >= {CONTAIN_THRESHOLD}
+    """,
+    doc="L2g: containment (partial-copy) near-dup pairs — score = "
+        "|A∩B| / min(|A|,|B|), the asymmetric measure that catches a "
+        "short document quoted wholesale inside a long one, which "
+        "symmetric Jaccard structurally misses (the union term washes "
+        "the overlap out). Same inverted-index bucket pairing and skew "
+        "envelope as dedup_ngram_jaccard — one pass, no self-join; "
+        "containment >= jaccard always, so at an equal threshold this "
+        "pair set is a superset of the Jaccard set (pytest-pinned). "
+        "The standard LLM-corpus companion pass: cross-doc quote/"
+        "boilerplate removal after whole-doc dedup.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(sequence(0, size(members) - 2), i ->
+            transform(sequence(i + 1, size(members) - 1), j ->
+                struct(members[i] AS a, members[j] AS b))))
+        """
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("id_a"),
+            F.col("p.b.doc_id").alias("id_b"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.select("id_a", "id_b", "inter", "n_a", "n_b")
+        .withColumn("containment", F.round(cont, 6))
+        .filter(cont >= CONTAIN_THRESHOLD)
+    )

@@ -621,3 +621,19 @@ def test_seq_pattern_funnel_discriminates(spark):
             steps[i : i + 3] == ["view", "click", "purchase"]
             for i in range(len(steps) - 2)
         )
+
+
+def test_containment_pairs_superset_of_jaccard(spark):
+    """containment = inter/min >= inter/union = jaccard, so at an equal
+    threshold the containment pair set must contain every Jaccard pair;
+    the fixture must also exercise the gap (pairs containment catches
+    that Jaccard misses — the partial-copy case the operator exists for)."""
+    from hyperswitch_data_backfill_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    jac = {(r["id_a"], r["id_b"]) for r in dedup_ngram_jaccard(spark, SF_DIR).collect()}
+    cont = {(r["id_a"], r["id_b"]) for r in dedup_containment(spark, SF_DIR).collect()}
+    assert jac, "no jaccard pairs — guard is vacuous"
+    assert jac <= cont, "containment lost a jaccard pair"
