@@ -345,3 +345,71 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+ASOF_TOLERANCE_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH j AS (
+        SELECT e.event_id, e.user_id, e.ts, p.p_ts, p.p_value
+        FROM events e
+        ASOF LEFT JOIN (
+            SELECT user_id, ts AS p_ts, value AS p_value
+            FROM events WHERE event_type = 'purchase'
+        ) p ON e.user_id = p.user_id AND p.p_ts < e.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN p_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(p_ts) <= {ASOF_TOLERANCE_US}
+                THEN p_ts END AS p_ts,
+           CASE WHEN p_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(p_ts) <= {ASOF_TOLERANCE_US}
+                THEN p_value END AS p_value
+    FROM j
+    """,
+    doc="J4c: as-of join with a staleness tolerance — the feature-store "
+        "contract (a feature older than the freshness SLA must NOT be "
+        "served; a too-old match is a miss, not a hit). Same zero-join "
+        "carry-forward window as join_asof with one extra codegen "
+        "predicate nulling matches older than 7 days; identical shuffle "
+        "envelope (one keyed sort), so the tolerance costs nothing at "
+        "100 TB.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("double").alias("p_val"), F.lit(0).alias("tag"),
+    )
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", F.col("value").alias("p_val"), F.lit(1).alias("tag"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = probe.unionByName(build).select(
+        "event_id", "user_id", "ts", "tag",
+        F.last(F.when(F.col("tag") == 1, F.col("ts")), ignorenulls=True).over(w).alias("p_ts"),
+        F.last(F.when(F.col("tag") == 1, F.col("p_val")), ignorenulls=True).over(w).alias("p_value"),
+    )
+    fresh = (
+        F.col("p_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("p_ts").cast("timestamp"))
+            <= ASOF_TOLERANCE_US
+        )
+    )
+    return carried.filter(F.col("tag") == 0).select(
+        "event_id", "user_id", "ts",
+        F.when(fresh, F.col("p_ts")).alias("p_ts"),
+        F.when(fresh, F.col("p_value")).alias("p_value"),
+    )

@@ -404,3 +404,46 @@ def text_length_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_chars")
     )
     return docs.join(F.broadcast(keep), "n_chars").select("doc_id", "n_chars", "lang")
+
+
+@register(
+    "text_collapse_runs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, toks,
+               list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS kept
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_before,
+           CAST(len(kept) AS BIGINT) AS n_after,
+           array_to_string(kept, ' ') AS text_clean
+    FROM c
+    """,
+    doc="L7c: token-stutter cleanup — collapse runs of consecutive "
+        "identical tokens to one occurrence (the de-duplication CCNet-"
+        "style pipelines apply to scraped text where boilerplate "
+        "repetition survives extraction; the rewrite twin of the "
+        "text_repetition_gate filter). Pure codegen: one indexed "
+        "filter lambda over the token array, map-only, fuses into the "
+        "scan; emitted before/after counts quantify the shrink.",
+)
+def text_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", toks.alias("toks"))
+    # lambda i is 0-based, element_at is 1-based → element_at(toks, i) is
+    # the PREVIOUS token. greatest(i, 1) keeps the index legal under ANSI
+    # at i=0 without relying on OR short-circuit (the i==0 branch wins).
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: (i == 0) | (x != F.element_at(F.col("toks"), F.greatest(i, F.lit(1)))),
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_before"),
+        F.size(kept).cast("bigint").alias("n_after"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
