@@ -18,6 +18,7 @@ import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LOAD_AT_START = os.getloadavg()
 
 # Representative spread of the operator inventory: relational parity
 # (scan/filter/join/agg/window/pagination), the Kafka event projection,
@@ -97,12 +98,18 @@ def main() -> None:
                 print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Machine-state receipt: two consecutive driver rounds disagreed with
+    # idle-machine runs in opposite directions (±30% envelope, see
+    # BENCH_NOTES.md). loadavg at start+end makes driver-vs-builder
+    # deltas attributable to contention instead of guessed at.
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg_start": [round(x, 2) for x in LOAD_AT_START],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }))
     spark.stop()
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.operators.windows import SESSION_GAP_MIN
 from hyperswitch_data_backfill_spark.registry import register
 
 _EPOCH = "1970-01-01"
@@ -396,6 +397,87 @@ def seq_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seq.select(
         "user_id",
+        "n_events",
+        "seq",
+        F.col("seq").rlike(_FUNNEL_RE).alias("hit"),
+    )
+
+
+@register(
+    "seq_pattern_funnel_sessioned",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ), o AS (
+        SELECT user_id, us, event_id, event_type,
+               CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                    OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                       > {SESSION_GAP_MIN * 60 * 1_000_000}
+               THEN 1 ELSE 0 END AS is_new
+        FROM e
+    ), s AS (
+        SELECT *, CAST(SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_id
+        FROM o
+    ), g AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY us, event_id) AS seq,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_id, n_events, seq,
+           regexp_matches(seq, '{_FUNNEL_RE}') AS hit
+    FROM g
+    """,
+    doc="L10f session-scoped variant: sessionize first (win_session's "
+        "240-min gap rule, same lag + running-flag-sum plan), THEN build "
+        "the ordered type-string per (user, session) — the per-group "
+        "buffered sequence is bounded by session length, never by a "
+        "user's 100 TB lifetime history. This is the composition the "
+        "lifetime variant's docstring prescribes, made executable. Two "
+        "keyed exchanges (user_id for the session window, then its "
+        "(user_id, session_id) refinement for the agg — Catalyst cannot "
+        "prove the refinement co-located); both carry bounded groups.",
+)
+def seq_pattern_funnel_sessioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessioned_funnel(load_table(spark, sf_dir, "events"))
+
+
+def sessioned_funnel(ev: DataFrame) -> DataFrame:
+    """Core of seq_pattern_funnel_sessioned over any events-shaped frame
+    (user_id, event_id, event_type, ts) — split out so pytest can prove
+    the bounded-group property on a synthetic whale user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    seq = (
+        sess.select(
+            "user_id",
+            "session_id",
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")).alias("s"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["event_type"]
+                ),
+                ">",
+            ).alias("seq"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "session_id",
         "n_events",
         "seq",
         F.col("seq").rlike(_FUNNEL_RE).alias("hit"),

@@ -74,9 +74,12 @@ N_Z_BUCKETS_BITS = 8  # coarse bucket = top 8 Morton bits → 256 buckets
     "layout_zorder",
     oracle=f"""
     WITH raw AS (
+        -- BIGINT up front: (ra - min) * 2^16 overflows INT32 once the
+        -- custkey span exceeds ~32k (sf >= 0.2) — widen before the
+        -- multiply in BOTH engines so the arithmetic is identical
         SELECT o_orderkey,
-               o_custkey AS ra,
-               datediff('day', DATE '{_EPOCH}', o_orderdate) AS rb
+               CAST(o_custkey AS BIGINT) AS ra,
+               CAST(datediff('day', DATE '{_EPOCH}', o_orderdate) AS BIGINT) AS rb
         FROM orders
     ), d AS (
         -- normalize each dimension onto the full {Z_BITS}-bit range via
@@ -109,10 +112,14 @@ N_Z_BUCKETS_BITS = 8  # coarse bucket = top 8 Morton bits → 256 buckets
 )
 def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # bigint BEFORE the normalize multiply: (ra - min) * 2^16 overflows
+    # INT32 once the key span exceeds ~32k (oracle widened identically)
     raw = orders.select(
         "o_orderkey",
-        F.col("o_custkey").alias("ra"),
-        F.datediff(F.col("o_orderdate"), F.lit(_EPOCH).cast("date")).alias("rb"),
+        F.col("o_custkey").cast("bigint").alias("ra"),
+        F.datediff(F.col("o_orderdate"), F.lit(_EPOCH).cast("date"))
+        .cast("bigint")
+        .alias("rb"),
     )
     bounds = raw.agg(
         F.min("ra").alias("ra_min"),

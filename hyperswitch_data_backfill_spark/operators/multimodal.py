@@ -83,8 +83,12 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 pcm, rate = codecs.decode_wav(payload)
                 return f"wav:{pcm.shape[0]}x{pcm.shape[1]}@{rate}"
             return None  # raw/unknown container: dead-letter
-        except (NotImplementedError, ValueError):
-            return None  # per-format capability guard or corrupt payload
+        except Exception:
+            # per-format capability guard OR corrupt payload; corrupt
+            # containers raise format-library errors (zlib.error on bad
+            # IDAT, struct.error on truncated IHDR, wave.Error on bad
+            # RIFF) — all must dead-letter to NULL, never fail the task
+            return None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

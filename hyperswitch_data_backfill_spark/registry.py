@@ -43,73 +43,78 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The external correctness driver sweeps at most 50 queries per round, in
-# the order queries() yields them.  Rounds 1-2 covered the relational /
-# join / aggregate / window core (all green in CORRECTNESS_r01/r02); the
-# 53 remaining keys had zero driver evidence.  _DRIVER_WINDOW therefore
-# front-loads exactly 50 keys this round: the 49 never-swept oracle-backed
-# queries plus win_session (red in r1/r2 from a DuckDB HUGEINT-vs-BIGINT
-# oracle type bug, now fixed — needs a green re-check).  Evidence for the
-# already-green core persists from prior rounds.  Rotation policy: once a
-# key is driver-green AND its implementation is unchanged, it may drop out
-# of the window to make room for unswept or changed keys.
-# ROUND-4 ROTATION PLAN (written round 3): once CORRECTNESS_r03 lands
-# green for this window, rotate in the keys still without driver
-# evidence — the round-3 additions (multimodal_png_roundtrip,
-# multimodal_wav_roundtrip, json_variant_extract, layout_zorder) and
-# the 9 rows-only keys (driver records a rows-only check) — then fill
-# the remaining ~37 slots with the most load-bearing r1/r2-green keys
-# as a regression re-check (tpch_q3_topk, join_*, agg_*, win_* core).
+# the order queries() yields them.  Rotation policy: once a key is
+# driver-green AND its implementation is unchanged, it may drop out of
+# the window to make room for unswept or changed keys; every
+# oracle-backed key must be either in the window or green in a shipped
+# CORRECTNESS_r0*.json (enforced by tests/test_registry.py::
+# test_driver_window_covers_every_unproven_key).
+#
+# ROUND-4 WINDOW (executing the rotation planned in round 3 — r1/r2/r3
+# together are 101 distinct driver-hash-green keys, zero regressions):
+#   1. the 9 round-3 additions that have judge evidence only;
+#   2. round-4 additions (no evidence at all yet);
+#   3. the 5 rows-only keys the driver has never recorded (it logs a
+#      rows-only check for keys without oracle SQL);
+#   4. regression re-checks of the most load-bearing r1/r2-green core —
+#      prioritizing keys whose evidence predates the global Arrow
+#      batch-size conf change (dedup/pandas-UDF paths) plus the
+#      join/agg/window backbone everything composes on.
 _DRIVER_WINDOW: list[str] = [
-    "win_session",          # red r1/r2: oracle type bug fixed, re-verify first
-    "win_first_last",
-    "win_sliding",
-    "compact_latest",
-    "merge_upsert",
-    "scd2_intervals",
-    "parse_datetime_multi",
-    "json_extract",
-    "json_extract_agg",
-    "map_props_stats",      # oracle CAST fix this round — verify
-    "math_money",
-    "date_trunc_bucket",
-    "array_ops",
-    "emb_quantize_int8",
-    "emb_random_projection",  # oracle CAST fix this round — verify
-    "kafka_payload_shape",
-    "json_serialize",
-    "pipeline_backfill_job",
-    "text_tokens",
-    "text_stats",
-    "text_quality",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_token_count_bpe",
-    "pipeline_clean_corpus",
-    "text_tfidf",
-    "text_ngram_freq",
-    "text_length_quantile_gate",
-    "text_chunk_overlap",
-    "text_pii_redact",
-    "text_repetition_gate",
-    "decontam_ngram",
-    "sample_weighted_mix",
-    "pack_sequences",
-    "win_gap_islands",
-    "funnel_steps",
-    "retention_cohort",
-    "agg_corr_moments",
-    "agg_unpivot",
-    "profile_columns",
-    "multimodal_resize_mean",
-    "multimodal_frame_sample",
-    "multimodal_audio_rms",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_exact_hashkey",
-    "neardup_levenshtein",
-    "sim_exact_small",
-    "neardup_cosine",
-    "emb_centroid_per_label",
+    # -- 1. round-3 additions, judge-green only: need a driver row
+    "scd2_apply",
+    "layout_zorder",        # + round-4 bigint-overflow hardening: re-verify
+    "json_variant_extract",
+    "dedup_containment",
+    "join_asof_tolerance",
+    "seq_pattern_funnel",
+    "text_collapse_runs",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    # -- 2. round-4 additions: zero evidence yet
+    "seq_pattern_funnel_sessioned",
+    # -- 3. rows-only keys never swept by the driver
+    "sim_topk",
+    "sim_ivf",
+    "sim_ivf_trained",
+    "udf_decrypt",
+    "decontam_bloom",
+    # -- 4. regression re-checks (r1/r2 evidence, code churn since)
+    "tpch_q3_topk",
+    "join_broadcast",
+    "join_semi",
+    "join_smj",
+    "join_left",
+    "join_anti",
+    "join_asof",
+    "join_asof_forward",
+    "join_range",
+    "join_skew_salted",
+    "exists_subquery",
+    "scalar_subquery_avg",
+    "agg_group_count",
+    "agg_stats",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_salted_skew",
+    "agg_histogram",
+    "agg_mode",
+    "anomaly_zscore",
+    "win_rownum",
+    "win_lag",
+    "win_running_sum",
+    "win_tumbling",
+    "win_rank_stats",
+    "win_range_frame",
+    "dedup_exact",
+    "dedup_ngram_jaccard",  # pre-Arrow-conf evidence: re-verify under new conf
+    "sample_stable_split",
+    "sample_stratified_fixed",
+    "sort_by_key",
 ]
 
 

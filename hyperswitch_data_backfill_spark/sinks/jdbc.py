@@ -64,7 +64,18 @@ def write_jdbc(df: DataFrame, cfg: JdbcSinkConfig) -> None:
         .option("truncate", "true" if cfg.truncate else "false")
     )
     if cfg.user:
-        writer = writer.option("user", cfg.user).option("password", cfg.password)
+        writer = writer.option("user", cfg.user)
+        if cfg.password is not None:
+            writer = writer.option("password", cfg.password)
+        else:
+            # fail loudly at config time: a None passed through .option()
+            # reaches the JVM writer as null and errors opaquely (or
+            # silently sends no credential, depending on the driver)
+            raise ValueError(
+                f"JdbcSinkConfig: user {cfg.user!r} set without a password; "
+                "set password (resolve secrets via config.py) or drop user "
+                "for trusted-auth URLs"
+            )
     for k, v in cfg.options.items():
         writer = writer.option(k, v)
     writer.mode(cfg.mode).save()

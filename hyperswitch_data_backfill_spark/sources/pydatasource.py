@@ -18,9 +18,11 @@ the API:
 - ``pushFilters()`` (Spark 4.1) → equality/IN filters on the ``shard``
   column prune whole FILES on the driver (files are named
   ``shard=<n>-*.jsonl``), before any executor reads a byte — the Python
-  analogue of partition pruning. Residual filters are returned to Spark
-  and re-applied by the engine, so over-pruning is the only bug class
-  to guard (pytest covers it).
+  analogue of partition pruning. ALL filters (shard ones included) are
+  returned to Spark as residual and re-applied row-level, so pruning is
+  purely an optimization: dead-letter rows and rows from
+  unparseable-name files still honor the predicate (pytest covers both
+  over- and under-pruning).
 - ``read()`` runs in the Python worker per partition and yields tuples;
   Arrow batches them back to the JVM. Malformed lines follow the same
   dead-letter contract as sources/files.py: they surface as rows with
@@ -69,23 +71,29 @@ class OplogReader(DataSourceReader):
         self.shard_filter: set[int] | None = None
 
     def pushFilters(self, filters):
-        """Accept shard = <n> equality/IN filters (whole-file pruning);
-        everything else is returned as residual for Spark to re-apply."""
+        """Use shard = <n> equality/IN filters for whole-file pruning, but
+        return EVERY filter (shard ones included) as residual.
+
+        Keeping the shard filters in the residual set means Spark
+        re-applies them row-level after the scan, which matters for two
+        row classes the filename prune cannot see: dead-letter rows
+        (shard NULL from corrupt lines inside a kept file) and rows from
+        files whose names don't parse (kept conservatively by _files).
+        Consuming the filters instead would under-filter exactly those
+        rows — the inverse of the over-pruning bug class."""
         from pyspark.sql.datasource import EqualTo, In
 
-        residual = []
         for f in filters:
             if isinstance(f, EqualTo) and tuple(f.attribute) == ("shard",):
                 vals = {int(f.value)}
             elif isinstance(f, In) and tuple(f.attribute) == ("shard",):
                 vals = {int(v) for v in f.value}
             else:
-                residual.append(f)
                 continue
             self.shard_filter = (
                 vals if self.shard_filter is None else self.shard_filter & vals
             )
-        return iter(residual)
+        return iter(filters)
 
     def _files(self) -> list[str]:
         out = []

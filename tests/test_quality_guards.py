@@ -637,3 +637,41 @@ def test_containment_pairs_superset_of_jaccard(spark):
     cont = {(r["id_a"], r["id_b"]) for r in dedup_containment(spark, SF_DIR).collect()}
     assert jac, "no jaccard pairs — guard is vacuous"
     assert jac <= cont, "containment lost a jaccard pair"
+
+
+def test_sessioned_funnel_bounds_whale_user_groups(spark):
+    """The scale claim behind seq_pattern_funnel_sessioned, measured: a
+    whale user with a huge lifetime history but bounded sessions must
+    produce per-group sequences bounded by SESSION LENGTH — the lifetime
+    variant would buffer all events in one group."""
+    import datetime
+
+    from hyperswitch_data_backfill_spark.operators.analytics import sessioned_funnel
+    from hyperswitch_data_backfill_spark.operators.windows import SESSION_GAP_MIN
+
+    n_sessions, per_session = 40, 7
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for s in range(n_sessions):
+        start = base + datetime.timedelta(minutes=s * (SESSION_GAP_MIN + 60))
+        for i in range(per_session):
+            rows.append(
+                (
+                    "whale",
+                    eid,
+                    ["view", "click", "purchase"][i % 3],
+                    start + datetime.timedelta(seconds=i),
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_id long, event_type string, ts timestamp"
+    )
+    out = sessioned_funnel(ev).collect()
+    assert len(out) == n_sessions, "each gap-separated burst must be its own session"
+    assert max(r["n_events"] for r in out) == per_session, (
+        "per-group buffer must be bounded by session size, not lifetime "
+        f"history ({n_sessions * per_session} events)"
+    )
+    assert all(r["hit"] for r in out), "view>click>purchase runs inside every session"

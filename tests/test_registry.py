@@ -54,6 +54,30 @@ def test_driver_window_is_exactly_50_real_keys():
     assert not unknown, f"window names not in registry: {sorted(unknown)}"
 
 
+def test_driver_window_covers_every_unproven_key():
+    """Zero-regression invariant: every oracle-backed key must be either
+    (a) hash-green in a shipped CORRECTNESS_r0*.json, or (b) in the
+    current _DRIVER_WINDOW so this round's sweep will check it. A new
+    key can therefore never land without either a window slot or
+    recorded driver evidence."""
+    import json
+    from pathlib import Path
+
+    registry._load_all_operator_modules()
+    repo = Path(__file__).resolve().parent.parent
+    proven: set[str] = set()
+    for f in sorted(repo.glob("CORRECTNESS_r0*.json")):
+        for key, row in json.loads(f.read_text()).items():
+            if row.get("hash_match") and row.get("rows_match"):
+                proven.add(key)
+    oracle_backed = {n for n, q in registry.REGISTRY.items() if q.oracle is not None}
+    uncovered = oracle_backed - proven - set(registry._DRIVER_WINDOW)
+    assert not uncovered, (
+        f"oracle-backed keys with no driver evidence AND no window slot: "
+        f"{sorted(uncovered)} — add them to _DRIVER_WINDOW"
+    )
+
+
 def test_queries_yield_window_first_then_all():
     qs = registry.queries()
     names = list(qs)

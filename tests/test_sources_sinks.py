@@ -443,8 +443,10 @@ def test_python_datasource_oplog_reads_all_shards(spark, tmp_path):
 
 def test_python_datasource_filter_pushdown_prunes_files(spark, tmp_path):
     """Driver-side unit contract of pushFilters + partitions: a shard
-    equality filter must prune non-matching FILES; unsupported filters
-    come back as residuals for Spark to re-apply."""
+    equality filter must prune non-matching FILES, yet EVERY filter
+    (shard ones included) comes back as residual so Spark re-applies it
+    row-level — the guard against under-filtering dead-letter rows and
+    unparseable-name files."""
     from pyspark.sql.datasource import EqualTo, GreaterThan, In
 
     from hyperswitch_data_backfill_spark.sources.pydatasource import OplogReader
@@ -453,12 +455,9 @@ def test_python_datasource_filter_pushdown_prunes_files(spark, tmp_path):
     for s in range(4):
         _write_oplog(d, s, 4)
     reader = OplogReader({"path": d})
-    residual = list(
-        reader.pushFilters(
-            [EqualTo(("shard",), 2), GreaterThan(("amount",), 100)]
-        )
-    )
-    assert len(residual) == 1 and isinstance(residual[0], GreaterThan)
+    pushed = [EqualTo(("shard",), 2), GreaterThan(("amount",), 100)]
+    residual = list(reader.pushFilters(pushed))
+    assert residual == pushed, "all filters must be returned as residual"
     parts = reader.partitions()
     assert len(parts) == 1 and "shard=2-" in parts[0].path
 
@@ -485,6 +484,44 @@ def test_python_datasource_end_to_end_filter_correctness(spark, tmp_path):
     got = base.filter("shard = 1 AND amount >= 200").collect()
     assert len(got) == 6  # i in 2..7 → amount 200..700
     assert all(r["shard"] == 1 and r["amount"] >= 200 for r in got)
+
+
+def test_python_datasource_no_under_filtering(spark, tmp_path):
+    """The inverse bug class of over-pruning: with a shard predicate
+    active, rows the FILENAME prune cannot classify — dead-letter rows
+    (shard NULL from a corrupt line inside a kept file) and rows from
+    files with unparseable names — must still honor the predicate,
+    because the shard filters are returned as residual and re-applied
+    row-level by Spark."""
+    import json as _json
+
+    from hyperswitch_data_backfill_spark.sources.pydatasource import (
+        register_oplog_source,
+    )
+
+    d = str(tmp_path / "oplog")
+    _write_oplog(d, 1, 4, corrupt=True)  # kept file with a dead-letter line
+    _write_oplog(d, 2, 4)  # prunable non-matching file
+    # unparseable name → never pruned; contains shard-3 rows only
+    with open(f"{d}/legacy-dump.jsonl", "w", encoding="utf-8") as fh:
+        for i in range(3):
+            fh.write(
+                _json.dumps(
+                    {"op": "insert", "seq": i, "entity_id": i, "amount": i, "shard": 3}
+                )
+                + "\n"
+            )
+    register_oplog_source(spark)
+    base = spark.read.format("oplog").option("path", d).load()
+    got = base.filter("shard = 1").collect()
+    assert len(got) == 4 and all(r["shard"] == 1 for r in got), (
+        "residual re-apply must drop NULL-shard dead-letter rows and "
+        "unparseable-name files' rows from a shard-filtered read"
+    )
+    # and without a predicate the dead-letter + legacy rows still surface
+    allrows = base.collect()
+    assert sum(r["_corrupt_record"] is not None for r in allrows) == 1
+    assert sum(r["shard"] == 3 for r in allrows if r["shard"] is not None) == 3
 
 
 def test_python_datasource_stream_reader_offsets(tmp_path):
