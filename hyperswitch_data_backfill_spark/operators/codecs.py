@@ -55,22 +55,30 @@ def sniff(payload: bytes) -> str:
 # ---------------------------------------------------------------- PNG --
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """Paeth predictor (PNG spec §6.6), vectorized over a scanline."""
-    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
-
-
-def decode_png(payload: bytes) -> np.ndarray:
+def decode_png(payload: bytes, prefer_pil: bool = True) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG to (h, w) or (h, w, ch) uint8.
 
-    Pure stdlib: chunk walk -> zlib inflate -> per-scanline unfilter.
-    Filters 3 (Average) and 4 (Paeth) carry a serial dependency along the
-    scanline, so those lines fall back to a per-pixel loop; filters
-    0/1/2 (the common encoder output) stay vectorized.
-    """
+    Fast path: when PIL is importable (and ``prefer_pil``), decode via
+    its native C codec — per-pixel Python never touches the hot path.
+    Fallback is the pure-stdlib decoder below; pytest cross-checks the
+    two byte-identical on every filter type when PIL is present, so the
+    fallback stays honest."""
+    if prefer_pil and payload.startswith(PNG_MAGIC):
+        try:
+            from PIL import Image  # optional fast path, stdlib fallback below
+        except ImportError:
+            pass
+        else:
+            return np.asarray(Image.open(io.BytesIO(payload)))
+    return _decode_png_stdlib(payload)
+
+
+def _decode_png_stdlib(payload: bytes) -> np.ndarray:
+    """Pure stdlib PNG decode: chunk walk -> zlib inflate -> per-scanline
+    unfilter. Filters 0/2 are fully vectorized; Sub collapses to a
+    channel-wise prefix sum (cumsum mod 256); Average/Paeth carry a
+    genuinely serial in-scanline dependency and run as bounded pure-int
+    loops (inside one Arrow batch — slow path only, see decode_png)."""
     if not payload.startswith(PNG_MAGIC):
         raise ValueError("not a PNG payload")
     pos, w = len(PNG_MAGIC), None
@@ -110,27 +118,42 @@ def decode_png(payload: bytes) -> np.ndarray:
         if ftype == 0:  # None
             cur = line
         elif ftype == 1:  # Sub
-            cur = line.copy()
-            for x in range(ch, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+            # cur[x] = line[x] + cur[x-ch] is, per channel, a prefix sum
+            # of the deltas — cumsum in int64 then mod 256 is exact
+            cur = line
+            for c in range(ch):
+                cur[c::ch] = (
+                    np.cumsum(line[c::ch], dtype=np.int64) & 0xFF
+                ).astype(np.uint8)
         elif ftype == 2:  # Up
             cur = (line + prev).astype(np.uint8)
         elif ftype == 3:  # Average
-            cur = line.copy()
+            # serial along the scanline (left operand is the just-decoded
+            # pixel); pure-int Python list loop — no per-pixel numpy
+            # scalar overhead on the fallback path
+            vals = line.tolist()
+            up = prev.tolist()
             for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+                left = vals[x - ch] if x >= ch else 0
+                vals[x] = (vals[x] + ((left + up[x]) >> 1)) & 0xFF
+            cur = np.asarray(vals, dtype=np.uint8)
         elif ftype == 4:  # Paeth
-            cur = line.copy()
+            vals = line.tolist()
+            up = prev.tolist()
             for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                ul = int(prev[x - ch]) if x >= ch else 0
-                cur[x] = (
-                    cur[x]
-                    + _paeth(
-                        np.uint8(left), prev[x : x + 1][0], np.uint8(ul)
-                    )
-                ) & 0xFF
+                left = vals[x - ch] if x >= ch else 0
+                ul = up[x - ch] if x >= ch else 0
+                b = up[x]
+                p = left + b - ul
+                pa, pb, pc = abs(p - left), abs(p - b), abs(p - ul)
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = ul
+                vals[x] = (vals[x] + pred) & 0xFF
+            cur = np.asarray(vals, dtype=np.uint8)
         else:
             raise ValueError(f"PNG bad filter type {ftype}")
         out[y] = cur

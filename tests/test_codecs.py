@@ -18,7 +18,9 @@ from hyperswitch_data_backfill_spark.operators import codecs
 def test_png_roundtrip(shape, filter_type):
     rng = np.random.default_rng(hash(shape) % 2**32)
     img = rng.integers(0, 256, size=shape, dtype=np.uint8)
-    out = codecs.decode_png(codecs.encode_png(img, filter_type=filter_type))
+    # target the stdlib fallback explicitly — in a PIL environment the
+    # default path would silently bypass the decoder under test
+    out = codecs._decode_png_stdlib(codecs.encode_png(img, filter_type=filter_type))
     assert out.shape == img.shape
     assert (out == img).all()
 
@@ -63,7 +65,48 @@ def _manual_png(img: np.ndarray, ftypes: list[int]) -> bytes:
 def test_png_decode_average_and_paeth_filters():
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
-    assert (codecs.decode_png(_manual_png(img, [3, 4, 3, 4, 4, 3])) == img).all()
+    assert (
+        codecs._decode_png_stdlib(_manual_png(img, [3, 4, 3, 4, 4, 3])) == img
+    ).all()
+
+
+def test_png_pil_fast_path_matches_stdlib():
+    """When PIL is importable the default decode path is PIL's C codec;
+    this cross-check keeps the stdlib fallback byte-identical on every
+    filter type, so environments with and without PIL agree."""
+    pytest.importorskip("PIL")
+    rng = np.random.default_rng(13)
+    for shape in [(9, 4), (5, 6, 3), (4, 4, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in (0, 1, 2):
+            payload = codecs.encode_png(img, filter_type=ft)
+            assert (
+                codecs.decode_png(payload) == codecs._decode_png_stdlib(payload)
+            ).all()
+    gray = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    payload = _manual_png(gray, [3, 4, 3, 4, 4, 3])
+    assert (codecs.decode_png(payload) == codecs._decode_png_stdlib(payload)).all()
+
+
+def test_jpeg_roundtrip_when_pil_present():
+    """JPEG executable coverage (the most common real-world format):
+    encode via PIL at quality 100 / grayscale, decode through
+    codecs.decode_image, assert near-lossless recovery. Skips cleanly
+    where PIL is absent — there decode_image raises the per-format
+    capability error instead (test_decode_image_jpeg_requires_pil)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(64, 192, size=(16, 16), dtype=np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(img, mode="L").save(buf, format="JPEG", quality=100)
+    payload = buf.getvalue()
+    assert codecs.sniff(payload) == "jpeg"
+    out = codecs.decode_image(payload)
+    assert out.shape == img.shape
+    # JPEG is lossy even at q100 — bound the error instead of equality
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 8
 
 
 def test_png_unsupported_variants_fail_loudly():

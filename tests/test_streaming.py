@@ -639,3 +639,58 @@ def test_idempotent_writer_end_to_end_stream(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 200
     assert got.select("event_id").distinct().count() == 200
+
+
+def test_kafka_wire_roundtrip_against_real_broker(spark, tmp_path):
+    """The one reference behavior with no in-container executable
+    coverage: the Kafka sink ACTION against a real broker
+    (main.rs:146-153 -> payment_intent.rs:102-105). Opt-in integration
+    test: set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port on a cluster that
+    has the spark-sql-kafka connector; skips cleanly otherwise (this
+    container ships neither broker nor connector jar — the plan-level
+    seam is covered by the foreachBatch test above)."""
+    import os
+    import uuid
+
+    import pytest
+
+    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip("no broker: set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port")
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception:
+        pytest.skip("spark-sql-kafka connector jar not on the classpath")
+
+    from hyperswitch_data_backfill_spark.sinks.kafka import (
+        KafkaSinkConfig,
+        event_frame,
+        write_kafka,
+    )
+
+    topic = f"it-backfill-{uuid.uuid4().hex[:12]}"
+    src = spark.createDataFrame(
+        [(1, "m1", 100), (2, "m1", 250), (3, "m2", 975)],
+        "entity_id long, merchant_id string, amount long",
+    )
+    records = event_frame(src, ["merchant_id", "entity_id"], topic, "tenant-a")
+    expected = {
+        (r["key"], r["value"]) for r in records.collect()
+    }
+    write_kafka(records, KafkaSinkConfig(bootstrap_servers=bootstrap))
+
+    back = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+        )
+    )
+    got = {(r["key"], r["value"]) for r in back.collect()}
+    assert got == expected, "broker round-trip must preserve exact key/value pairs"
