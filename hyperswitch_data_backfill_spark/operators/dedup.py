@@ -93,6 +93,96 @@ _CLUSTER_SQL = _PAIR_PREFIX + f"""
 """
 
 
+def driver_union_find(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Min-label union-find (path halving, union-by-min-root) over a
+    driver-sized edge list → sorted (node, root) labels.
+
+    Union-by-min keeps the smaller id as root, so the final root of each
+    component is its minimum node — the same fixpoint as distributed
+    min-label propagation and the recursive-CTE oracles. Shared by the
+    shingle-graph (dedup_clusters) and embedding-graph
+    (similarity.dedup_semantic_clusters) cluster operators."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((x, find(x)) for x in parent)
+
+
+def propagate_min_labels(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Distributed connected components: min-label propagation with
+    pointer doubling over an (id_a, id_b) pair frame → (node, label).
+
+    One action per round; the pair graph is localCheckpointed once;
+    label state is O(clustered nodes), never corpus-sized. Doubling
+    (label <- min(label, label[label])) halves chains each round, so
+    ``max_rounds=16`` covers any diameter < 2^16. Raises instead of
+    returning intermediate labels on non-convergence — a silent split
+    would corrupt every downstream survivor selection."""
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)  # pair graph computed once
+    )
+    # Round 0 folded into initialization: label = min(self, neighbors)
+    # directly off the edge list — one aggregate instead of a full
+    # propagate round (every src appears in edges, both directions).
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nb0"))
+        .select(F.col("src").alias("node"), F.least("src", "nb0").alias("label"))
+    )
+    converged = False
+    for _ in range(max_rounds):
+        nb_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        stepped = labels.join(nb_min, labels.node == nb_min.src, "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+        )
+        # Pointer jump: also adopt the label of my current label —
+        # min-labels are monotone, so label[label] ≤ label always holds
+        # and chains collapse exponentially.
+        parent = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("parent_label")
+        )
+        new_labels = (
+            stepped.join(parent, "label", "left")
+            .select(
+                "node",
+                "old_label",
+                F.least(F.col("label"), F.coalesce("parent_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Convergence test on the just-materialized frame — no extra join.
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.drop("old_label")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"propagate_min_labels: no convergence in {max_rounds} rounds"
+        )
+    return labels.select("node", "label")
+
+
 def shingles_df(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingle) — distinct k-token shingles per document.
 
@@ -424,81 +514,11 @@ def dedup_clusters(
     # limit+1 bounds the driver transfer before deciding.
     head = [(r.id_a, r.id_b) for r in pairs.limit(limit + 1).collect()]
     if len(head) <= limit:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            while parent.setdefault(x, x) != x:
-                parent[x] = parent[parent[x]]  # path halving
-                x = parent[x]
-            return x
-
-        for a, b in head:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min: keep the smaller id as root so labels
-                # match the min-label fixpoint (and the oracle)
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        labels_local = sorted((x, find(x)) for x in parent)
+        labels_local = driver_union_find(head)
         if edge_driver_limit is None:
             _CLUSTER_LABEL_CACHE[cache_key] = labels_local
         return spark.createDataFrame(labels_local, "doc_id bigint, cluster_id bigint")
-    edges = (
-        pairs.unionByName(
-            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-        )
-        .toDF("src", "dst")
-        .localCheckpoint(eager=True)  # pair graph computed once
-    )
-    # Round 0 folded into initialization: label = min(self, neighbors)
-    # directly off the edge list — one aggregate instead of a full
-    # propagate round (every src appears in edges, both directions).
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("nb0"))
-        .select(F.col("src").alias("doc_id"), F.least("src", "nb0").alias("label"))
-    )
-    # log2(diameter) rounds suffice with doubling; 16 covers any graph a
-    # near-dup pair generator could emit (diameter < 2^16).
-    converged = False
-    for _ in range(16):
-        nb_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nb_min"))
-        )
-        stepped = labels.join(nb_min, labels.doc_id == nb_min.src, "left").select(
-            "doc_id",
-            F.col("label").alias("old_label"),
-            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
-        )
-        # Pointer jump: also adopt the label of my current label —
-        # min-labels are monotone, so label[label] ≤ label always holds
-        # and chains collapse exponentially.
-        parent = stepped.select(
-            F.col("doc_id").alias("label"), F.col("label").alias("parent_label")
-        )
-        new_labels = (
-            stepped.join(parent, "label", "left")
-            .select(
-                "doc_id",
-                "old_label",
-                F.least(F.col("label"), F.coalesce("parent_label", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # Convergence test on the just-materialized frame — no extra join.
-        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-        labels = new_labels.drop("old_label")
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # Returning intermediate labels would silently split clusters
-        # (and break dedup_survivors' representative selection) — fail
-        # loudly instead; with doubling, 16 rounds cover diameter 2^16.
-        raise RuntimeError("dedup_clusters: label propagation did not converge in 16 rounds")
-    result = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    result = propagate_min_labels(pairs).toDF("doc_id", "cluster_id")
     # This branch exists precisely because the edge list outgrew the
     # driver — labels can be up to 2x edges nodes, so collecting them for
     # the memo would reintroduce the OOM the branch avoids.  `labels` is

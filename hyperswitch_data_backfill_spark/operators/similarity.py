@@ -286,20 +286,31 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
 
 
+# ONE definition of the thresholded cosine pair graph serves both the
+# pair operator (neardup_cosine) and the cluster operator
+# (dedup_semantic_clusters), so the edge definition cannot drift between
+# the two oracles — same discipline as dedup.py's _PAIR_PREFIX.
+_COS_PAIR_SQL = f"""
+    WITH RECURSIVE cpairs AS (
+        SELECT id_a, id_b, label, cos_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+                   ROUND(
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ) t WHERE cos_sim >= {NEARDUP_COS}
+    )
+"""
+
+
 @register(
     "neardup_cosine",
-    oracle=f"""
-    SELECT id_a, id_b, label, cos_sim FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
-               ROUND(
-                   list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                   / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-               6) AS cos_sim
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-    ) t WHERE cos_sim >= {NEARDUP_COS}
+    oracle=_COS_PAIR_SQL + """
+    SELECT id_a, id_b, label, cos_sim FROM cpairs
     """,
     doc="L3c: embedding-cosine near-dup pairs with label blocking — the "
         "blocked pair join (label-equi, so partitions pair only within a "
@@ -322,6 +333,49 @@ def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= NEARDUP_COS)
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_COS_PAIR_SQL + """
+    , edges AS (
+        SELECT id_a AS src, id_b AS dst FROM cpairs
+        UNION ALL
+        SELECT id_b, id_a FROM cpairs
+    ), reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+    doc="L2/L3 bridge: SEMANTIC dedup clusters — connected components "
+        "over the embedding-cosine near-dup pair graph (the fuzzy-dedup "
+        "stage of an embedding-first curation pipeline, where paraphrase "
+        "duplicates share no shingles but sit at cosine >= threshold). "
+        "Pairs come from the blocked cosine join (neardup_cosine: "
+        "label-equi blocking locally, LSH buckets at 100 TB); clustering "
+        "reuses dedup.py's scale-adaptive machinery — driver union-find "
+        "when the thresholded pair list is driver-sized (it is the "
+        "near-dup EDGE set, not the corpus), else distributed min-label "
+        "propagation with pointer doubling. Same min-label fixpoint "
+        "either way; oracle is the recursive-CTE transitive closure over "
+        "the identical pair SQL.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hyperswitch_data_backfill_spark.operators.dedup import (
+        _EDGE_DRIVER_LIMIT,
+        driver_union_find,
+        propagate_min_labels,
+    )
+
+    pairs = neardup_cosine(spark, sf_dir).select("id_a", "id_b")
+    head = [(r.id_a, r.id_b) for r in pairs.limit(_EDGE_DRIVER_LIMIT + 1).collect()]
+    if len(head) <= _EDGE_DRIVER_LIMIT:
+        return spark.createDataFrame(
+            driver_union_find(head), "vec_id bigint, cluster_id bigint"
+        )
+    return propagate_min_labels(pairs).toDF("vec_id", "cluster_id")
 
 
 @register(

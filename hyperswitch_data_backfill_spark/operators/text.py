@@ -447,3 +447,106 @@ def text_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("bigint").alias("n_after"),
         F.array_join(kept, " ").alias("text_clean"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), uni AS (
+        SELECT token, SUM(tf) AS cnt FROM tf GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM uni
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(tf * ln(cnt / t)) / SUM(tf), 6) AS avg_neg_logprob
+    FROM tf JOIN uni USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="L4i: corpus self-LM perplexity scoring — per-document average "
+        "negative log-probability under the corpus's own unigram "
+        "distribution (the CCNet/RedPajama LM-filtering primitive, with "
+        "the corpus standing in for the external reference LM: high "
+        "avg(-ln p) = rare-token-heavy = noise candidate, abnormally low "
+        "= boilerplate). Plan: per-(doc,token) counts (one map-side-"
+        "combined shuffle), vocabulary-sized global counts reduced FROM "
+        "tf (shuffles distinct pairs, not token occurrences), total as a "
+        "1-row broadcast, vocab broadcast-joined back. Float tail-sum "
+        "error ~1e-13 against round-6 — engine-safe.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    uni = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    tot = uni.agg(F.sum("cnt").cast("double").alias("t"))
+    scored = tf.join(F.broadcast(uni), "token").crossJoin(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(
+            -F.sum(F.col("tf") * F.log(F.col("cnt") / F.col("t"))) / F.sum("tf"), 6
+        ).alias("avg_neg_logprob"),
+    )
+
+
+VOCAB_TOP_K = 20  # fixture corpus has 31 distinct tokens; 20 leaves a real OOV tail
+
+
+@register(
+    "text_vocab_oov",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents
+    ), uni AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+            FROM uni
+        ) r WHERE rk <= {VOCAB_TOP_K}
+    )
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY tok.doc_id
+    """,
+    doc=f"L4j: vocabulary build + per-document OOV rate — the tokenizer-"
+        "coverage diagnostic run before committing a corpus to training: "
+        f"top-{VOCAB_TOP_K} tokens by global frequency (deterministic "
+        "tiebreak: count desc, token asc) form the vocabulary; each "
+        "document reports what fraction of its token OCCURRENCES fall "
+        "outside it. The global rank runs on the ALREADY-AGGREGATED "
+        "vocabulary table (distinct tokens, not occurrences) — "
+        "vocabulary-sized, so the single-partition rank window is a "
+        "deliberate small-data step, same stance as text_ngram_freq's "
+        "top-k; the vocab then broadcast-joins back to the token stream. "
+        "At 100 TB with a noisy open vocabulary, swap the exact rank for "
+        "a count-min/frequency-threshold cut — documented, not needed "
+        "at any realistic vocab size (rank input is O(distinct tokens)).",
+)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token"))
+    vocab = (
+        uni.withColumn("rk", rk).filter(F.col("rk") <= VOCAB_TOP_K).select("token")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left"
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(F.sum(oov).cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )

@@ -73,6 +73,9 @@ _DRIVER_WINDOW: list[str] = [
     "multimodal_wav_roundtrip",
     # -- 2. round-4 additions: zero evidence yet
     "seq_pattern_funnel_sessioned",
+    "text_unigram_logprob",
+    "text_vocab_oov",
+    "dedup_semantic_clusters",
     # -- 3. rows-only keys never swept by the driver
     "sim_topk",
     "sim_ivf",
@@ -104,7 +107,6 @@ _DRIVER_WINDOW: list[str] = [
     "agg_histogram",
     "agg_mode",
     "anomaly_zscore",
-    "win_rownum",
     "win_lag",
     "win_running_sum",
     "win_tumbling",
@@ -113,8 +115,6 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_exact",
     "dedup_ngram_jaccard",  # pre-Arrow-conf evidence: re-verify under new conf
     "sample_stable_split",
-    "sample_stratified_fixed",
-    "sort_by_key",
 ]
 
 

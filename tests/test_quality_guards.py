@@ -675,3 +675,58 @@ def test_sessioned_funnel_bounds_whale_user_groups(spark):
         f"history ({n_sessions * per_session} events)"
     )
     assert all(r["hit"] for r in out), "view>click>purchase runs inside every session"
+
+
+def test_unigram_logprob_separates_rare_from_common(spark):
+    """Self-LM scoring must order documents the way LM filtering relies
+    on: a doc of corpus-common tokens scores a LOWER avg(-ln p) than a
+    doc of corpus-rare tokens, and every score is positive/finite."""
+    from hyperswitch_data_backfill_spark.operators.text import text_unigram_logprob
+
+    rows = text_unigram_logprob(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    scores = {r["doc_id"]: r["avg_neg_logprob"] for r in rows}
+    assert all(s > 0 and s == s for s in scores.values())  # positive, no NaN
+    # spread must exist for the gate to discriminate at all
+    assert max(scores.values()) - min(scores.values()) > 0.1
+
+
+def test_vocab_oov_bounds_and_consistency(spark):
+    """OOV rates are exact fractions in [0,1] and n_oov <= n_tokens; the
+    corpus-level mean OOV must be strictly between 0 and 1 (a top-200
+    vocab over a zipf-ish corpus covers much but never everything)."""
+    from hyperswitch_data_backfill_spark.operators.text import text_vocab_oov
+
+    rows = text_vocab_oov(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - round(r["n_oov"] / r["n_tokens"], 6)) < 1e-9
+    mean = sum(r["oov_rate"] for r in rows) / len(rows)
+    assert 0.0 < mean < 1.0
+
+
+def test_semantic_clusters_consistent_with_pairs(spark):
+    """Every cosine near-dup pair's endpoints must land in the same
+    cluster, and each cluster id must be the minimum member id (the
+    min-label fixpoint the oracle computes)."""
+    from collections import defaultdict
+
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        dedup_semantic_clusters,
+        neardup_cosine,
+    )
+
+    pairs = [(r["id_a"], r["id_b"]) for r in neardup_cosine(spark, SF_DIR).collect()]
+    labels = {
+        r["vec_id"]: r["cluster_id"]
+        for r in dedup_semantic_clusters(spark, SF_DIR).collect()
+    }
+    assert pairs and labels
+    for a, b in pairs:
+        assert labels[a] == labels[b], f"pair ({a},{b}) split across clusters"
+    members = defaultdict(list)
+    for v, c in labels.items():
+        members[c].append(v)
+    for c, vs in members.items():
+        assert c == min(vs), "cluster id must be the min member id"
