@@ -436,10 +436,11 @@ def seq_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the ordered type-string per (user, session) — the per-group "
         "buffered sequence is bounded by session length, never by a "
         "user's 100 TB lifetime history. This is the composition the "
-        "lifetime variant's docstring prescribes, made executable. Two "
-        "keyed exchanges (user_id for the session window, then its "
-        "(user_id, session_id) refinement for the agg — Catalyst cannot "
-        "prove the refinement co-located); both carry bounded groups.",
+        "lifetime variant's docstring prescribes, made executable. ONE "
+        "keyed exchange total: the (user_id, session_id) agg's clustered "
+        "distribution is satisfied by the window's hashpartitioning("
+        "user_id) — same-key rows are already co-located — so Catalyst "
+        "plans no second shuffle (pinned by test_plan_shape).",
 )
 def seq_pattern_funnel_sessioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessioned_funnel(load_table(spark, sf_dir, "events"))

@@ -474,18 +474,32 @@ def text_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the corpus standing in for the external reference LM: high "
         "avg(-ln p) = rare-token-heavy = noise candidate, abnormally low "
         "= boilerplate). Plan: per-(doc,token) counts (one map-side-"
-        "combined shuffle), vocabulary-sized global counts reduced FROM "
-        "tf (shuffles distinct pairs, not token occurrences), total as a "
-        "1-row broadcast, vocab broadcast-joined back. Float tail-sum "
-        "error ~1e-13 against round-6 — engine-safe.",
+        "combined shuffle; checkpointed so the LM branch and the probe "
+        "branch share ONE scan — without it Catalyst duplicates the "
+        "whole subtree and reads the corpus 6x, verified by .explain), "
+        "vocabulary-sized global counts reduced FROM tf (shuffles "
+        "distinct pairs, not token occurrences), the total attached by a "
+        "single-partition window over the VOCAB-sized aggregate (not the "
+        "corpus), vocab broadcast-joined back. Float tail-sum error "
+        "~1e-13 against round-6 — engine-safe.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # The stage table of this operator: both the LM (uni/total) branch
+    # and the scoring probe consume tf. At 100 TB this is the frame
+    # you'd land as a table; localCheckpoint is the in-session
+    # equivalent (same pattern as dedup_clusters' pair graph).
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     uni = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
-    tot = uni.agg(F.sum("cnt").cast("double").alias("t"))
-    scored = tf.join(F.broadcast(uni), "token").crossJoin(F.broadcast(tot))
+    uni_t = uni.withColumn(
+        "t", F.sum("cnt").over(Window.partitionBy()).cast("double")
+    )
+    scored = tf.join(F.broadcast(uni_t), "token")
     return scored.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("n_tokens"),
         F.round(

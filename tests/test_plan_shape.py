@@ -301,3 +301,44 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
     # partitions here — equality against the plain join proves no
     # over-pruning; the plan assertion above proves the mechanism
     assert j.count() == fact.join(dim, "o_orderstatus").count()
+
+
+def test_sessioned_funnel_single_shuffle(spark):
+    """groupBy(user_id, session_id) must reuse the session window's
+    hashpartitioning(user_id) — clustered distribution over a superset
+    key is satisfied, so exactly ONE exchange appears. A second exchange
+    would mean the sessionize-then-aggregate composition pays double."""
+    p = plan(spark, "seq_pattern_funnel_sessioned")
+    n_ex = sum(
+        1
+        for line in p.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line and "Reused" not in line
+    )
+    assert n_ex == 1, f"expected 1 exchange, found {n_ex}\n{p}"
+
+
+def test_unigram_logprob_single_corpus_scan(spark):
+    """The tf stage is checkpointed precisely so the LM branch and the
+    scoring probe share one corpus read: the post-checkpoint plan must
+    contain ZERO parquet scans (all branches read the materialized tf)
+    and no Python workers."""
+    p = plan(spark, "text_unigram_logprob")
+    assert "Scan parquet" not in p, f"corpus re-scan leaked past the checkpoint\n{p}"
+    assert "Python" not in p
+
+
+def test_vocab_oov_two_pass_broadcast_shape(spark):
+    """Canonical two-pass vocabulary shape: exactly two corpus scans
+    (one builds the vocab, one probes it), the vocab side reaching the
+    probe as a BROADCAST join (never a shuffle join of occurrences),
+    and the global rank window running AFTER the vocab-sized aggregate
+    (Window above HashAggregate, never over raw token occurrences)."""
+    p = plan(spark, "text_vocab_oov")
+    body = p.split("\n\n")[0]  # tree section only; details repeat node names
+    scans = sum("Scan parquet" in line for line in body.splitlines())
+    assert scans == 2, f"expected 2 corpus scans, found {scans}\n{p}"
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    tree = body.splitlines()
+    win_depth = next(i for i, l in enumerate(tree) if "Window" in l)
+    agg_below = any("HashAggregate" in l for l in tree[win_depth:])
+    assert agg_below, f"rank window must sit above the vocab aggregate\n{p}"
