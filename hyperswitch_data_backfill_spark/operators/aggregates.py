@@ -471,3 +471,103 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("_z")) > 2.5)
         .select("event_id", "user_id", "value", F.round("_z", 6).alias("z"))
     )
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+               AS avg_price
+    FROM orders
+    GROUP BY CAST(DATE_TRUNC('month', o_orderdate) AS DATE)
+    """,
+    doc="incremental aggregate maintenance — merge partial aggregates from "
+        "an existing rollup and a new delta batch instead of recomputing "
+        "the rollup from raw history. The engine path materializes per-"
+        "(month, batch) partials (count/decimal-sum/min/max — each "
+        "commutative and mergeable), then merges by re-aggregation: "
+        "sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes; avg is "
+        "DERIVED from merged sum/count, never averaged-of-averages. The "
+        "oracle recomputes from raw rows, so the merge is proven "
+        "indistinguishable from a full rebuild. At 100 TB this is the "
+        "daily-rollup pattern: the delta is the only raw data touched, "
+        "the rollup merge shuffles O(groups) not O(rows), and every "
+        "partial is a few bytes per group — the same algebra Spark's own "
+        "ObjectHashAggregate exploits map-side.",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # the pre-existing rollup (base) and tonight's delta, split disjointly
+    # by key exactly as an incremental pipeline would see them
+    month = F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    partials = (
+        orders.withColumn("batch", (F.col("o_orderkey") % 2).cast("int"))
+        .groupBy(month, F.col("batch"))
+        .agg(
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("p_sum"),
+            F.min("o_totalprice").alias("p_min"),
+            F.max("o_totalprice").alias("p_max"),
+        )
+    )
+    merged = partials.groupBy("month").agg(
+        F.sum("p_cnt").alias("cnt"),
+        F.sum("p_sum").cast("double").alias("total"),
+        F.min("p_min").alias("min_price"),
+        F.max("p_max").alias("max_price"),
+    )
+    return merged.select(
+        "month", "cnt", "total", "min_price", "max_price",
+        (F.col("total") / F.col("cnt")).alias("avg_price"),
+    )
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH freq AS (
+        SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ), stats AS (
+        SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean_cnt FROM freq
+    )
+    SELECT f.l_partkey, f.cnt
+    FROM freq f, stats s
+    WHERE f.cnt > 1.5 * s.mean_cnt
+    """,
+    doc="heavy-hitter detection — keys whose frequency exceeds 1.5x the "
+        "mean per-key frequency (hot-part skew diagnosis; the same probe "
+        "that decides when join_skew_salted / agg_salted_skew are worth "
+        "their salt). Exact two-pass plan: one partial-aggregating "
+        "shuffle builds the per-key frequency table (map-side combine "
+        "means shuffle traffic is O(distinct keys), not O(rows)); the "
+        "global mean is a single-row broadcast joined back codegen-side. "
+        "At 100 TB with a distinct-key set too large to re-scan, the "
+        "documented sketch path is Misra-Gries per partition + merge "
+        "(candidates are a superset; one exact re-count pass confirms) — "
+        "same two-shuffle budget, memory O(1/threshold).",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Materialize the frequency table once: both the mean branch and the
+    # filter branch consume it, and without the checkpoint Catalyst
+    # duplicates the whole scan+agg subtree into each (two raw scans —
+    # the text_unigram_logprob lesson). At 100 TB freq is the frame
+    # you'd land as a table; localCheckpoint is the in-session stand-in.
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    stats = freq.agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_cnt")
+    )
+    return (
+        freq.join(F.broadcast(stats))
+        .filter(F.col("cnt") > 1.5 * F.col("mean_cnt"))
+        .select("l_partkey", "cnt")
+    )

@@ -198,3 +198,74 @@ def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return untouched.unionByName(rebuilt)
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           n.o_orderstatus AS new_status, n.o_totalprice AS new_price,
+           o.o_orderstatus AS old_status, o.o_totalprice AS old_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice  IS DISTINCT FROM n.o_totalprice
+    """,
+    doc="C5: snapshot differencing — derive a CDC changelog "
+        "(insert/update/delete + before/after images) from two full "
+        "snapshots that share no change-tracking metadata. This is the "
+        "inverse of merge_upsert: the reference replays FROM a changelog "
+        "(main.rs:190-313); when upstream can only hand you nightly "
+        "snapshots, this operator manufactures that changelog. One "
+        "full-outer shuffle join keyed on the entity key with null-safe "
+        "column comparison; unchanged rows (the overwhelming majority of "
+        "a 100 TB snapshot pair) are dropped BEFORE any downstream work. "
+        "With both snapshots bucketed by key at write time the join is "
+        "Exchange-free, making daily diffs O(changed-rows) in shuffle "
+        "traffic.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    changed = (
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | ~F.col("o.o_orderstatus").eqNullSafe(F.col("n.o_orderstatus"))
+        | ~F.col("o.o_totalprice").eqNullSafe(F.col("n.o_totalprice"))
+    )
+    op = (
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+    )
+    return joined.filter(changed).select(
+        F.coalesce(F.col("n.o_orderkey"), F.col("o.o_orderkey")).alias("o_orderkey"),
+        op.alias("op"),
+        F.col("n.o_orderstatus").alias("new_status"),
+        F.col("n.o_totalprice").alias("new_price"),
+        F.col("o.o_orderstatus").alias("old_status"),
+        F.col("o.o_totalprice").alias("old_price"),
+    )

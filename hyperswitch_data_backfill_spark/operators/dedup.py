@@ -718,3 +718,63 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("containment", F.round(cont, 6))
         .filter(cont >= CONTAIN_THRESHOLD)
     )
+
+
+SPAN_K = 3  # span length for the duplicated-n-gram inventory
+SPAN_MIN_DOCS = 2
+
+
+@register(
+    "dedup_span_ngrams",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents),
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(tok) - {SPAN_K - 1})) AS i)
+    )
+    SELECT gram,
+           COUNT(DISTINCT doc_id) AS ndocs,
+           COUNT(*) AS occurrences
+    FROM g
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+    """,
+    doc="L2e: duplicated-span inventory — every token {SPAN_K}-gram that "
+        "appears in 2+ documents, with document frequency and total "
+        "occurrence count (the exact-substring census behind span-level "
+        "training-data dedup, Lee et al. 2022 'Deduplicating Training "
+        "Data Makes Language Models Better' — their suffix-array pass "
+        "answers the same question; at n-gram granularity it is a pure "
+        "aggregation). Positional grams (NOT per-doc distinct): "
+        "occurrences counts repeats inside one document too, which is "
+        "what a span-removal rewrite needs. Plan: the shingle fan-out "
+        "map-side, then one exact count-distinct (Spark expands to the "
+        "two-shuffle partial plan keyed on (gram, doc_id) then gram). "
+        "At 100 TB the HAVING gate is pushed into the final agg, and the "
+        "practical variants bound output by min-df > 2 or top-k by "
+        "occurrences; memory per reducer is O(1) either way.",
+)
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(spread, "doc_id").withColumn(
+        "_toks", F.split(F.col("text"), " ")
+    )
+    k = SPAN_K
+    grams = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("ndocs"),
+            F.count(F.lit(1)).alias("occurrences"),
+        )
+        .filter(F.col("ndocs") >= SPAN_MIN_DOCS)
+    )

@@ -413,3 +413,54 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("p_ts")).alias("p_ts"),
         F.when(fresh, F.col("p_value")).alias("p_value"),
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH act AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1995-06-30 23:59:59'
+        GROUP BY o_custkey
+    ), rich AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 5000.0
+    )
+    SELECT COALESCE(a.o_custkey, r.c_custkey) AS custkey,
+           a.n_orders, a.spend, r.c_name, r.c_acctbal
+    FROM act a FULL OUTER JOIN rich r ON a.o_custkey = r.c_custkey
+    """,
+    doc="J3d: full outer join — reconciliation between two independently "
+        "derived keyed sets (active-in-window spenders vs high-balance "
+        "customers), keeping unmatched rows from BOTH sides with NULLs on "
+        "the other. The one outer shape the inventory lacked. Both legs "
+        "shuffle on the same custkey, so the agg's Exchange is reused by "
+        "the join (one shuffle total on the fact side); broadcast is "
+        "ineligible for full-outer in Spark, which is exactly why the "
+        "plan-shape matters at 100 TB: co-partitioned storage (bucketed "
+        "by key) makes the reconciliation Exchange-free.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    act = (
+        orders.filter(
+            F.col("o_orderdate").between("1995-01-01 00:00:00", "1995-06-30 23:59:59")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+    rich = cust.filter(F.col("c_acctbal") > 5000.0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    return act.join(rich, act.o_custkey == rich.c_custkey, "full_outer").select(
+        F.coalesce(act.o_custkey, rich.c_custkey).alias("custkey"),
+        "n_orders", "spend", "c_name", "c_acctbal",
+    )

@@ -319,3 +319,35 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="distribution window functions — ntile/percent_rank/cume_dist per "
+        "status partition (quartile bucketing for spend-tier segmentation, "
+        "the window shapes the inventory lacked). Deterministic total order "
+        "inside each partition via the (o_totalprice, o_orderkey) tiebreak, "
+        "so rank-derived doubles are bit-identical across engines (rounded "
+        "at 9dp as a belt). One shuffle on o_orderstatus; at 100 TB a "
+        "3-value partition key is the textbook skew case — the scale path "
+        "is two-phase: per-(status, salt) local histograms, then a "
+        "broadcast CDF merge, same shape as agg_salted_skew.",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )

@@ -76,6 +76,12 @@ _DRIVER_WINDOW: list[str] = [
     "text_unigram_logprob",
     "text_vocab_oov",
     "dedup_semantic_clusters",
+    "join_full_outer",
+    "win_ntile",
+    "cdc_snapshot_diff",
+    "agg_incremental_merge",
+    "agg_heavy_hitters",
+    "dedup_span_ngrams",
     # -- 3. rows-only keys never swept by the driver
     "sim_topk",
     "sim_ivf",
@@ -93,11 +99,8 @@ _DRIVER_WINDOW: list[str] = [
     "join_asof_forward",
     "join_range",
     "join_skew_salted",
-    "exists_subquery",
-    "scalar_subquery_avg",
     "agg_group_count",
     "agg_stats",
-    "agg_distinct",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
@@ -105,16 +108,17 @@ _DRIVER_WINDOW: list[str] = [
     "agg_pivot",
     "agg_salted_skew",
     "agg_histogram",
-    "agg_mode",
     "anomaly_zscore",
-    "win_lag",
     "win_running_sum",
     "win_tumbling",
     "win_rank_stats",
     "win_range_frame",
     "dedup_exact",
     "dedup_ngram_jaccard",  # pre-Arrow-conf evidence: re-verify under new conf
-    "sample_stable_split",
+    # (rotated out to make room for the six round-4 additions above:
+    #  exists_subquery, scalar_subquery_avg, agg_distinct, agg_mode,
+    #  win_lag, sample_stable_split — all r1/r2-green, pure-codegen,
+    #  implementation untouched since their evidence was recorded)
 ]
 
 
