@@ -571,3 +571,72 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > 1.5 * F.col("mean_cnt"))
         .select("l_partkey", "cnt")
     )
+
+
+# Count-min sketch geometry: d independent hash rows × w counters.
+# Hashes are engine-neutral integer arithmetic ((k*a+b) mod p) mod w —
+# NOT xxhash — precisely so the whole sketch is oracle-replayable.
+_CM_P = 2147483647
+_CM_W = 256
+_CM_HASHES = [(0, 999983, 12345), (1, 999979, 54321), (2, 999961, 7777), (3, 999959, 31337)]
+
+
+@register(
+    "agg_countmin",
+    oracle=f"""
+    WITH h(i, a, b) AS (VALUES {", ".join(f"({i},{a},{b})" for i, a, b in _CM_HASHES)}),
+    hashed AS (
+        SELECT l_partkey, h.i,
+               ((l_partkey * h.a + h.b) % {_CM_P}) % {_CM_W} AS pos
+        FROM lineitem CROSS JOIN h
+    ),
+    sketch AS (SELECT i, pos, COUNT(*) AS cnt FROM hashed GROUP BY i, pos),
+    probe AS (SELECT DISTINCT l_partkey FROM lineitem),
+    ph AS (
+        SELECT p.l_partkey, h.i,
+               ((p.l_partkey * h.a + h.b) % {_CM_P}) % {_CM_W} AS pos
+        FROM probe p CROSS JOIN h
+    )
+    SELECT ph.l_partkey, MIN(s.cnt) AS est
+    FROM ph JOIN sketch s USING (i, pos)
+    GROUP BY ph.l_partkey
+    """,
+    doc="A13: count-min sketch — build a d=4 × w=256 counter grid over "
+        "the key stream, then answer per-key frequency estimates as the "
+        "min over the d counters. est >= true always (no false "
+        "negatives); overestimate bounded by collision mass, shrinking "
+        "as w grows. The sketch itself is the 100 TB story: counters "
+        "are commutative partial sums, so the full sketch is O(d*w) "
+        "bytes per partition, merges by addition, and the only "
+        "full-data shuffle carries (i, pos) partial counts — "
+        "independent of the number of distinct keys (contrast "
+        "agg_heavy_hitters' exact O(distinct) table). Hash rows use "
+        "engine-neutral modular arithmetic, so unlike most sketch "
+        "implementations this one is fully oracle-hashable.",
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    hashes = [
+        F.struct(
+            F.lit(i).alias("i"),
+            (((F.col("l_partkey") * a + b) % _CM_P) % _CM_W).alias("pos"),
+        )
+        for i, a, b in _CM_HASHES
+    ]
+    sketch = (
+        li.select("l_partkey", F.explode(F.array(*hashes)).alias("h"))
+        .select("h.i", "h.pos")
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe = (
+        li.select("l_partkey")
+        .distinct()
+        .select("l_partkey", F.explode(F.array(*hashes)).alias("h"))
+        .select("l_partkey", "h.i", "h.pos")
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["i", "pos"])
+        .groupBy("l_partkey")
+        .agg(F.min("cnt").alias("est"))
+    )

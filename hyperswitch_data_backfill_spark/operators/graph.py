@@ -1,0 +1,138 @@
+"""Graph analytics over relational edge lists — SURVEY §2.11 extension.
+
+The reference has no graph surface; connected components already exist
+for dedup clustering (operators/dedup.py `propagate_min_labels`). This
+module adds the other canonical iterative-graph primitive, PageRank,
+expressed as a fixed number of unrolled DataFrame join+aggregate
+rounds — the Pregel pattern without a graph framework.
+
+Determinism contract: ranks are kept in integer micro-units (bigint)
+and every per-edge contribution is `floor(rank / degree)` — pure
+integer-in, integer-out arithmetic whose intermediate double divisions
+are exact (all operands < 2^53), so Spark and DuckDB produce
+bit-identical ranks and the operator is fully oracle-hashable despite
+being iterative. The truncation loses ≤ degree micro-units per node
+per round (bounded, deterministic) — the standard fixed-point PageRank
+formulation used when cross-platform reproducibility matters.
+
+Scale shape (100 TB): the edge list with degrees is materialized ONCE
+(localCheckpoint — the in-session stand-in for landing the adjacency
+table) and re-joined each round; each iteration is one shuffle join
+edges⋈ranks on src plus one aggregation by dst — both keyed on node
+id, so bucketed adjacency storage makes every round Exchange-free on
+the edge side. Rounds are a fixed small constant (power iteration
+converges geometrically at damping 0.85); memory per round is
+O(nodes), never O(edges), on the rank side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.registry import register
+
+PR_ITER = 3
+PR_BASE = 1_000_000  # initial rank in micro-units
+PR_OFFSET = 1_000_000_000  # part-node id offset to disjoin key spaces
+
+
+def _pagerank_oracle(iters: int = PR_ITER) -> str:
+    """Chained-CTE DuckDB replay of the exact integer arithmetic."""
+    sql = f"""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS src,
+               {PR_OFFSET} + l.l_partkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), bidir AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+    ), deg AS (
+        SELECT src AS node, COUNT(*) AS deg FROM bidir GROUP BY src
+    ), r0 AS (
+        SELECT node, CAST({PR_BASE} AS BIGINT) AS pr FROM deg
+    )"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (
+        SELECT b.dst AS node,
+               SUM(CAST(FLOOR(r.pr / d.deg) AS BIGINT)) AS contrib
+        FROM bidir b
+        JOIN {prev} r ON b.src = r.node
+        JOIN deg d ON b.src = d.node
+        GROUP BY b.dst
+    ),
+    r{i} AS (
+        SELECT d.node,
+               CAST({PR_BASE} * 15 / 100 AS BIGINT)
+               + CAST(FLOOR(COALESCE(c.contrib, 0) * 85 / 100.0) AS BIGINT) AS pr
+        FROM deg d LEFT JOIN c{i} c ON d.node = c.node
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT node, pr FROM {prev}
+    """
+    return sql
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=f"G1: fixed-point PageRank ({PR_ITER} unrolled power-iteration "
+        "rounds, damping 0.85) over the bipartite customer↔part "
+        "co-purchase graph derived from orders⋈lineitem, made "
+        "undirected by mirroring edges. Integer micro-unit ranks with "
+        "floor'd contributions make an ITERATIVE graph algorithm fully "
+        "oracle-hashable — the oracle replays the identical arithmetic "
+        "through chained CTEs. Adjacency+degree materialized once "
+        "(checkpoint), each round = one join + one agg, both keyed on "
+        "node id.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(PR_OFFSET) + F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bidir = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Adjacency with degree — the frame every round re-reads. Checkpoint
+    # once or Catalyst re-derives the orders⋈lineitem subtree per round
+    # (2·ITER raw scans; same lesson as agg_heavy_hitters).
+    adj = (
+        bidir.join(
+            bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "src"
+        ).localCheckpoint(eager=True)
+    )
+    ranks = adj.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(PR_BASE).cast("bigint").alias("pr")
+    )
+    base = int(PR_BASE * 15 / 100)
+    for _ in range(PR_ITER):
+        contrib = (
+            adj.join(ranks, adj.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.floor(F.col("pr") / F.col("deg")).cast("bigint").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(F.coalesce(F.col("contrib"), F.lit(0)) * 85 / 100.0)
+                    .cast("bigint")
+                ).alias("pr"),
+            )
+        )
+    return ranks

@@ -82,7 +82,10 @@ _DRIVER_WINDOW: list[str] = [
     "agg_incremental_merge",
     "agg_heavy_hitters",
     "dedup_span_ngrams",
+    "graph_pagerank",
+    "agg_countmin",
     # -- 3. rows-only keys never swept by the driver
+    "emb_pq_quantize",
     "sim_topk",
     "sim_ivf",
     "sim_ivf_trained",
@@ -96,14 +99,11 @@ _DRIVER_WINDOW: list[str] = [
     "join_left",
     "join_anti",
     "join_asof",
-    "join_asof_forward",
     "join_range",
     "join_skew_salted",
     "agg_group_count",
     "agg_stats",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_percentile",
     "agg_pivot",
     "agg_salted_skew",
@@ -115,10 +115,11 @@ _DRIVER_WINDOW: list[str] = [
     "win_range_frame",
     "dedup_exact",
     "dedup_ngram_jaccard",  # pre-Arrow-conf evidence: re-verify under new conf
-    # (rotated out to make room for the six round-4 additions above:
+    # (rotated out to make room for the nine round-4 additions above:
     #  exists_subquery, scalar_subquery_avg, agg_distinct, agg_mode,
-    #  win_lag, sample_stable_split — all r1/r2-green, pure-codegen,
-    #  implementation untouched since their evidence was recorded)
+    #  win_lag, sample_stable_split, join_asof_forward, agg_cube,
+    #  agg_grouping_sets — all r1/r2-green, pure-codegen, implementation
+    #  untouched since their evidence was recorded)
 ]
 
 
@@ -171,6 +172,7 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.operators.text  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.corpus  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.analytics  # noqa: F401
+    import hyperswitch_data_backfill_spark.operators.graph  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.multimodal  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.dedup  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.similarity  # noqa: F401

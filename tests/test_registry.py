@@ -25,6 +25,9 @@ SANCTIONED_ROWS_ONLY = {
     "sim_ivf",               # IVF ANN — recall floor vs exact baseline
     "sim_ivf_trained",       # KMeans-trained IVF — recall floor
     "udf_decrypt",           # ciphertext/nonce output; round-trip pytest
+    "emb_pq_quantize",       # PQ codes = float argmin vs float codebook —
+    #   not oracle-replayable; pytest pins code range, idempotence, and
+    #   recon-MSE beating the rank-0 (global-mean) quantizer
     "decontam_bloom",        # Bloom FPs drop extra clean docs — output is
     #   hash-incomparable to an exact engine; pytest proves survivors are
     #   a subset of decontam_ngram's with zero false negatives

@@ -134,3 +134,62 @@ def test_ntile_quartiles_balanced_and_ordered(spark):
         if r.o_orderstatus in prev:
             assert r.lo >= prev[r.o_orderstatus]
         prev[r.o_orderstatus] = r.hi
+
+
+def test_pagerank_mass_and_determinism(spark):
+    from hyperswitch_data_backfill_spark.operators.graph import PR_BASE, PR_OFFSET
+
+    pr = REGISTRY["graph_pagerank"].fn(spark, SF_DIR)
+    rows = pr.collect()
+    n = len(rows)
+    total = sum(r.pr for r in rows)
+    # fixed-point truncation only LOSES mass: total <= initial mass,
+    # but the damping floor keeps every node at >= 15% of base
+    assert total <= n * PR_BASE
+    assert all(r.pr >= PR_BASE * 15 // 100 for r in rows)
+    # bipartite id spaces must not collide
+    custs = [r for r in rows if r.node < PR_OFFSET]
+    parts = [r for r in rows if r.node >= PR_OFFSET]
+    assert custs and parts
+    # determinism: a second build is bit-identical (integer arithmetic)
+    again = {r.node: r.pr for r in REGISTRY["graph_pagerank"].fn(spark, SF_DIR).collect()}
+    assert {r.node: r.pr for r in rows} == again
+
+
+def test_countmin_never_underestimates(spark):
+    est = {r.l_partkey: r.est for r in REGISTRY["agg_countmin"].fn(spark, SF_DIR).collect()}
+    li = load_table(spark, SF_DIR, "lineitem")
+    true = {
+        r.l_partkey: r.cnt
+        for r in li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true), "count-min must never underestimate"
+    # overestimate bounded: mean relative error small at this load factor
+    rel = sum((est[k] - true[k]) / true[k] for k in true) / len(true)
+    assert rel < 2.0, rel
+
+
+def test_pq_quantize_quality(spark):
+    import numpy as np
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        PQ_K, PQ_M, _pq_codebook,
+    )
+
+    out = REGISTRY["emb_pq_quantize"].fn(spark, SF_DIR).collect()
+    assert out
+    for r in out[:50]:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+        assert r.recon_mse >= 0
+    # PQ (per-subspace codebook) must beat the best single global
+    # centroid: recon MSE < MSE of quantizing everything to the mean
+    emb = load_table(spark, SF_DIR, "embeddings")
+    vecs = np.stack([np.array(r.embedding) for r in emb.collect()])
+    mean_vec = vecs.mean(axis=0)
+    mse_rank0 = float(((vecs - mean_vec) ** 2).mean())
+    mean_pq = sum(r.recon_mse for r in out) / len(out)
+    assert mean_pq < mse_rank0, (mean_pq, mse_rank0)
+    # encode is deterministic / idempotent
+    again = {r.vec_id: tuple(r.codes) for r in REGISTRY["emb_pq_quantize"].fn(spark, SF_DIR).collect()}
+    assert {r.vec_id: tuple(r.codes) for r in out} == again
