@@ -640,3 +640,47 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+EQUIDEPTH_BUCKETS = 16
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               NTILE({EQUIDEPTH_BUCKETS}) OVER (
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS bucket
+        FROM orders
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM ranked GROUP BY bucket
+    """,
+    doc="Equi-depth (equi-height) histogram — the optimizer-statistics "
+        "histogram ANALYZE builds (equal row counts per bucket, "
+        "variable-width bounds), complementing agg_histogram's "
+        "equi-WIDTH buckets. NTILE over (price, orderkey) makes the "
+        "tie-break total, so bucket bounds are deterministic and the "
+        "oracle replays them exactly. The fixture uses the exact "
+        "single-ordering NTILE; at 100 TB the production path is the "
+        "mergeable-sketch twin (agg_approx_percentile's KLL quantiles "
+        "at k/16 ranks) — same duality this module already documents "
+        "for exact vs approx percentiles.",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket"),
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )

@@ -483,3 +483,141 @@ def sessioned_funnel(ev: DataFrame) -> DataFrame:
         "seq",
         F.col("seq").rlike(_FUNNEL_RE).alias("hit"),
     )
+
+
+@register(
+    "win_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+               epoch_us(ts) AS us,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(next_us - us) AS BIGINT) AS held_us,
+           CAST(SUM(v_cents * (next_us - us)) // SUM(next_us - us)
+                AS BIGINT) AS twa_cents
+    FROM seq WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(next_us - us) > 0
+    """,
+    doc="Time-weighted average (TimescaleDB time_weight / last-"
+        "observation-carried-forward integral): each event's value "
+        "holds until the user's next event; twa = Σ(value·Δt)/Σ(Δt). "
+        "All arithmetic integer (value cents × microsecond holds; the "
+        "per-user sum is bounded by max_cents × corpus_time_span_us "
+        "≈ 1.6e18 < 2^63 at ANY row count, since spans don't grow "
+        "with data volume — a longer-horizon deployment promotes the "
+        "sum to decimal(38,0), same plan) and the final division is "
+        "integral `div` — bit-identical across engines (DuckDB's "
+        "HUGEINT sum `//` matches Spark's bigint div on positive "
+        "operands). Plan: one user_id shuffle for the LEAD window, then "
+        "the aggregate REUSES that partitioning (no second Exchange — "
+        "same keyed-window-then-agg shape as win_gap_islands). The "
+        "canonical irregular-time-series → per-entity summary op for "
+        "metering/billing pipelines.",
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dt = F.col("next_us") - F.col("us")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dt).cast("bigint").alias("held_us"),
+            F.expr("CAST(SUM(v_cents * (next_us - us)) div SUM(next_us - us) AS BIGINT)").alias(
+                "twa_cents"
+            ),
+        )
+        .filter(F.col("held_us") > 0)
+    )
+
+
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+@register(
+    "attr_last_touch",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_id END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch_event_id,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch_us
+        FROM events
+    )
+    SELECT user_id, event_id AS purchase_event_id,
+           CASE WHEN us - touch_us <= {ATTR_WINDOW_US}
+                THEN touch_event_id END AS touch_event_id,
+           CASE WHEN us - touch_us <= {ATTR_WINDOW_US}
+                THEN touch_type ELSE 'direct' END AS touch_type,
+           CASE WHEN us - touch_us <= {ATTR_WINDOW_US}
+                THEN CAST(us - touch_us AS BIGINT) END AS lag_us
+    FROM seq WHERE event_type = 'purchase'
+    """,
+    doc="Last-touch attribution: each purchase is credited to the most "
+        "recent preceding non-purchase event by the same user within a "
+        "7-day lookback, else 'direct' — the standard marketing-"
+        "attribution join. Implemented as ONE pass: last(·, ignorenulls) "
+        "over a running frame carries the latest touch alongside every "
+        "event (the as-of-join-within-one-table shape join_asof also "
+        "uses), so there is exactly one user_id shuffle and no self-"
+        "join — at 100 TB the naive events⋈events formulation would "
+        "shuffle the table twice and explode on whale users; this "
+        "carries O(1) state per row instead.",
+)
+def attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.last(F.when(not_purchase, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(not_purchase, us), ignorenulls=True).over(w).alias("touch_us"),
+    )
+    in_window = (F.col("us") - F.col("touch_us")) <= ATTR_WINDOW_US
+    return seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.when(in_window, F.col("touch_event_id")).alias("touch_event_id"),
+        F.when(in_window, F.col("touch_type")).otherwise(F.lit("direct")).alias("touch_type"),
+        F.when(in_window, (F.col("us") - F.col("touch_us")).cast("bigint")).alias("lag_us"),
+    )

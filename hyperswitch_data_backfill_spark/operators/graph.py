@@ -136,3 +136,61 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), e AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    ), tri AS (
+        SELECT e1.u, e1.v, e2.v AS w
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+    doc="Exact triangle counting over the supplier co-supply graph "
+        "(suppliers sharing a part) — the clustering-coefficient / "
+        "community-density primitive, and the second canonical "
+        "distributed-graph op after PageRank. Uses the ordered-edge "
+        "orientation (u<v<w): every edge stored low→high, wedges built "
+        "by joining edge lists on the middle vertex, closed by a third "
+        "hash join — the Cohen MapReduce formulation whose wedge count "
+        "is Σ deg_out·deg_in, minimized at scale by orienting edges "
+        "from low- to high-DEGREE endpoints (documented alternative; "
+        "id-orientation keeps the oracle exact here). Projection first "
+        "DEDUPES (part,supplier) pairs map-side, so the pair-join fan-"
+        "out is bounded by per-part supplier counts (the J6 skew-cap "
+        "pattern would clamp a pathological part).",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a = ps.alias("a")
+    b = ps.alias("b")
+    # the edge list feeds three join legs — materialize it ONCE
+    # (localCheckpoint = the in-session stand-in for landing the edge
+    # table; without it Catalyst re-runs the pair-join per leg)
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+    )
+    edges_ct = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    tri_ct = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return edges_ct.crossJoin(tri_ct)

@@ -1,0 +1,281 @@
+"""Lakehouse table-maintenance operators — SURVEY §2.12 extension.
+
+The reference backfills Postgres rows into Kafka (`main.rs:190-313`) and
+stops there; a production lake on the receiving end immediately needs
+the table-service layer every Delta/Iceberg/Hudi deployment runs:
+zone-map statistics for scan pruning, small-file compaction planning,
+referential-integrity auditing across the backfilled tables, and
+changelog (CDC insert/update/delete) application onto a snapshot. Each
+is expressed as a pure DataFrame plan with an exact DuckDB oracle.
+
+Scale shape: all four operate on either (a) file/chunk *metadata*
+(zonemap, bin-pack — cardinality O(num_files), tiny even when the data
+is 100 TB) or (b) one key-partitioned shuffle per input table
+(integrity audit, CDC apply) with map-side partial aggregation and
+broadcast where one side is dimension-sized. No windows over
+unpartitioned data except the bin-pack manifest cumsum, which runs on
+file-count-sized input by construction (documented below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.registry import register
+
+# Zone-map chunk width: models one parquet row-group / data file worth
+# of rows keyed by a monotone ingest key (o_orderkey).
+ZONE_CHUNK = 1024
+# Pruning probe predicate bounds (cents) used by layout_zonemap.
+ZONE_LO_CENTS = 5_000_000   # 50_000.00
+ZONE_HI_CENTS = 6_000_000   # 60_000.00
+
+# Bin-pack: modeled bytes per order row and target compacted file size.
+PACK_ROW_BYTES = 128
+PACK_TARGET_BYTES = 65_536
+
+
+@register(
+    "layout_zonemap",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT CAST(FLOOR(o_orderkey / {ZONE_CHUNK}) AS BIGINT) AS chunk_id,
+               COUNT(*) AS n_rows,
+               MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS min_price_cents,
+               MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_price_cents,
+               MIN(CAST(o_orderdate AS DATE)) AS min_day,
+               MAX(CAST(o_orderdate AS DATE)) AS max_day
+        FROM orders GROUP BY 1
+    )
+    SELECT chunk_id, n_rows, min_price_cents, max_price_cents, min_day, max_day,
+           (max_price_cents >= {ZONE_LO_CENTS}
+            AND min_price_cents <= {ZONE_HI_CENTS}) AS may_contain
+    FROM chunks
+    """,
+    doc="Zone-map (min/max per chunk) statistics build + pruning probe — "
+        "the Delta/Iceberg file-statistics primitive behind data "
+        "skipping. Chunk id models a row-group of the monotone ingest "
+        "key; one map-side-combined groupBy (min/max/count are all "
+        "algebraic partials), output cardinality = number of chunks, "
+        "i.e. file-manifest-sized. `may_contain` replays the planner's "
+        "interval-overlap test for a price-range predicate: at 100 TB "
+        "the scan reads only chunks with may_contain=true — the "
+        "selectivity of this very probe is what the driver's pruning "
+        "stats would report.",
+)
+def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_orderkey") / ZONE_CHUNK).cast("bigint").alias("chunk_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(cents).alias("min_price_cents"),
+            F.max(cents).alias("max_price_cents"),
+            F.min(F.to_date("o_orderdate")).alias("min_day"),
+            F.max(F.to_date("o_orderdate")).alias("max_day"),
+        )
+        .withColumn(
+            "may_contain",
+            (F.col("max_price_cents") >= ZONE_LO_CENTS)
+            & (F.col("min_price_cents") <= ZONE_HI_CENTS),
+        )
+    )
+
+
+@register(
+    "compact_bin_pack",
+    oracle=f"""
+    WITH files AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) * {PACK_ROW_BYTES} AS BIGINT) AS file_bytes
+        FROM orders GROUP BY 1
+    ), placed AS (
+        SELECT day, file_bytes,
+               CAST(FLOOR(
+                   COALESCE(SUM(file_bytes) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {PACK_TARGET_BYTES}
+               ) AS BIGINT) AS bin_id
+        FROM files
+    )
+    SELECT day, file_bytes, bin_id,
+           CAST(SUM(file_bytes) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_bytes
+    FROM placed
+    """,
+    doc="Small-file compaction planner (OPTIMIZE bin-packing): one "
+        "modeled file per ingest day, packed into target-size output "
+        "files by cumulative-bytes bucketing — the deterministic "
+        "sorted-first-fit plan Delta OPTIMIZE / Iceberg rewrite_data_"
+        "files compute. Input is the file MANIFEST (one row per file), "
+        "O(num_files) — metadata-sized even for a 100 TB table, so the "
+        "single-ordering cumsum window is safe by construction; were "
+        "the manifest itself huge, ordering.py's distributed two-phase "
+        "prefix-sum (paginate_window) is the drop-in replacement. The "
+        "rewrite this plan drives then runs per-bin, embarrassingly "
+        "parallel.",
+)
+def compact_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.count(F.lit(1)) * PACK_ROW_BYTES).cast("bigint").alias("file_bytes")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    placed = files.withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("file_bytes").over(w), F.lit(0)) / PACK_TARGET_BYTES
+        ).cast("bigint"),
+    )
+    return placed.withColumn(
+        "bin_bytes", F.sum("file_bytes").over(Window.partitionBy("bin_id")).cast("bigint")
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT COUNT(*) FROM lineitem) AS child_rows,
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    """,
+    doc="Referential-integrity audit across the backfilled star schema: "
+        "orphan-row counts for every FK edge, the data-quality gate a "
+        "backfill job runs before declaring a table live (the reference "
+        "trusts Postgres constraints, `payment_attempt.rs:3`; a lake "
+        "must re-verify). Each edge is one LEFT ANTI join counted — "
+        "parent key sets are dimension-sized so Spark broadcasts them "
+        "(BroadcastHashJoin LeftAnti, zero child-side shuffle); the "
+        "fact table is scanned once per edge with only the FK column "
+        "read (column pruning). Results are 4 rows unioned — "
+        "driver-friendly and alert-ready.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = [
+        ("lineitem->orders", li, "l_orderkey",
+         load_table(spark, sf_dir, "orders"), "o_orderkey"),
+        ("lineitem->part", li, "l_partkey",
+         load_table(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem->supplier", li, "l_suppkey",
+         load_table(spark, sf_dir, "supplier"), "s_suppkey"),
+        ("orders->customer", orders, "o_custkey",
+         load_table(spark, sf_dir, "customer"), "c_custkey"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        child_keys = child.select(F.col(fk).alias("fk"))
+        orphans = child_keys.join(
+            F.broadcast(parent.select(F.col(pk).alias("fk"))), "fk", "left_anti"
+        )
+        parts.append(
+            child_keys.agg(F.count(F.lit(1)).alias("child_rows")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("orphan_rows"))
+            ).select(
+                F.lit(name).alias("relation"), "child_rows", "orphan_rows"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+    WITH ch AS (
+        SELECT o_custkey AS k,
+               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS new_bal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ), latest AS (
+        SELECT k, op, new_bal FROM ch WHERE rn = 1
+    )
+    SELECT COALESCE(b.c_custkey, l.k) AS c_custkey,
+           b.c_name,
+           CASE WHEN l.op = 'U' THEN l.new_bal
+                ELSE CAST(ROUND(b.c_acctbal * 100) AS BIGINT)
+           END AS acctbal_cents,
+           b.c_mktsegment,
+           l.op AS last_op
+    FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.k
+    WHERE COALESCE(l.op, '') <> 'D'
+    """,
+    doc="CDC changelog application (Delta MERGE / APPLY CHANGES INTO "
+        "semantics with deletes): orders replay as an I/U/D change "
+        "stream keyed by custkey — status F is a delete tombstone, "
+        "else an upsert of the balance. Last-writer-wins is resolved "
+        "with ONE map-side-combinable max_by aggregate (not a window: "
+        "partial agg collapses each key's changes inside the map task, "
+        "the skew-safe shape merge_upsert C2 also uses), then a single "
+        "full-outer join applies inserts, updates, deletes, and "
+        "passthroughs in one pass. Rewrite cost is O(snapshot ∪ "
+        "changed keys); at 100 TB both sides hash-partition on the "
+        "key, and bucketed snapshot storage makes the join "
+        "Exchange-free on the big side. Extends merge_upsert (C2) "
+        "with tombstone handling and op provenance (last_op).",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = load_table(spark, sf_dir, "customer")
+    latest = (
+        orders.select(
+            F.col("o_custkey").alias("k"),
+            F.struct(
+                "o_orderdate",
+                "o_orderkey",
+                F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("new_bal"),
+            ).alias("ch"),
+        )
+        .groupBy("k")
+        .agg(F.max("ch").alias("ch"))
+        .select("k", F.col("ch.op").alias("op"), F.col("ch.new_bal").alias("new_bal"))
+    )
+    merged = base.join(latest, base.c_custkey == latest.k, "full_outer")
+    return (
+        merged.filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("k")).alias("c_custkey"),
+            "c_name",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .alias("acctbal_cents"),
+            "c_mktsegment",
+            F.col("op").alias("last_op"),
+        )
+    )

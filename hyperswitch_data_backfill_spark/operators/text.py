@@ -564,3 +564,162 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("bigint").alias("n_oov"),
         F.round(F.sum(oov).cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("join", "filter", "scan")
+BM25_TOP_K = 50
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM tf
+        WHERE token IN ('join', 'filter', 'scan') GROUP BY 1
+    ), scored AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({BM25_K1} + 1.0))
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * dl.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+    ) t WHERE rk <= {BM25_TOP_K}
+    """,
+    doc="L4h: BM25 ranked retrieval (Robertson/Sparck-Jones Okapi "
+        "scoring, the lexical-search baseline every RAG corpus ships "
+        "next to its embeddings) for a fixed query term set — per-"
+        "(doc,term) tf, doc length, corpus avgdl (1-row broadcast), "
+        "query-term df (query-sized broadcast), k1=1.2 b=0.75, "
+        "ROUND(·,6) for cross-engine float stability (the text_tfidf "
+        "precedent). Plan: tf groupBy is the only corpus-sized "
+        "shuffle; dl reuses tf's partitioning (doc_id ⊂ (doc_id,"
+        "token) clustering), df filters to 3 terms BEFORE its "
+        "aggregate, the score join is broadcast on both small sides, "
+        "and the final top-k is TakeOrderedAndProject — never a full "
+        "sort. At 100 TB the per-term posting shuffle is bounded by "
+        "query-term document frequency, not corpus size.",
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    # tf feeds three branches (dl, df, scored) — checkpoint so Catalyst
+    # doesn't re-derive the corpus scan per consumer (the
+    # text_unigram_logprob lesson; production lands tf as a stage table)
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df = (
+        tf.filter(F.col("token").isin(*BM25_QUERY_TERMS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                        + 1.0
+                    )
+                    * (F.col("tf") * (BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select("doc_id", "score", "rk")
+    )
+
+
+INVIDX_MIN_DF = 2
+INVIDX_POSTING_CAP = 20
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents
+    ), idx AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               array_to_string(list_sort(list(doc_id))[1:{INVIDX_POSTING_CAP}], ',')
+                   AS postings_head
+        FROM tok GROUP BY token
+    )
+    SELECT token, df, postings_head
+    FROM idx WHERE df >= {INVIDX_MIN_DF}
+    """,
+    doc="L4i: inverted-index build (token → document frequency + "
+        "posting-list head) — the search-engine primitive behind "
+        "text_bm25's df table and span-level decontamination lookups. "
+        "Postings are deduped map-side ((doc,token) distinct collapses "
+        "before the token shuffle), sorted ascending, and CAPPED at "
+        "{cap} entries per term (df floor {lo}) — the "
+        "stopword guard: at 100 TB an uncapped stopword posting list "
+        "is a single-reducer OOM, so production postings shard by "
+        "(token, doc_id bucket) and this fixture emits the head shard. "
+        "Emitted as a comma string (driver canonicalizer-safe, the "
+        "emb_quantize_int8 precedent).".format(
+            cap=INVIDX_POSTING_CAP, lo=INVIDX_MIN_DF
+        ),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    idx = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.concat_ws(
+            ",",
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, INVIDX_POSTING_CAP),
+        ).alias("postings_head"),
+    )
+    return idx.filter(F.col("df") >= INVIDX_MIN_DF).select(
+        "token", "df", "postings_head"
+    )

@@ -84,6 +84,20 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_span_ngrams",
     "graph_pagerank",
     "agg_countmin",
+    # -- 2b. round-4 second batch (lakehouse / retrieval / analytics):
+    #    zero evidence yet — each evicts one r1/r2-green pure-codegen
+    #    regression slot (evictees listed at the bottom; all untouched
+    #    since their green evidence was recorded)
+    "layout_zonemap",
+    "compact_bin_pack",
+    "dq_referential_integrity",
+    "cdc_apply_changes",
+    "win_time_weighted_avg",
+    "attr_last_touch",
+    "text_bm25",
+    "text_inverted_index",
+    "agg_equidepth_histogram",
+    "graph_triangle_count",
     # -- 3. rows-only keys never swept by the driver
     "emb_pq_quantize",
     "sim_topk",
@@ -94,32 +108,24 @@ _DRIVER_WINDOW: list[str] = [
     # -- 4. regression re-checks (r1/r2 evidence, code churn since)
     "tpch_q3_topk",
     "join_broadcast",
-    "join_semi",
     "join_smj",
-    "join_left",
-    "join_anti",
     "join_asof",
-    "join_range",
     "join_skew_salted",
-    "agg_group_count",
-    "agg_stats",
     "agg_rollup",
     "agg_percentile",
-    "agg_pivot",
     "agg_salted_skew",
     "agg_histogram",
-    "anomaly_zscore",
     "win_running_sum",
     "win_tumbling",
-    "win_rank_stats",
-    "win_range_frame",
     "dedup_exact",
     "dedup_ngram_jaccard",  # pre-Arrow-conf evidence: re-verify under new conf
-    # (rotated out to make room for the nine round-4 additions above:
-    #  exists_subquery, scalar_subquery_avg, agg_distinct, agg_mode,
-    #  win_lag, sample_stable_split, join_asof_forward, agg_cube,
-    #  agg_grouping_sets — all r1/r2-green, pure-codegen, implementation
-    #  untouched since their evidence was recorded)
+    # (rotated out to make room for round-4 additions — all r1/r2-green,
+    #  pure-codegen, implementation untouched since their evidence was
+    #  recorded: exists_subquery, scalar_subquery_avg, agg_distinct,
+    #  agg_mode, win_lag, sample_stable_split, join_asof_forward,
+    #  agg_cube, agg_grouping_sets, join_semi, join_left, join_anti,
+    #  join_range, agg_group_count, agg_stats, agg_pivot, anomaly_zscore,
+    #  win_rank_stats, win_range_frame)
 ]
 
 
@@ -178,4 +184,5 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.operators.similarity  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.crypto  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.layout  # noqa: F401
+    import hyperswitch_data_backfill_spark.operators.lakehouse  # noqa: F401
     _LOADED = True
