@@ -250,23 +250,44 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     base = load_table(spark, sf_dir, "customer")
-    latest = (
-        orders.select(
-            F.col("o_custkey").alias("k"),
-            F.struct(
-                "o_orderdate",
-                "o_orderkey",
-                F.when(F.col("o_orderstatus") == "F", F.lit("D"))
-                .otherwise(F.lit("U"))
-                .alias("op"),
-                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("new_bal"),
-            ).alias("ch"),
-        )
-        .groupBy("k")
-        .agg(F.max("ch").alias("ch"))
-        .select("k", F.col("ch.op").alias("op"), F.col("ch.new_bal").alias("new_bal"))
+    return apply_latest_changes(base, collapse_changelog(orders_changelog(orders)))
+
+
+def orders_changelog(orders: DataFrame) -> DataFrame:
+    """Orders replayed as a keyed change stream: ``(k, ch)`` where ``ch``
+    is a struct whose natural (lexicographic) ordering IS the change
+    order — the contract collapse_changelog and the streaming
+    cdc_snapshot_maintainer both rely on."""
+    return orders.select(
+        F.col("o_custkey").alias("k"),
+        F.struct(
+            "o_orderdate",
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("new_bal"),
+        ).alias("ch"),
     )
-    merged = base.join(latest, base.c_custkey == latest.k, "full_outer")
+
+
+def collapse_changelog(changes: DataFrame) -> DataFrame:
+    """Last-writer-wins collapse of a ``(k, ch)`` change stream — ONE
+    map-side-combinable max aggregate (max is idempotent, commutative,
+    associative, so the collapse is batch-slicing- and replay-
+    invariant — the property the streaming maintainer's parity test
+    pins)."""
+    return changes.groupBy("k").agg(F.max("ch").alias("ch"))
+
+
+def apply_latest_changes(base: DataFrame, latest: DataFrame) -> DataFrame:
+    """Apply a collapsed ``(k, ch)`` changelog onto the customer-shaped
+    snapshot: tombstones drop, updates rewrite the balance, unmatched
+    changes insert, untouched base rows pass through."""
+    flat = latest.select(
+        "k", F.col("ch.op").alias("op"), F.col("ch.new_bal").alias("new_bal")
+    )
+    merged = base.join(flat, base.c_custkey == flat.k, "full_outer")
     return (
         merged.filter(F.coalesce(F.col("op"), F.lit("")) != "D")
         .select(

@@ -342,3 +342,53 @@ def idempotent_parquet_batch_writer(base_dir: str):
         )
 
     return write
+
+
+def cdc_snapshot_maintainer(state_dir: str):
+    """foreachBatch writer maintaining a latest-change-per-key state
+    table from a ``(k, ch)`` change stream (operators/lakehouse.py
+    contract: ``ch`` is a struct whose lexicographic ordering is the
+    change order).
+
+    Each micro-batch collapses its own changes map-side
+    (collapse_changelog), merges them with the previous state by the
+    same ``max`` — and because ``max`` is idempotent/commutative/
+    associative the maintained state is invariant to batch slicing AND
+    to at-least-once replays; on top of that, each batch writes its
+    merged state to its OWN ``v=<batch_id>`` directory (the
+    idempotent_parquet_batch_writer pattern), so a retried batch can
+    only overwrite its own version, never corrupt a later one. Readers
+    take the highest version — Delta-style version directories without
+    the transaction log.
+
+    At 100 TB the state table is O(live keys); both the collapse and
+    the merge are key-partitioned aggregates, and bucketed state
+    storage makes the merge Exchange-free on the state side. The final
+    snapshot materializes via lakehouse.apply_latest_changes — the
+    batch≡stream parity pinned in tests/test_streaming.py.
+    """
+    import glob
+
+    from hyperswitch_data_backfill_spark.operators.lakehouse import (
+        collapse_changelog,
+    )
+
+    def _latest_version_dir() -> str | None:
+        versions = sorted(glob.glob(f"{state_dir}/v=*"))
+        return versions[-1] if versions else None
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merged = collapse_changelog(batch_df)
+        prev = _latest_version_dir()
+        if prev is not None:
+            prev_state = spark.read.parquet(prev)
+            merged = collapse_changelog(merged.unionByName(prev_state))
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id:09d}")
+
+    def current_state(spark) -> DataFrame | None:
+        latest = _latest_version_dir()
+        return spark.read.parquet(latest) if latest is not None else None
+
+    write.current_state = current_state
+    return write

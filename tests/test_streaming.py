@@ -694,3 +694,66 @@ def test_kafka_wire_roundtrip_against_real_broker(spark, tmp_path):
     )
     got = {(r["key"], r["value"]) for r in back.collect()}
     assert got == expected, "broker round-trip must preserve exact key/value pairs"
+
+
+def test_cdc_snapshot_maintainer_stream_equals_batch(spark, tmp_path):
+    """Batch≡stream CDC parity: stream the orders changelog in
+    micro-batches through cdc_snapshot_maintainer, materialize the
+    final snapshot with apply_latest_changes, and it must equal the
+    batch cdc_apply_changes operator exactly — for two different batch
+    slicings, plus a replayed (at-least-once) batch. The maintained
+    state is a max-merge, so slicing and replay cannot change it."""
+    import os
+    import time
+
+    from hyperswitch_data_backfill_spark.operators.lakehouse import (
+        apply_latest_changes,
+        orders_changelog,
+    )
+    from hyperswitch_data_backfill_spark.registry import REGISTRY, queries
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        cdc_snapshot_maintainer,
+        run_foreach_batch,
+    )
+
+    queries()
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    changes = orders_changelog(orders)
+    expected = {
+        tuple(r) for r in REGISTRY["cdc_apply_changes"].fn(spark, sf).collect()
+    }
+    assert expected
+
+    for n_slices in (3, 7):
+        d = str(tmp_path / f"cdc{n_slices}")
+        for i in range(n_slices):
+            changes.filter(F.col("k") % n_slices == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/slice{i}")
+            for root, _, files in os.walk(f"{d}/slice{i}"):
+                for f in files:
+                    os.utime(
+                        os.path.join(root, f), (time.time() + i, time.time() + i)
+                    )
+        state_dir = str(tmp_path / f"state{n_slices}")
+        maintainer = cdc_snapshot_maintainer(state_dir)
+        stream = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/slice*")
+        )
+        q = run_foreach_batch(stream, maintainer)
+        q.awaitTermination(300)
+        state = maintainer.current_state(spark)
+        base = load_table(spark, sf, "customer")
+        got = {tuple(r) for r in apply_latest_changes(base, state).collect()}
+        assert got == expected, f"slicing {n_slices} diverged from batch"
+
+    # at-least-once replay: re-invoke the LAST batch writer call with a
+    # fresh read of its own slice — the state must not change
+    replay_batch = spark.read.parquet(f"{d}/slice{n_slices - 1}")
+    before = {tuple(r) for r in maintainer.current_state(spark).collect()}
+    maintainer(replay_batch, batch_id=999)
+    after = {tuple(r) for r in maintainer.current_state(spark).collect()}
+    assert after == before
