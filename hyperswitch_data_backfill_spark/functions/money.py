@@ -72,3 +72,97 @@ def date_trunc_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
     )
+
+
+FX_QUOTE_EVERY_DAYS = 5       # quotes are published sparsely (every 5th day)
+FX_RATE_BASE = 1_000_000      # identity rate in micro-units
+FX_RATE_SPREAD = 250_000
+FX_N_CCY = 3
+
+
+@register(
+    "money_convert_asof",
+    oracle=f"""
+    WITH days AS (
+        SELECT qday FROM (
+            SELECT DISTINCT date_diff('day', DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE)) AS qday
+            FROM orders
+        ) WHERE qday % {FX_QUOTE_EVERY_DAYS} = 0
+    ), quotes AS (
+        SELECT d.qday, c.ccy,
+               CAST({FX_RATE_BASE}
+                    + (d.qday * 7919 + c.ccy * 104729) % {FX_RATE_SPREAD}
+                 AS BIGINT) AS rate_micro
+        FROM days d CROSS JOIN (
+            SELECT unnest(range({FX_N_CCY})) AS ccy
+        ) c
+    ), o AS (
+        SELECT o_orderkey,
+               CAST(o_custkey % {FX_N_CCY} AS BIGINT) AS ccy,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o.o_orderkey, o.ccy, o.cents, q.rate_micro,
+           CAST((o.cents * q.rate_micro) // {FX_RATE_BASE} AS BIGINT) AS usd_cents
+    FROM o ASOF LEFT JOIN quotes q
+      ON o.ccy = q.ccy AND q.qday <= o.day
+    """,
+    doc="X5b: currency normalization via as-of FX rates — THE payments-"
+        "analytics operator the reference's downstream feeds on **[dep]** "
+        "(every Hyperswitch amount is minor-units + currency; analytics "
+        "reports in one settlement currency). Quotes are published "
+        "sparsely (every 5th day, deterministic synthetic book), so each "
+        "order needs the LATEST quote ≤ its date. Unlike join_asof's "
+        "union+carry-forward (right when both sides are big), the quote "
+        "book here is tiny and the key (currency) is 3-valued — a "
+        "carry-forward window would put a third of all orders in ONE "
+        "partition. Instead the per-currency quote book is collapsed to "
+        "a sorted array, BROADCAST, and each order resolves its rate "
+        "with a codegen array filter + element_at(-1) — zero shuffles "
+        "on the fact side, O(|quotes|) per row, embarrassingly parallel "
+        "at 100 TB. Conversion itself is integer: cents × rate_micro "
+        "div 1e6, bit-identical to the oracle's // division.",
+)
+def money_convert_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    days = (
+        orders.select(day.alias("qday"))
+        .distinct()
+        .filter(F.col("qday") % FX_QUOTE_EVERY_DAYS == 0)
+    )
+    ccys = spark.range(FX_N_CCY).select(F.col("id").alias("ccy"))
+    quotes = days.crossJoin(ccys).select(
+        "qday",
+        "ccy",
+        (
+            F.lit(FX_RATE_BASE)
+            + F.pmod(F.col("qday") * 7919 + F.col("ccy") * 104729, FX_RATE_SPREAD)
+        ).cast("bigint").alias("rate_micro"),
+    )
+    book = quotes.groupBy("ccy").agg(
+        F.sort_array(F.collect_list(F.struct("qday", "rate_micro"))).alias("qs")
+    )
+    o = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % FX_N_CCY).cast("bigint").alias("ccy"),
+        day.alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    joined = o.join(F.broadcast(book), "ccy", "left")
+    # try_element_at: orders before the first quote have an empty
+    # eligible set → NULL rate (ANSI element_at would throw)
+    best = F.try_element_at(
+        F.filter("qs", lambda q: q["qday"] <= F.col("day")), F.lit(-1)
+    )
+    return joined.withColumn("rate_micro", best["rate_micro"]).select(
+        "o_orderkey",
+        "ccy",
+        "cents",
+        "rate_micro",
+        F.expr(f"CAST((cents * rate_micro) div {FX_RATE_BASE} AS BIGINT)").alias(
+            "usd_cents"
+        ),
+    )

@@ -98,6 +98,7 @@ _DRIVER_WINDOW: list[str] = [
     "text_inverted_index",
     "agg_equidepth_histogram",
     "graph_triangle_count",
+    "money_convert_asof",
     # -- 3. rows-only keys never swept by the driver
     "emb_pq_quantize",
     "sim_topk",
@@ -111,7 +112,6 @@ _DRIVER_WINDOW: list[str] = [
     "join_smj",
     "join_asof",
     "join_skew_salted",
-    "agg_rollup",
     "agg_percentile",
     "agg_salted_skew",
     "agg_histogram",
@@ -125,7 +125,7 @@ _DRIVER_WINDOW: list[str] = [
     #  agg_mode, win_lag, sample_stable_split, join_asof_forward,
     #  agg_cube, agg_grouping_sets, join_semi, join_left, join_anti,
     #  join_range, agg_group_count, agg_stats, agg_pivot, anomaly_zscore,
-    #  win_rank_stats, win_range_frame)
+    #  win_rank_stats, win_range_frame, agg_rollup)
 ]
 
 
