@@ -342,3 +342,51 @@ def test_vocab_oov_two_pass_broadcast_shape(spark):
     win_depth = next(i for i, l in enumerate(tree) if "Window" in l)
     agg_below = any("HashAggregate" in l for l in tree[win_depth:])
     assert agg_below, f"rank window must sit above the vocab aggregate\n{p}"
+
+
+def _exec_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_referential_audit_is_all_broadcast_no_shuffle(spark):
+    """C9: every FK-edge check must be a broadcast LeftAnti — a shuffled
+    anti join here means the dimension key set stopped broadcasting and
+    the audit now pays 4 fact-table shuffles at 100 TB."""
+    p = _exec_plan(spark, "dq_referential_integrity")
+    assert p.count("BroadcastHashJoin") == 4
+    assert "LeftAnti" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_fx_asof_fact_side_is_broadcast_join(spark):
+    """X5b: the quote book must broadcast; the only hash Exchanges
+    allowed are the calendar-sized book build (distinct days + per-ccy
+    collapse). A carry-forward window on the 3-valued currency key
+    (what join_asof does on user_id) would show up as a Window node —
+    the skew trap this operator exists to avoid."""
+    p = _exec_plan(spark, "money_convert_asof")
+    assert p.count("BroadcastHashJoin") == 1
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "Window" not in p
+    assert "Python" not in p
+
+
+def test_single_user_shuffle_window_agg_reuse(spark):
+    """win_time_weighted_avg / attr_last_touch: ONE user_id Exchange —
+    the aggregate/filter downstream must reuse the window's
+    partitioning (the win_gap_islands shape)."""
+    for name in ("win_time_weighted_avg", "attr_last_touch"):
+        p = _exec_plan(spark, name)
+        assert p.count("Exchange hashpartitioning") == 1, name
+        assert "Python" not in p, name
+
+
+def test_bm25_checkpointed_tf_bounds_exchanges(spark):
+    """text_bm25: tf feeds three branches; the localCheckpoint must keep
+    the plan at its 4-Exchange floor (tf, dl, query-df, score) instead
+    of re-deriving the corpus scan per consumer (8 Exchanges without)."""
+    p = _exec_plan(spark, "text_bm25")
+    assert p.count("Exchange hashpartitioning") <= 4
+    assert "TakeOrderedAndProject" in p
