@@ -523,7 +523,12 @@ def sessioned_funnel(ev: DataFrame) -> DataFrame:
         "metering/billing pipelines.",
 )
 def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+def time_weighted_avg(ev: DataFrame) -> DataFrame:
+    """Core of win_time_weighted_avg over any events-shaped frame —
+    split out so the scale rehearsal can drive it on inflated input."""
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
     seq = ev.select(
@@ -592,7 +597,12 @@ ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
         "carries O(1) state per row instead.",
 )
 def attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+def last_touch_attribution(ev: DataFrame) -> DataFrame:
+    """Core of attr_last_touch over any events-shaped frame — split out
+    so the scale rehearsal can drive it on inflated input."""
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = (
         Window.partitionBy("user_id")

@@ -164,5 +164,74 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def events_mode() -> None:
+    """Second rehearsal axis: keyed-window operators as the EVENT LOG
+    grows Nx (user-replicated — more users, same per-user history, the
+    way a payments fleet actually grows). Records wall time, the
+    window-shuffle partition balance, and the whale bound (max rows per
+    user) for the carry-forward/window analytics family. Flat max-part
+    share + flat per-user bound + ~linear wall = the claimed shape."""
+    from hyperswitch_data_backfill_spark.operators.analytics import (
+        last_touch_attribution,
+        sessioned_funnel,
+        time_weighted_avg,
+    )
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [1, 4, 16]
+    spark = get_spark(app_name="scale-rehearsal-events")
+    base = load_table(spark, sf_dir, "events")
+
+    def inflate(ev: DataFrame, n: int) -> DataFrame:
+        if n == 1:
+            return ev
+        r = ev.select("*", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep"))
+        return r.select(
+            (F.col("event_id") + F.col("rep").cast("bigint") * F.lit(10**9)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep").cast("bigint") * F.lit(10**7)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+
+    print("| N | events | users | max rows/user | twa wall s (max-part share) "
+          "| attr wall s | sessioned-funnel wall s |")
+    print("|---|---|---|---|---|---|---|")
+    for n in factors:
+        ev = inflate(base, n).localCheckpoint(eager=True)
+        n_ev = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        whale = (
+            ev.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+        )
+
+        t0 = time.perf_counter()
+        twa = time_weighted_avg(ev)
+        twa.write.format("noop").mode("overwrite").save()
+        twa_wall = time.perf_counter() - t0
+        _, _, share = part_hist(twa)
+
+        t0 = time.perf_counter()
+        last_touch_attribution(ev).write.format("noop").mode("overwrite").save()
+        attr_wall = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        sessioned_funnel(ev).write.format("noop").mode("overwrite").save()
+        funnel_wall = time.perf_counter() - t0
+
+        print(
+            f"| {n} | {n_ev} | {n_users} | {whale} "
+            f"| {twa_wall:.1f} ({share:.3f}) | {attr_wall:.1f} "
+            f"| {funnel_wall:.1f} |"
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--events":
+        events_mode()
+    else:
+        main()
