@@ -392,3 +392,82 @@ def cdc_snapshot_maintainer(state_dir: str):
 
     write.current_state = current_state
     return write
+
+
+ATTR_OUT_SCHEMA = (
+    "user_id bigint, purchase_event_id bigint, touch_event_id bigint, "
+    "touch_type string, lag_us bigint"
+)
+ATTR_STATE_SCHEMA = "touch_event_id bigint, touch_type string, touch_us bigint"
+
+
+def attribute_stream(events: DataFrame, window_us: int | None = None) -> DataFrame:
+    """Streaming twin of the batch ``attr_last_touch`` operator
+    (operators/analytics.py): each purchase is credited to the most
+    recent preceding non-purchase event by the same user within the
+    lookback, else 'direct'. Output columns and semantics are
+    identical — pinned by the batch≡stream parity test.
+
+    State per user is ONE row — the latest non-purchase touch (id,
+    type, micros) — so memory is O(keys) regardless of history length:
+    the carry-forward column the batch version materializes per-row is
+    exactly what the stream keeps as state. Same per-user event-time
+    order contract as sessionize_stream (a user_id-partitioned Kafka
+    source preserves it).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if window_us is None:
+        from hyperswitch_data_backfill_spark.operators.analytics import (
+            ATTR_WINDOW_US,
+        )
+
+        window_us = ATTR_WINDOW_US
+
+    def fn(key, pdfs, state: GroupState):
+        t_id = t_type = t_us = None
+        if state.exists:
+            t_id, t_type, t_us = state.get
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["us", "event_id"]
+        )
+        out = []
+        for eid, us, etype in zip(
+            rows["event_id"].astype("int64"),
+            rows["us"].astype("int64"),
+            rows["event_type"],
+        ):
+            eid, us = int(eid), int(us)
+            if etype == "purchase":
+                if t_us is not None and us - t_us <= window_us:
+                    out.append((key[0], eid, t_id, t_type, us - t_us))
+                else:
+                    out.append((key[0], eid, None, "direct", None))
+            else:
+                t_id, t_type, t_us = eid, etype, us
+        state.update((t_id, t_type, t_us))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "purchase_event_id",
+                "touch_event_id",
+                "touch_type",
+                "lag_us",
+            ],
+        )
+
+    prepared = events.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        ATTR_OUT_SCHEMA,
+        ATTR_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

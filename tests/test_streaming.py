@@ -757,3 +757,33 @@ def test_cdc_snapshot_maintainer_stream_equals_batch(spark, tmp_path):
     maintainer(replay_batch, batch_id=999)
     after = {tuple(r) for r in maintainer.current_state(spark).collect()}
     assert after == before
+
+
+def test_attribute_stream_equals_batch(spark, sliced_event_dir):
+    """Batch≡stream attribution parity: the stateful one-row-per-user
+    carry-forward must reproduce the batch attr_last_touch result
+    exactly when the history is replayed as in-order micro-batches
+    (slice boundaries land between a touch and its purchase, so state
+    must carry touches across batches)."""
+    from hyperswitch_data_backfill_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        attribute_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    expected = {tuple(r) for r in last_touch_attribution(ev).collect()}
+    assert expected and any(r[3] != "direct" for r in expected)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sliced_event_dir}/slice*")
+    )
+    attributed = attribute_stream(stream)
+    q = write_memory_sink(attributed, "attr_stream", complete=False)
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM attr_stream").collect()}
+    assert got == expected
