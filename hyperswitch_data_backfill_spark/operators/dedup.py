@@ -320,8 +320,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     Python.
     """
     sh = shingles_df(docs)
+    # k-th hash = xxhash64(shingle, k): the integer seed argument feeds
+    # the same mixing rounds as the old string-concat seeds (full
+    # per-k independence — a cheap rotation-mix family was tried and
+    # REJECTED: its correlated hashes missed a 0.875-jaccard pair the
+    # spark.ml MinHashLSH cross-check catches) while skipping
+    # MINHASH_N per-row string allocations.
     aggs = [
-        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#seed{k}")))).alias(f"m{k}")
+        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"m{k}")
         for k in range(MINHASH_N)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
