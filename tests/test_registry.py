@@ -90,3 +90,14 @@ def test_queries_yield_window_first_then_all():
     assert set(oracles) == {
         n for n, q in registry.REGISTRY.items() if q.oracle is not None
     }
+
+
+def test_inventory_doc_in_sync():
+    """INVENTORY.md is generated from the registry (tools/inventory.py);
+    a key registered without regenerating it fails here."""
+    from pathlib import Path
+
+    registry._load_all_operator_modules()
+    text = (Path(__file__).resolve().parent.parent / "INVENTORY.md").read_text()
+    missing = [n for n in registry.REGISTRY if f"| `{n}` |" not in text]
+    assert not missing, f"regenerate INVENTORY.md (python tools/inventory.py): {missing}"
