@@ -471,3 +471,69 @@ def attribute_stream(events: DataFrame, window_us: int | None = None) -> DataFra
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+TWA_OUT_SCHEMA = "user_id bigint, n_events bigint, held_us bigint, twa_cents bigint"
+TWA_STATE_SCHEMA = (
+    "last_us bigint, last_v_cents bigint, sum_prod bigint, sum_dt bigint, n bigint"
+)
+
+
+def time_weighted_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``win_time_weighted_avg`` operator
+    (operators/analytics.py): last-observation-carried-forward integral
+    Σ(value·Δt)/Σ(Δt) per user, all arithmetic in integer cents ×
+    microseconds so every emission is bit-identical to the batch prefix.
+
+    State per user is FIVE integers (last observation + running sums) —
+    O(keys) however long the history. Each micro-batch emits the user's
+    updated running TWA ("update-style" rows through an append-mode
+    stateful operator); the latest emission per user equals the batch
+    result over the replayed prefix — the parity test takes the final
+    one and matches the batch operator exactly.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        last_us = last_v = None
+        sum_prod = sum_dt = n = 0
+        if state.exists:
+            last_us, last_v, sum_prod, sum_dt, n = state.get
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["us", "event_id"]
+        )
+        for us, v in zip(
+            rows["us"].astype("int64"), rows["v_cents"].astype("int64")
+        ):
+            us, v = int(us), int(v)
+            if last_us is not None:
+                dt = us - last_us
+                sum_prod += last_v * dt
+                sum_dt += dt
+                n += 1
+            last_us, last_v = us, v
+        state.update((last_us, last_v, sum_prod, sum_dt, n))
+        if sum_dt > 0:
+            yield pd.DataFrame(
+                [(key[0], n, sum_dt, sum_prod // sum_dt)],
+                columns=["user_id", "n_events", "held_us", "twa_cents"],
+            )
+        else:
+            yield pd.DataFrame(
+                [], columns=["user_id", "n_events", "held_us", "twa_cents"]
+            )
+
+    prepared = events.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        TWA_OUT_SCHEMA,
+        TWA_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -787,3 +787,42 @@ def test_attribute_stream_equals_batch(spark, sliced_event_dir):
     q.awaitTermination(300)
     got = {tuple(r) for r in spark.sql("SELECT * FROM attr_stream").collect()}
     assert got == expected
+
+
+def test_time_weighted_stream_equals_batch(spark, sliced_event_dir):
+    """Batch≡stream TWA parity: replay the event log as in-order
+    micro-batches through the five-integer-state TWA; each user's LAST
+    emission (the largest completed-hold count) must equal the batch
+    win_time_weighted_avg row exactly — integer cents×micros arithmetic
+    makes the comparison bit-exact, and slice boundaries landing inside
+    holds prove the carried last-observation state."""
+    from hyperswitch_data_backfill_spark.operators.analytics import (
+        time_weighted_avg,
+    )
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        time_weighted_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    expected = {tuple(r) for r in time_weighted_avg(ev).collect()}
+    assert expected
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sliced_event_dir}/slice*")
+    )
+    q = write_memory_sink(time_weighted_stream(stream), "twa_stream", complete=False)
+    q.awaitTermination(300)
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, held_us, twa_cents FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC
+            ) AS rk FROM twa_stream
+        ) WHERE rk = 1
+        """
+    )
+    got = {tuple(r) for r in final.collect()}
+    assert got == expected
