@@ -128,6 +128,18 @@ _DRIVER_WINDOW: list[str] = [
     #  win_rank_stats, win_range_frame, agg_rollup)
 ]
 
+# ROUND-5 ROTATION PLAN (execute at the start of round 5): once
+# CORRECTNESS_r04 lands, every key above has a fresh driver row dated
+# after the code that implements it. Round 5's window should then be:
+#   1. any round-5 additions (zero evidence) — always first;
+#   2. any key whose implementation (or a shared helper it uses)
+#      changed after its latest driver row;
+#   3. the 19 re-check keys evicted this round (footnote above) —
+#      their evidence is r1/r2-vintage and two rounds stale by then;
+#   4. remaining slots: oldest-evidence-first regression re-checks.
+# The hygiene test (tests/test_registry.py) continues to enforce that
+# no oracle-backed key is ever outside window ∪ recorded-green.
+
 
 def _ordered_names() -> list[str]:
     """Driver-window keys first (stable order), then the rest in
