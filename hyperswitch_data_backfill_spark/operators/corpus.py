@@ -481,3 +481,155 @@ def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hit, "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
     )
+
+
+BUILD_GATE_LO = 100   # n_chars quality gate bounds
+BUILD_GATE_HI = 500
+
+
+@register(
+    "pipeline_corpus_build",
+    oracle=f"""
+    WITH gated AS (
+        SELECT * FROM documents
+        WHERE n_chars BETWEEN {BUILD_GATE_LO} AND {BUILD_GATE_HI}
+    ), exact AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ), tok AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM exact
+    ), sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tokens) - 2),
+                          i -> array_to_string(tokens[i:i+3], ' '))) AS shingle
+            FROM tok WHERE len(tokens) >= 4
+        ) x
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), raw_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), losers AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM raw_pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ), survivors AS (
+        SELECT e.* FROM exact e WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+    ), all_tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), all_grams AS (
+        SELECT doc_id, array_to_string(toks[i : i + {DECONTAM_NGRAM - 1}], ' ') AS g
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {DECONTAM_NGRAM - 1})) AS i
+            FROM all_tok WHERE len(toks) >= {DECONTAM_NGRAM}
+        )
+    ), bench AS (
+        SELECT DISTINCT g FROM all_grams WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+    ), hit AS (
+        SELECT DISTINCT a.doc_id FROM all_grams a
+        WHERE a.g IN (SELECT g FROM bench)
+    ), clean AS (
+        SELECT s.* FROM survivors s
+        WHERE s.doc_id % {DECONTAM_BENCH_MOD} <> 0
+          AND s.doc_id NOT IN (SELECT doc_id FROM hit)
+    ), counted AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        FROM clean
+    ), packed AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counted
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // {{pack}} AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {{pack}} AS BIGINT) AS offset_in_seq
+    FROM packed
+    """.format(pack=PACK_BUDGET),
+    doc="Flagship composed corpus build — the five standard curation "
+        "stages of an LLM data pipeline in ONE DataFrame lineage: "
+        "(1) length quality gate (pushed into the parquet scan), "
+        "(2) exact dedup (min-id survivor per text), (3) near-dup drop "
+        "(higher doc_id of every shingle-jaccard >= 0.5 pair, via the "
+        "posting-bucket pair machinery — dedup.jaccard_pairs on the "
+        "ALREADY-gated frame, so the expensive stage sees only "
+        "gate+exact survivors), (4) benchmark decontamination (bench "
+        "n-gram set distinct-aggregated and broadcast, semi-join "
+        "probe, anti-join back — bench = doc_id % DECONTAM_BENCH_MOD, DECONTAM_NGRAM-grams), (5) greedy "
+        "sequence packing per source (cumulative token counts → "
+        "seq_id/offset). Each stage is independently oracle-verified "
+        "elsewhere (text_length_quantile_gate, dedup_exact, "
+        "dedup_ngram_jaccard, decontam_ngram, pack_sequences); this "
+        "key verifies their COMPOSITION — filters fused into one scan, "
+        "stage outputs flowing without materialization, the plan a "
+        "user's real corpus build would run.",
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hyperswitch_data_backfill_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(F.col("n_chars").between(BUILD_GATE_LO, BUILD_GATE_HI))
+    w = Window.partitionBy("text").orderBy("doc_id")
+    exact = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    losers = (
+        jaccard_pairs(exact)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = exact.join(losers, "doc_id", "left_anti")
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (DECONTAM_NGRAM - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", i + k) for k in range(DECONTAM_NGRAM)]
+        ),
+    )
+    all_grams = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= DECONTAM_NGRAM)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    bench = (
+        all_grams.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    hit = (
+        all_grams.join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        survivors.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+        .join(hit, "doc_id", "left_anti")
+    )
+    counted = clean.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    packed = counted.withColumn("cum", cum)
+    start = F.col("cum") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(start / PACK_BUDGET).cast("bigint").alias("seq_id"),
+        (start % PACK_BUDGET).cast("bigint").alias("offset_in_seq"),
+    )

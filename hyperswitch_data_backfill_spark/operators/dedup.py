@@ -249,7 +249,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, max_bucket_members: int | None = None
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), max_bucket_members)
+
+
+def jaccard_pairs(
+    docs: DataFrame, max_bucket_members: int | None = None
+) -> DataFrame:
+    """Core of dedup_ngram_jaccard over any documents-shaped frame —
+    split out so composed pipelines (corpus.pipeline_corpus_build) can
+    run the pair stage on an already-filtered corpus."""
     sh = shingles_df(docs)
     # Skew guard (the one skew surface here): a stopword-like shingle
     # shared by k docs makes a k-element posting array in ONE task and

@@ -99,6 +99,7 @@ _DRIVER_WINDOW: list[str] = [
     "agg_equidepth_histogram",
     "graph_triangle_count",
     "money_convert_asof",
+    "pipeline_corpus_build",
     # -- 3. rows-only keys never swept by the driver
     "emb_pq_quantize",
     "sim_topk",
@@ -115,7 +116,6 @@ _DRIVER_WINDOW: list[str] = [
     "agg_percentile",
     "agg_salted_skew",
     "agg_histogram",
-    "win_running_sum",
     "win_tumbling",
     "dedup_exact",
     "dedup_ngram_jaccard",  # pre-Arrow-conf evidence: re-verify under new conf
@@ -125,7 +125,7 @@ _DRIVER_WINDOW: list[str] = [
     #  agg_mode, win_lag, sample_stable_split, join_asof_forward,
     #  agg_cube, agg_grouping_sets, join_semi, join_left, join_anti,
     #  join_range, agg_group_count, agg_stats, agg_pivot, anomaly_zscore,
-    #  win_rank_stats, win_range_frame, agg_rollup)
+    #  win_rank_stats, win_range_frame, agg_rollup, win_running_sum)
 ]
 
 # ROUND-5 ROTATION PLAN (execute at the start of round 5): once
