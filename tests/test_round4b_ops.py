@@ -224,3 +224,50 @@ def test_equidepth_buckets_balanced_and_ordered(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["hi_cents"] <= b["lo_cents"]
         assert a["lo_cents"] <= a["hi_cents"]
+
+
+def test_corpus_build_stage_containment(spark):
+    """pipeline_corpus_build: every output doc passed each stage —
+    within the gate bounds, an exact-dedup survivor (lowest id for its
+    text), NOT the loser of any jaccard pair, not benchmark-tainted;
+    and the packed output covers exactly the clean set (one row per
+    surviving doc, offsets consistent with per-source token cumsum)."""
+    from hyperswitch_data_backfill_spark.operators.corpus import (
+        BUILD_GATE_HI,
+        BUILD_GATE_LO,
+        DECONTAM_BENCH_MOD,
+        PACK_BUDGET,
+    )
+    from hyperswitch_data_backfill_spark.operators.dedup import jaccard_pairs
+
+    out = REGISTRY["pipeline_corpus_build"].fn(spark, SF_DIR)
+    rows = out.collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    gated = docs.filter(F.col("n_chars").between(BUILD_GATE_LO, BUILD_GATE_HI))
+    from pyspark.sql.window import Window as W
+
+    exact = (
+        gated.withColumn(
+            "rn", F.row_number().over(W.partitionBy("text").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    exact_ids = {r["doc_id"] for r in exact.select("doc_id").collect()}
+    losers = {
+        r["id_b"] for r in jaccard_pairs(exact).select("id_b").collect()
+    }
+    out_ids = {r["doc_id"] for r in rows}
+    assert out_ids <= exact_ids
+    assert not (out_ids & losers)
+    assert all(r["doc_id"] % DECONTAM_BENCH_MOD != 0 for r in rows)
+    # packing consistency: per source, offsets advance by n_tokens mod budget
+    by_source: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["doc_id"])):
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rs in by_source.items():
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] == cum // PACK_BUDGET, (src, r)
+            assert r["offset_in_seq"] == cum % PACK_BUDGET, (src, r)
+            cum += r["n_tokens"]
