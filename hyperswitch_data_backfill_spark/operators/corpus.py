@@ -597,18 +597,22 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", *[F.element_at("toks", i + k) for k in range(DECONTAM_NGRAM)]
         ),
     )
-    all_grams = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .where(F.size("toks") >= DECONTAM_NGRAM)
-        .select("doc_id", F.explode(grams).alias("g"))
-    )
     bench = (
-        all_grams.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
-        .select("g")
+        docs.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= DECONTAM_NGRAM)
+        .select(F.explode(grams).alias("g"))
         .distinct()
     )
+    # probe only the survivors' grams — hits outside the survivor set
+    # can't change the anti-join, so the full-corpus probe the oracle
+    # writes (for SQL clarity) is provably equivalent and this side
+    # skips re-scanning dropped docs
     hit = (
-        all_grams.join(F.broadcast(bench), "g", "left_semi")
+        survivors.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= DECONTAM_NGRAM)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(bench), "g", "left_semi")
         .select("doc_id")
         .distinct()
     )
