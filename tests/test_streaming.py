@@ -826,3 +826,77 @@ def test_time_weighted_stream_equals_batch(spark, sliced_event_dir):
     )
     got = {tuple(r) for r in final.collect()}
     assert got == expected
+
+
+def test_twa_stream_survives_restart_from_checkpoint(spark, tmp_path):
+    """State-store recovery: run the stateful TWA stream over the first
+    part of the history with a checkpointLocation, STOP it, then start a
+    NEW query from the same checkpoint over later-arriving files. The
+    second run must restore per-user state (not reprocess or reset), so
+    the union of emissions ends at exactly the batch result — the
+    restart-continuity property a production deployment relies on."""
+    import os
+    import time
+
+    from hyperswitch_data_backfill_spark.operators.analytics import (
+        time_weighted_avg,
+    )
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        time_weighted_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    d = str(tmp_path / "slices")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_slice(i, cond):
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(f"{d}/slice{i}")
+        for root, _, files in os.walk(f"{d}/slice{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (time.time() + i, time.time() + i))
+
+    # phase 1: only the first half exists
+    write_slice(0, F.col("ts") < mid)
+    schema = ev.schema
+
+    out = str(tmp_path / "out")
+
+    def run_phase():
+        # memory sink can't recover from a checkpoint; the parquet FILE
+        # sink is the fault-tolerant one — emissions accumulate in `out`
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/slice*")
+        )
+        q = (
+            time_weighted_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out).collect()
+
+    first = run_phase()
+    assert first, "phase 1 must emit rows"
+    n_first = len(first)
+
+    # phase 2: the rest of the history arrives; new query, same checkpoint
+    write_slice(1, F.col("ts") >= mid)
+    emissions = run_phase()
+    assert len(emissions) > n_first, "phase 2 must emit rows (state continued)"
+
+    expected = {tuple(r) for r in time_weighted_avg(ev).collect()}
+    final: dict[int, tuple] = {}
+    for r in emissions:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            final[r["user_id"]] = tuple(r)
+    assert set(final.values()) == expected
