@@ -126,7 +126,15 @@ FX_N_CCY = 3
         "div 1e6, bit-identical to the oracle's // division.",
 )
 def money_convert_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # the registered key's oracle projects without the helper's `day`
+    return fx_convert_orders(spark, load_table(spark, sf_dir, "orders")).drop("day")
+
+
+def fx_convert_orders(spark: SparkSession, orders: DataFrame) -> DataFrame:
+    """Core of money_convert_asof over any orders-shaped frame — split
+    out so composed reports (pipeline_settlement_report) can reuse the
+    broadcast-quote-book conversion. Returns one row per order:
+    (o_orderkey, ccy, day, cents, rate_micro, usd_cents)."""
     day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
     days = (
         orders.select(day.alias("qday"))
@@ -160,9 +168,84 @@ def money_convert_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.withColumn("rate_micro", best["rate_micro"]).select(
         "o_orderkey",
         "ccy",
+        "day",
         "cents",
         "rate_micro",
         F.expr(f"CAST((cents * rate_micro) div {FX_RATE_BASE} AS BIGINT)").alias(
             "usd_cents"
         ),
+    )
+
+
+@register(
+    "pipeline_settlement_report",
+    oracle=f"""
+    WITH days AS (
+        SELECT qday FROM (
+            SELECT DISTINCT date_diff('day', DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE)) AS qday
+            FROM orders
+        ) WHERE qday % {FX_QUOTE_EVERY_DAYS} = 0
+    ), quotes AS (
+        SELECT d.qday, c.ccy,
+               CAST({FX_RATE_BASE}
+                    + (d.qday * 7919 + c.ccy * 104729) % {FX_RATE_SPREAD}
+                 AS BIGINT) AS rate_micro
+        FROM days d CROSS JOIN (
+            SELECT unnest(range({FX_N_CCY})) AS ccy
+        ) c
+    ), o AS (
+        SELECT o_orderkey,
+               CAST(o_custkey % {FX_N_CCY} AS BIGINT) AS ccy,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), conv AS (
+        SELECT o.day, o.ccy, o.cents,
+               CAST((o.cents * q.rate_micro) // {FX_RATE_BASE} AS BIGINT) AS usd_cents
+        FROM o ASOF LEFT JOIN quotes q
+          ON o.ccy = q.ccy AND q.qday <= o.day
+    ), daily AS (
+        SELECT day, ccy,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS gross_cents,
+               CAST(SUM(usd_cents) AS BIGINT) AS usd_cents
+        FROM conv WHERE usd_cents IS NOT NULL
+        GROUP BY day, ccy
+    )
+    SELECT day, ccy, n_orders, gross_cents, usd_cents,
+           CAST(usd_cents - LAG(usd_cents) OVER (
+               PARTITION BY ccy ORDER BY day
+           ) AS BIGINT) AS dod_delta_cents
+    FROM daily
+    """,
+    doc="Flagship payments composition — the daily settlement report "
+        "the reference's downstream dashboards compute from its Kafka "
+        "events **[dep]**: per (day, currency) order counts, gross "
+        "native-minor-unit volume, USD-normalized volume via the as-of "
+        "FX conversion (fx_convert_orders — broadcast quote book, zero "
+        "fact-side shuffles), and day-over-day settlement delta (LAG "
+        "per currency). One fact scan → broadcast conversion → one "
+        "(day,ccy) shuffle; the delta window runs on the daily rollup "
+        "(calendar-sized, 3 partitions of days — NOT the fact table). "
+        "All integer arithmetic; pre-first-quote orders (NULL rate) "
+        "are excluded like any unsettleable row.",
+)
+def pipeline_settlement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    conv = fx_convert_orders(spark, load_table(spark, sf_dir, "orders"))
+    daily = (
+        conv.filter(F.col("usd_cents").isNotNull())
+        .groupBy("day", "ccy")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("gross_cents"),
+            F.sum("usd_cents").cast("bigint").alias("usd_cents"),
+        )
+    )
+    w = Window.partitionBy("ccy").orderBy("day")
+    return daily.withColumn(
+        "dod_delta_cents",
+        (F.col("usd_cents") - F.lag("usd_cents").over(w)).cast("bigint"),
     )
