@@ -537,3 +537,75 @@ def time_weighted_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUT_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint, seq string, hit boolean"
+)
+FUNNEL_STATE_SCHEMA = "last_us bigint, sid bigint, n bigint, seq string"
+
+
+def funnel_stream(events: DataFrame, gap_min: int | None = None) -> DataFrame:
+    """Streaming twin of the batch ``seq_pattern_funnel_sessioned``
+    operator (operators/analytics.py): gap-sessionize, collapse each
+    session to its ordered event-type string, and flag the
+    view>click>purchase funnel — MATCH_RECOGNIZE semantics as a
+    stateful stream.
+
+    State per user is (last event time, session ordinal, event count,
+    the growing type-string of the OPEN session) — bounded by session
+    length, exactly the bound the sessionize-first batch composition
+    exists to provide (SURVEY §2.7): a user's lifetime history never
+    accumulates, only their current session does. A session row is
+    emitted when a gap closes it; the still-open final session is
+    withheld (same contract as sessionize_stream — the parity test
+    compares against batch minus each user's last session).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hyperswitch_data_backfill_spark.operators.analytics import _FUNNEL_RE
+    from hyperswitch_data_backfill_spark.operators.windows import SESSION_GAP_MIN
+    import re as _re
+
+    gap_us = (gap_min if gap_min is not None else SESSION_GAP_MIN) * 60 * 1_000_000
+    hit_re = _re.compile(_FUNNEL_RE)
+
+    def fn(key, pdfs, state: GroupState):
+        last_us = None
+        sid, n, seq = 1, 0, ""
+        if state.exists:
+            last_us, sid, n, seq = state.get
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["us", "event_id"]
+        )
+        out = []
+        for us, etype in zip(rows["us"].astype("int64"), rows["event_type"]):
+            us = int(us)
+            if last_us is not None and us - last_us > gap_us:
+                out.append(
+                    (key[0], sid, n, seq, bool(hit_re.search(seq)))
+                )
+                sid += 1
+                n, seq = 0, ""
+            seq = f"{seq}>{etype}" if seq else etype
+            n += 1
+            last_us = us
+        state.update((last_us, sid, n, seq))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_id", "n_events", "seq", "hit"]
+        )
+
+    prepared = events.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        FUNNEL_OUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -900,3 +900,48 @@ def test_twa_stream_survives_restart_from_checkpoint(spark, tmp_path):
         if cur is None or r["n_events"] > cur[1]:
             final[r["user_id"]] = tuple(r)
     assert set(final.values()) == expected
+
+
+def test_funnel_stream_equals_batch_closed_sessions(spark, sliced_event_dir):
+    """Batch≡stream funnel parity: the stateful session-funnel must
+    reproduce seq_pattern_funnel_sessioned exactly for every CLOSED
+    session (the open final session per user is withheld, same contract
+    as the sessionizer parity tests)."""
+    from pyspark.sql.window import Window as W
+
+    from hyperswitch_data_backfill_spark.operators.analytics import (
+        sessioned_funnel,
+    )
+    from hyperswitch_data_backfill_spark.streaming.pipeline import funnel_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    batch = sessioned_funnel(ev)
+    last = F.max("session_id").over(W.partitionBy("user_id"))
+    expected = {
+        tuple(r)
+        for r in batch.withColumn("_last", last)
+        .filter(F.col("session_id") != F.col("_last"))
+        .drop("_last")
+        .collect()
+    }
+    # sf0.001's closed sessions contain no full funnel hit; the hit flag
+    # itself is oracle-verified at sf0.01 by seq_pattern_funnel_sessioned.
+    # Here the exact seq strings carry the content comparison — require
+    # multi-event sessions so the ordering inside a session is exercised.
+    assert expected and any(r[2] >= 3 for r in expected)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sliced_event_dir}/slice*")
+    )
+    q = write_memory_sink(funnel_stream(stream), "funnel_stream", complete=False)
+    q.awaitTermination(300)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, session_id, n_events, seq, hit FROM funnel_stream"
+        ).collect()
+    }
+    assert got == expected
