@@ -945,3 +945,59 @@ def test_funnel_stream_equals_batch_closed_sessions(spark, sliced_event_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_funnel_stream_hits_parity_sf001(spark, tmp_path):
+    """Same closed-session funnel parity at sf0.01, where complete
+    view>click>purchase sessions exist — the `hit` flag's true-case is
+    exercised through the stream."""
+    import os
+    import time
+
+    from pyspark.sql.window import Window as W
+
+    from hyperswitch_data_backfill_spark.operators.analytics import (
+        sessioned_funnel,
+    )
+    from hyperswitch_data_backfill_spark.streaming.pipeline import funnel_stream
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    d = str(tmp_path / "slices")
+    for i in range(3):
+        s_, e_ = lo + i * span, (hi if i == 2 else lo + (i + 1) * span)
+        cond = (F.col("ts") >= s_) & (
+            (F.col("ts") <= e_) if i == 2 else (F.col("ts") < e_)
+        )
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(f"{d}/slice{i}")
+        for root, _, files in os.walk(f"{d}/slice{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (time.time() + i, time.time() + i))
+
+    batch = sessioned_funnel(ev)
+    last = F.max("session_id").over(W.partitionBy("user_id"))
+    expected = {
+        tuple(r)
+        for r in batch.withColumn("_last", last)
+        .filter(F.col("session_id") != F.col("_last"))
+        .drop("_last")
+        .collect()
+    }
+    assert any(r[4] for r in expected), "sf0.01 must contain closed funnel hits"
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/slice*")
+    )
+    q = write_memory_sink(funnel_stream(stream), "funnel_hits", complete=False)
+    q.awaitTermination(300)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, session_id, n_events, seq, hit FROM funnel_hits"
+        ).collect()
+    }
+    assert got == expected
