@@ -576,3 +576,94 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pq.codes").alias("codes"),
         F.round(F.col("pq.recon_mse"), 6).alias("recon_mse"),
     )
+
+
+IVFPQ_SHORTLIST = 32  # ADC candidates per query kept for exact re-rank
+
+
+def pq_dtab_udf(emb_col):
+    """Arrow-vectorized per-query PQ distance table: for each query
+    vector, the squared distance from each of its PQ_M subvectors to
+    each of that subspace's PQ_K codebook entries, flattened to a
+    length-(PQ_M*PQ_K) array. Tiny (queries only) — the per-pair ADC
+    sum downstream is pure codegen over this broadcast array."""
+    from pyspark.sql.functions import pandas_udf
+
+    def impl(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        n = mat.shape[0]
+        sub = mat.reshape(n, PQ_M, -1)
+        cb = _pq_codebook()
+        x2 = (sub**2).sum(axis=2, keepdims=True)
+        xc = np.einsum("nmd,mkd->nmk", sub, cb)
+        c2 = (cb**2).sum(axis=2)[None, :, :]
+        d2 = x2 - 2 * xc + c2  # (n, m, k)
+        return pd.Series(list(d2.reshape(n, PQ_M * PQ_K)))
+
+    if "pq_dtab" not in _UDF_CACHE:
+        _UDF_CACHE["pq_dtab"] = pandas_udf(impl, "array<double>")
+    return _UDF_CACHE["pq_dtab"](emb_col)
+
+
+@register(
+    "sim_ivfpq",
+    oracle=None,  # approximate (IVF probe + PQ-compressed ranking) → rows-only
+    doc="L3e: IVF-PQ ANN — the Jégou et al. 2011 composition every "
+        "billion-scale vector store runs: IVF cells bound WHICH vectors "
+        "a query touches (nprobe/k of the corpus), PQ codes bound the "
+        "BYTES each touched vector costs (4 bytes, not 256), asymmetric "
+        "distance (query-side table vs 4-bit codes) ranks candidates, "
+        "and only a constant shortlist pays full-precision re-rank. "
+        "Plan: queries (few) carry their 128-double distance table "
+        "broadcast into the cell-equi join; the per-pair ADC sum is "
+        "pure codegen (`aggregate` over the code array indexing the "
+        "broadcast table — no Python in the pair loop); two keyed "
+        "windows (ADC shortlist, exact top-k) both partition by query. "
+        "At 100 TB the corpus side stores ONLY (cell, codes) — the "
+        "full vectors live in a separate store touched for "
+        "shortlist-sized lookups, here modeled by re-ranking from the "
+        "same frame. Recall floor + shortlist-bound pytest-guarded.",
+)
+def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    base = emb.withColumn("nrm", norm(F.col("embedding")))
+    corpus = base.select(
+        "vec_id", "embedding", "nrm",
+        F.explode(ivf_cells_udf(F.col("embedding"), 1)).alias("cell"),
+        pq_encode_udf(F.col("embedding"))["codes"].alias("codes"),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        pq_dtab_udf(F.col("embedding")).alias("dtab"),
+        F.explode(ivf_cells_udf(F.col("embedding"), IVF_NPROBE)).alias("cell"),
+    )
+    cand = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "q_emb", "q_nrm", "embedding", "nrm",
+            F.expr(
+                # arr[i] is 0-based getItem in Spark SQL; codes[m] is the
+                # m-th subspace code, dtab is the flattened (m, k) table
+                f"aggregate(sequence(0, {PQ_M - 1}), 0.0D, "
+                f"(acc, m) -> acc + dtab[m * {PQ_K} + codes[m]])"
+            ).alias("adc"),
+        )
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    shortlist = (
+        cand.withColumn("srk", F.row_number().over(w_adc))
+        .filter(F.col("srk") <= IVFPQ_SHORTLIST)
+        .select(
+            "q_id", "vec_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return shortlist.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)

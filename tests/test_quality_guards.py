@@ -730,3 +730,24 @@ def test_semantic_clusters_consistent_with_pairs(spark):
         members[c].append(v)
     for c, vs in members.items():
         assert c == min(vs), "cluster id must be the min member id"
+
+
+def test_sim_ivfpq_recall_and_shape(spark):
+    """IVF-PQ ANN: recall floor vs the exact oracle, ≤k rows per query,
+    and recall within striking distance of plain IVF (the PQ shortlist
+    may cost a little recall — 4-bit codes — but must not collapse)."""
+    from hyperswitch_data_backfill_spark.operators.similarity import TOP_K
+
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in REGISTRY["sim_exact_small"].fn(spark, SF_DIR).collect()
+    }
+    rows = REGISTRY["sim_ivfpq"].fn(spark, SF_DIR).collect()
+    got = {(r["q_id"], r["vec_id"]) for r in rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.15, f"IVF-PQ recall collapsed: {recall:.3f}"
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
+        assert 1 <= r["rk"] <= TOP_K
+    assert all(n <= TOP_K for n in per_q.values())

@@ -24,6 +24,7 @@ SANCTIONED_ROWS_ONLY = {
     "sim_topk",              # LSH ANN — recall floor vs exact baseline
     "sim_ivf",               # IVF ANN — recall floor vs exact baseline
     "sim_ivf_trained",       # KMeans-trained IVF — recall floor
+    "sim_ivfpq",             # IVF-PQ ANN — PQ-compressed ranking; recall floor
     "udf_decrypt",           # ciphertext/nonce output; round-trip pytest
     "emb_pq_quantize",       # PQ codes = float argmin vs float codebook —
     #   not oracle-replayable; pytest pins code range, idempotence, and
