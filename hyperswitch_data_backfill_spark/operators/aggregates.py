@@ -684,3 +684,46 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     )
+
+
+HLL_MERGE_BUCKETS = 8
+
+
+@register(
+    "agg_hll_merge",
+    oracle=None,  # sketch estimate → rows-only; merge≡direct pinned in pytest
+    doc="A3d: mergeable HyperLogLog partials (Datasketches "
+        "hll_sketch_agg / hll_union_agg) — the production path "
+        "agg_approx_distinct's docstring promises for 100 TB: each "
+        "partition/batch builds its own constant-size sketch, sketches "
+        "union associatively (register maxima), and the union of "
+        "partials is EXACTLY the sketch a direct pass builds — so "
+        "incremental/daily sketches replace re-scans. Output is one "
+        "row: bucketed-merge estimate, direct estimate (equal by "
+        "construction — pytest-pinned), exact distinct, and relative "
+        "error (bounded in pytest). The sketch column is the thing a "
+        "real rollup table stores next to its counts.",
+)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    parts = (
+        orders.withColumn("b", F.col("o_orderkey") % HLL_MERGE_BUCKETS)
+        .groupBy("b")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    merged = parts.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("direct_est"),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    return merged.crossJoin(direct).select(
+        F.lit(HLL_MERGE_BUCKETS).alias("n_buckets"),
+        "merged_est",
+        "direct_est",
+        "exact",
+        F.round(
+            F.abs(F.col("merged_est") - F.col("exact")) / F.col("exact"), 6
+        ).alias("rel_err"),
+    )

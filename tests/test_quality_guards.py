@@ -751,3 +751,13 @@ def test_sim_ivfpq_recall_and_shape(spark):
         per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
         assert 1 <= r["rk"] <= TOP_K
     assert all(n <= TOP_K for n in per_q.values())
+
+
+def test_hll_merge_equals_direct_and_bounded_error(spark):
+    """Mergeable-HLL contract: the union of per-bucket sketches is the
+    SAME sketch as one direct pass (register maxima — associative), and
+    the estimate is within the sketch's error envelope of exact."""
+    row = REGISTRY["agg_hll_merge"].fn(spark, SF_DIR).collect()[0]
+    assert row["merged_est"] == row["direct_est"], "partial merge diverged from direct sketch"
+    assert row["rel_err"] <= 0.05, f"HLL error out of envelope: {row['rel_err']}"
+    assert row["exact"] > 0

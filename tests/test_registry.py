@@ -18,6 +18,7 @@ from hyperswitch_data_backfill_spark import registry
 # guards (test_quality_guards.py, test_crypto.py).
 SANCTIONED_ROWS_ONLY = {
     "agg_approx_distinct",   # HLL sketch — estimate, not exact
+    "agg_hll_merge",         # Datasketches HLL partials — estimate; merge≡direct pytest
     "agg_approx_percentile", # KLL/GK sketch — rank-error bound only
     "dedup_minhash",         # probabilistic signatures; recall-guarded
     "dedup_simhash",         # probabilistic fingerprints; recall-guarded
