@@ -390,3 +390,22 @@ def test_bm25_checkpointed_tf_bounds_exchanges(spark):
     p = _exec_plan(spark, "text_bm25")
     assert p.count("Exchange hashpartitioning") <= 4
     assert "TakeOrderedAndProject" in p
+
+
+def test_pagerank_countmin_stay_jvm_side(spark):
+    """G1/A13: the iterative PageRank rounds and the count-min grid are
+    pure codegen joins/aggregates — a Python node appearing here means
+    the integer fixed-point formulation regressed to a UDF."""
+    for name in ("graph_pagerank", "agg_countmin", "agg_heavy_hitters"):
+        p = _exec_plan(spark, name)
+        assert "Python" not in p, name
+
+
+def test_countmin_shuffle_is_grid_sized(spark):
+    """A13's scale claim: the sketch shuffle carries O(d*w) partial
+    counters keyed by grid cell — the only hash Exchanges allowed are
+    the (d,w)-keyed aggregate and the per-key estimate join back; a
+    per-distinct-key Window would break the bound."""
+    p = _exec_plan(spark, "agg_countmin")
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") <= 4, p
