@@ -46,7 +46,7 @@ class FileSourceConfig:
     """Declarative file-source spec (the dump-file twin of JdbcSourceConfig)."""
 
     path: str
-    format: str  # csv | json | parquet
+    format: str  # csv | json | parquet | orc
     schema: StructType | None = None  # required for csv/json
     options: dict[str, str] = field(default_factory=dict)
 
@@ -61,6 +61,11 @@ def read_file_source(spark: SparkSession, cfg: FileSourceConfig) -> DataFrame:
     fmt = cfg.format.lower()
     if fmt == "parquet":
         return spark.read.options(**cfg.options).parquet(cfg.path)
+    if fmt == "orc":
+        # self-describing columnar like parquet: schema from the footer,
+        # pushdown/pruning identical — the other lake format a backfill
+        # may be handed (Hive-era dumps)
+        return spark.read.options(**cfg.options).orc(cfg.path)
     if fmt not in ("csv", "json"):
         raise ValueError(f"unsupported file source format: {cfg.format!r}")
     if cfg.schema is None:

@@ -684,3 +684,28 @@ def test_postgres_end_to_end_backfill_roundtrip(spark):
     got = {r["key"] for r in events.collect()}
     want = {f"m1:{i}" for i in range(1, 61) if i % 3 == 1}
     assert got == want
+
+
+def test_orc_source_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC completes the self-describing-columnar matrix next to
+    parquet: byte-equal round-trip through the declarative file source,
+    and predicate pushdown reaches the ORC scan just as it does for
+    parquet (searchArgument in the plan)."""
+    from hyperswitch_data_backfill_spark.catalog import load_table
+    from hyperswitch_data_backfill_spark.sources.files import (
+        FileSourceConfig,
+        read_file_source,
+    )
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    d = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(d)
+    back = read_file_source(spark, FileSourceConfig(path=d, format="orc"))
+    assert back.schema == orders.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in orders.collect()}
+    filtered = back.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PushedFilters: ["
+    )[1].split("]")[0]
