@@ -46,7 +46,7 @@ class FileSourceConfig:
     """Declarative file-source spec (the dump-file twin of JdbcSourceConfig)."""
 
     path: str
-    format: str  # csv | json | parquet | orc
+    format: str  # csv | json | parquet | orc | avro (needs spark-avro)
     schema: StructType | None = None  # required for csv/json
     options: dict[str, str] = field(default_factory=dict)
 
@@ -66,6 +66,18 @@ def read_file_source(spark: SparkSession, cfg: FileSourceConfig) -> DataFrame:
         # pushdown/pruning identical — the other lake format a backfill
         # may be handed (Hive-era dumps)
         return spark.read.options(**cfg.options).orc(cfg.path)
+    if fmt == "avro":
+        # external module since Spark 2.4 — honest capability error when
+        # the spark-avro jar isn't deployed (same optional-dependency
+        # pattern as codecs.py's PIL/soundfile dispatch)
+        try:
+            return spark.read.options(**cfg.options).format("avro").load(cfg.path)
+        except Exception as e:  # AnalysisException: data source not found
+            raise NotImplementedError(
+                "avro source requires the spark-avro module on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark version>); "
+                f"underlying error: {e}"
+            ) from e
     if fmt not in ("csv", "json"):
         raise ValueError(f"unsupported file source format: {cfg.format!r}")
     if cfg.schema is None:

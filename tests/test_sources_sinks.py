@@ -709,3 +709,23 @@ def test_orc_source_roundtrip_and_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split(
         "PushedFilters: ["
     )[1].split("]")[0]
+
+
+def test_avro_source_capability_error_without_module(spark, tmp_path):
+    """spark-avro is an external module; without it the declarative
+    source must raise a clear capability error (and would pass through
+    to the reader when the jar is deployed)."""
+    from hyperswitch_data_backfill_spark.sources.files import (
+        FileSourceConfig,
+        read_file_source,
+    )
+
+    try:
+        df = read_file_source(
+            spark, FileSourceConfig(path=str(tmp_path), format="avro")
+        )
+        # module present: reading an empty dir may fail later, but the
+        # format resolved — nothing more to assert portably
+        assert df is not None
+    except NotImplementedError as e:
+        assert "spark-avro" in str(e)
