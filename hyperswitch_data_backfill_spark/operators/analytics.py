@@ -631,3 +631,74 @@ def last_touch_attribution(ev: DataFrame) -> DataFrame:
         F.when(in_window, F.col("touch_type")).otherwise(F.lit("direct")).alias("touch_type"),
         F.when(in_window, (F.col("us") - F.col("touch_us")).cast("bigint")).alias("lag_us"),
     )
+
+
+@register(
+    "ts_gapfill",
+    oracle="""
+    WITH actual AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM actual
+    ), calendar AS (
+        SELECT t.event_type, d.day
+        FROM (SELECT DISTINCT event_type FROM actual) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(
+                (SELECT lo FROM bounds), (SELECT hi FROM bounds))) AS day
+        ) d
+    )
+    SELECT c.event_type, CAST(c.day AS BIGINT) AS day,
+           a.cents AS actual_cents,
+           CAST(LAST_VALUE(a.cents IGNORE NULLS) OVER (
+               PARTITION BY c.event_type ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS filled_cents,
+           a.cents IS NULL AS is_gap
+    FROM calendar c
+    LEFT JOIN actual a ON a.event_type = c.event_type AND a.day = c.day
+    """,
+    doc="Time-series gap filling with last-observation-carried-forward "
+        "(TimescaleDB time_bucket_gapfill + locf): densify each "
+        "series onto the full daily calendar, then carry the last "
+        "known value across the gaps — the densification every "
+        "dashboard and forecasting pipeline needs before resampling. "
+        "The calendar is GENERATED (sequence over the 1-row global "
+        "bounds broadcast), never materialized from data, so the "
+        "row count is series × days — calendar-sized, independent of "
+        "event volume; the one data-sized shuffle is the daily "
+        "pre-aggregate (map-side combined). LOCF is last(·, "
+        "ignorenulls) over the per-series ordering — the join_asof "
+        "carry-forward shape on a dense axis. Integer cents "
+        "throughout; days before a series' first observation stay "
+        "NULL (no back-fill — honest about unknown history).",
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    actual = ev.groupBy(
+        "event_type", _day().alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    bounds = actual.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = actual.select("event_type").distinct()
+    calendar = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    joined = calendar.join(
+        actual.withColumnRenamed("cents", "actual_cents"), ["event_type", "day"], "left"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        "actual_cents",
+        F.last("actual_cents", ignorenulls=True).over(w).cast("bigint").alias("filled_cents"),
+        F.col("actual_cents").isNull().alias("is_gap"),
+    )

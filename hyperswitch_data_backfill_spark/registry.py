@@ -101,6 +101,7 @@ _DRIVER_WINDOW: list[str] = [
     "money_convert_asof",
     "pipeline_corpus_build",
     "pipeline_settlement_report",
+    "ts_gapfill",
     # -- 3. rows-only keys never swept by the driver
     "emb_pq_quantize",
     "sim_topk",
@@ -116,7 +117,6 @@ _DRIVER_WINDOW: list[str] = [
     "join_skew_salted",
     "agg_percentile",
     "agg_salted_skew",
-    "agg_histogram",
     "dedup_exact",
     "dedup_ngram_jaccard",  # pre-Arrow-conf evidence: re-verify under new conf
     # (rotated out to make room for round-4 additions — all r1/r2-green,
@@ -126,7 +126,7 @@ _DRIVER_WINDOW: list[str] = [
     #  agg_cube, agg_grouping_sets, join_semi, join_left, join_anti,
     #  join_range, agg_group_count, agg_stats, agg_pivot, anomaly_zscore,
     #  win_rank_stats, win_range_frame, agg_rollup, win_running_sum,
-    #  win_tumbling)
+    #  win_tumbling, agg_histogram)
 ]
 
 # ROUND-5 ROTATION PLAN (execute at the start of round 5): once
