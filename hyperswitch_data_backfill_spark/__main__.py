@@ -44,7 +44,7 @@ from hyperswitch_data_backfill_spark.plans.spec import (
     compile_job,
 )
 
-_DATE_FORMATS = (  # ≙ utility.rs:6-31 parse_to_primitive_datetime
+_DATE_FORMATS = (  # ≙ utility.rs:6-30 parse_to_primitive_datetime
     "%Y-%m-%d %H:%M:%S.%f",
     "%Y-%m-%d %H:%M:%S",
     "%Y-%m-%d",
