@@ -49,6 +49,12 @@ def _norm(v):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if "--window" in only:
+        # sweep exactly the 50 keys the external driver will check
+        from hyperswitch_data_backfill_spark import registry
+
+        registry._load_all_operator_modules()
+        only = {n for n in registry._DRIVER_WINDOW if n in registry.REGISTRY}
 
     import __spark_entry__ as entry
 
