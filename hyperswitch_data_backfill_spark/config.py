@@ -47,6 +47,65 @@ def env_resolver(section: str, key: str, value: str) -> str:
     return os.environ.get(f"HYPERSWITCH_SECRET_{section}_{key}".upper(), value)
 
 
+#: prefix marking a config value as KMS-style ciphertext: "enc:<hex(nonce||ct)>"
+ENC_PREFIX = "enc:"
+_NONCE_LEN = 12  # AES-GCM standard nonce size; also used by the XOR fallback
+
+
+def encrypt_secret_value(plaintext: str, master_key: bytes, nonce: bytes | None = None) -> str:
+    """Produce an ``enc:<hex>`` config value the encrypted-value resolver
+    can decrypt — the write side of the reference's KMS-encrypted config
+    (``encryption.rs:11-186`` stores ciphertext in the settings tree and
+    decrypts each section at boot).
+
+    AES-256-GCM (authenticated) when the ``cryptography`` package is
+    present; otherwise the same deterministic SHA-256 CTR XOR cipher the
+    U1 decrypt UDF falls back to (functions/crypto.py) — identical
+    interface, NOT for production use.
+    """
+    from hyperswitch_data_backfill_spark.functions import crypto
+
+    if nonce is None:
+        nonce = os.urandom(_NONCE_LEN)
+    if len(nonce) != _NONCE_LEN:
+        raise ValueError(f"nonce must be {_NONCE_LEN} bytes, got {len(nonce)}")
+    data = plaintext.encode()
+    if crypto.HAVE_AES:
+        ct = crypto.aes_gcm_encrypt(data, master_key, nonce)
+    else:
+        ct = crypto.xor_cipher(data, master_key + nonce)
+    return ENC_PREFIX + (nonce + ct).hex()
+
+
+def encrypted_value_resolver(master_key: bytes) -> SecretResolver:
+    """Second resolver backend (≙ the reference's real secret-management
+    client, vs env_resolver's NoEncryption): any secret whose TOML value
+    is ``enc:<hex(nonce||ciphertext)>`` is decrypted with the master
+    key; plaintext values pass through unchanged, so one config file can
+    mix encrypted and clear sections exactly like the reference's
+    14-section walk. Decryption is driver-side and one-time; a bad key
+    or tampered ciphertext raises at load, before any query runs."""
+    from hyperswitch_data_backfill_spark.functions import crypto
+
+    def resolve(section: str, key: str, value: str) -> str:
+        if not value.startswith(ENC_PREFIX):
+            return value
+        blob = bytes.fromhex(value[len(ENC_PREFIX):])
+        nonce, ct = blob[:_NONCE_LEN], blob[_NONCE_LEN:]
+        if crypto.HAVE_AES:
+            pt = crypto.aes_gcm_decrypt(ct, master_key, nonce)
+            if pt is None:
+                raise ValueError(
+                    f"secret [{section}].{key}: decryption failed "
+                    "(wrong master key or tampered ciphertext)"
+                )
+        else:
+            pt = crypto.xor_cipher(ct, master_key + nonce)
+        return pt.decode()
+
+    return resolve
+
+
 @dataclass(frozen=True)
 class AppConfig:
     """Resolved app settings — the subset of the reference's Settings tree we use."""

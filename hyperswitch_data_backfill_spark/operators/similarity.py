@@ -563,9 +563,29 @@ def pq_encode_udf(emb_col):
         "random-projection compressors (functions/arrays.py) are the "
         "sibling operators. Quality guards in pytest: codes in range, "
         "encode idempotent, and PQ reconstruction MSE strictly beats "
-        "the best single global centroid (rank-0 quantizer).",
+        "the best single global centroid (rank-0 quantizer). Driver "
+        "contract: the 8 four-bit codes pack exactly into one BIGINT "
+        "(acc*16+c fold) so the result is hashable by the rows-only "
+        "canonicalizer; `emb_pq_quantize_arrays` keeps the array form "
+        "for API users.",
 )
 def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = emb_pq_quantize_arrays(spark, sf_dir)
+    return enc.select(
+        "vec_id",
+        "label",
+        # 8 codes in [0, 16) fold losslessly into one 32-bit-wide bigint;
+        # keeps the driver canonicalizer (pandas sort over all columns)
+        # away from unhashable array cells.
+        F.expr("aggregate(codes, 0L, (acc, c) -> acc * 16 + c)").alias("codes_packed"),
+        "recon_mse",
+    )
+
+
+def emb_pq_quantize_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API variant of ``emb_pq_quantize`` returning `codes array<int>`
+    (the layout downstream ADC search consumes); not driver-registered
+    because array cells crash the rows-only canonicalizer."""
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )

@@ -45,101 +45,89 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # The external correctness driver sweeps at most 50 queries per round, in
 # the order queries() yields them.  Rotation policy: once a key is
 # driver-green AND its implementation is unchanged, it may drop out of
-# the window to make room for unswept or changed keys; every
-# oracle-backed key must be either in the window or green in a shipped
-# CORRECTNESS_r0*.json (enforced by tests/test_registry.py::
-# test_driver_window_covers_every_unproven_key).
+# the window to make room for unswept or changed keys; every key —
+# oracle-backed AND rows-only — must be either in the window or have a
+# driver record in a shipped CORRECTNESS_r0*.json (enforced by
+# tests/test_registry.py::test_driver_window_covers_every_unproven_key,
+# extended to rows-only keys in round 5 per the r4 verdict).
 #
-# ROUND-4 WINDOW (executing the rotation planned in round 3 — r1/r2/r3
-# together are 101 distinct driver-hash-green keys, zero regressions):
-#   1. the 9 round-3 additions that have judge evidence only;
-#   2. round-4 additions (no evidence at all yet);
-#   3. the 5 rows-only keys the driver has never recorded (it logs a
-#      rows-only check for keys without oracle SQL);
-#   4. regression re-checks of the most load-bearing r1/r2-green core —
-#      prioritizing keys whose evidence predates the global Arrow
-#      batch-size conf change (dedup/pandas-UDF paths) plus the
-#      join/agg/window backbone everything composes on.
+# ROUND-5 WINDOW (executing the rotation recorded in round 4; evidence
+# ages computed from shipped CORRECTNESS_r01–r04):
+#   1. evidence-gap / changed / new keys first — emb_pq_quantize (r4's
+#      one red row; impl changed this round to emit a packed bigint),
+#      sim_ivfpq + agg_hll_merge (registered post-r4-window, zero
+#      driver evidence), stream_cdc_maintainer_batch (new this round),
+#      agg_approx_percentile (rows-only r2, never re-swept — r4
+#      verdict item 5);
+#   2. the 4 keys whose latest evidence is round-1 vintage;
+#   3. all 41 keys whose latest evidence is round-2 vintage (the 23
+#      r4-evicted keys plus the rest of the r2 cohort) — exactly fills
+#      the 50 slots. After this sweep no key's evidence is older than
+#      round 3.
 _DRIVER_WINDOW: list[str] = [
-    # -- 1. round-3 additions, judge-green only: need a driver row
-    "scd2_apply",
-    "layout_zorder",        # + round-4 bigint-overflow hardening: re-verify
-    "json_variant_extract",
-    "dedup_containment",
-    "join_asof_tolerance",
-    "seq_pattern_funnel",
-    "text_collapse_runs",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
-    # -- 2. round-4 additions: zero evidence yet
-    "seq_pattern_funnel_sessioned",
-    "text_unigram_logprob",
-    "text_vocab_oov",
-    "dedup_semantic_clusters",
-    "join_full_outer",
-    "win_ntile",
-    "cdc_snapshot_diff",
-    "agg_incremental_merge",
-    "agg_heavy_hitters",
-    "dedup_span_ngrams",
-    "graph_pagerank",
-    "agg_countmin",
-    # -- 2b. round-4 second batch (lakehouse / retrieval / analytics):
-    #    zero evidence yet — each evicts one r1/r2-green pure-codegen
-    #    regression slot (evictees listed at the bottom; all untouched
-    #    since their green evidence was recorded)
-    "layout_zonemap",
-    "compact_bin_pack",
-    "dq_referential_integrity",
-    "cdc_apply_changes",
-    "win_time_weighted_avg",
-    "attr_last_touch",
-    "text_bm25",
-    "text_inverted_index",
-    "agg_equidepth_histogram",
-    "graph_triangle_count",
-    "money_convert_asof",
-    "pipeline_corpus_build",
-    "pipeline_settlement_report",
-    "ts_gapfill",
-    # -- 3. rows-only keys never swept by the driver
-    "emb_pq_quantize",
-    "sim_topk",
-    "sim_ivf",
-    "sim_ivf_trained",
-    "udf_decrypt",
-    "decontam_bloom",
-    # -- 4. regression re-checks (r1/r2 evidence, code churn since)
-    "tpch_q3_topk",
-    "join_broadcast",
-    "join_smj",
-    "join_asof",
-    "join_skew_salted",
-    "agg_percentile",
-    "agg_salted_skew",
-    "dedup_exact",
-    "dedup_ngram_jaccard",  # pre-Arrow-conf evidence: re-verify under new conf
-    # (rotated out to make room for round-4 additions — all r1/r2-green,
-    #  pure-codegen, implementation untouched since their evidence was
-    #  recorded: exists_subquery, scalar_subquery_avg, agg_distinct,
-    #  agg_mode, win_lag, sample_stable_split, join_asof_forward,
-    #  agg_cube, agg_grouping_sets, join_semi, join_left, join_anti,
-    #  join_range, agg_group_count, agg_stats, agg_pivot, anomaly_zscore,
-    #  win_rank_stats, win_range_frame, agg_rollup, win_running_sum,
-    #  win_tumbling, agg_histogram)
+    # -- 1. evidence gaps (red / never-swept / new / stale-rows-only)
+    "emb_pq_quantize",        # r4 ERR (unhashable array) → now packed bigint
+    "sim_ivfpq",              # zero driver evidence
+    "agg_hll_merge",          # zero driver evidence
+    "stream_cdc_maintainer_batch",  # new in round 5
+    "agg_approx_percentile",  # rows-only r2; envelope pytest added r5
+    # -- 2. round-1-vintage evidence
+    "win_rank_stats",
+    "win_range_frame",
+    "dedup_minhash",
+    "dedup_simhash",
+    # -- 3. round-2-vintage evidence (oldest-first cohort, fills to 50)
+    "scan_orders",
+    "scan_customer_page",
+    "count_filtered",
+    "filter_eq",
+    "filter_between",
+    "filter_conj",
+    "project_subset",
+    "validate_ids",
+    "remap_columns",
+    "exists_subquery",
+    "scalar_subquery_avg",
+    "join_semi",
+    "join_left",
+    "join_anti",
+    "join_range",
+    "join_asof_forward",
+    "agg_group_count",
+    "agg_stats",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_histogram",
+    "agg_mode",
+    "anomaly_zscore",
+    "sample_stable_split",
+    "sample_stratified_fixed",
+    "sort_by_key",
+    "limit_k",
+    "paginate_window",
+    "topk_per_group",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "win_rownum",
+    "win_lag",
+    "win_running_sum",
+    "win_tumbling",
 ]
 
-# ROUND-5 ROTATION PLAN (execute at the start of round 5): once
-# CORRECTNESS_r04 lands, every key above has a fresh driver row dated
-# after the code that implements it. Round 5's window should then be:
-#   1. any round-5 additions (zero evidence) — always first;
-#   2. any key whose implementation (or a shared helper it uses)
-#      changed after its latest driver row;
-#   3. the 19 re-check keys evicted this round (footnote above) —
-#      their evidence is r1/r2-vintage and two rounds stale by then;
-#   4. remaining slots: oldest-evidence-first regression re-checks.
-# The hygiene test (tests/test_registry.py) continues to enforce that
-# no oracle-backed key is ever outside window ∪ recorded-green.
+# ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, every key's
+# evidence is round-3 vintage or newer. Round 6's window should be:
+#   1. any round-6 additions / implementation changes — always first;
+#   2. the round-3-vintage cohort (win_session, win_first_last,
+#      win_sliding, the compaction/functions/text/analytics/multimodal
+#      r3 batch — ~47 keys), oldest-first, filling the 50 slots.
+# The hygiene test continues to enforce that no key (oracle-backed or
+# rows-only) is ever outside window ∪ recorded-driver-evidence.
 
 
 def _ordered_names() -> list[str]:

@@ -72,7 +72,20 @@ def read_file_source(spark: SparkSession, cfg: FileSourceConfig) -> DataFrame:
         # pattern as codecs.py's PIL/soundfile dispatch)
         try:
             return spark.read.options(**cfg.options).format("avro").load(cfg.path)
-        except Exception as e:  # AnalysisException: data source not found
+        except Exception as e:
+            # Only the data-source-not-found case means "jar missing" —
+            # every other failure (bad path, corrupt files, schema error)
+            # must surface unchanged or diagnostics lie about the cause.
+            msg = str(e)
+            if not any(
+                marker in msg
+                for marker in (
+                    "Failed to find data source",
+                    "FAILED_TO_LOAD_DATA_SOURCE",
+                    "DATA_SOURCE_NOT_FOUND",
+                )
+            ):
+                raise
             raise NotImplementedError(
                 "avro source requires the spark-avro module on the classpath "
                 "(--packages org.apache.spark:spark-avro_2.13:<spark version>); "

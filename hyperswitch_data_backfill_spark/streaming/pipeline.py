@@ -374,7 +374,16 @@ def cdc_snapshot_maintainer(state_dir: str):
     )
 
     def _latest_version_dir() -> str | None:
-        versions = sorted(glob.glob(f"{state_dir}/v=*"))
+        # Only versions with a committed _SUCCESS marker count: a crash
+        # mid-write leaves a partial v= directory that must stay
+        # invisible until the batch retry overwrites it.
+        import os
+
+        versions = sorted(
+            v
+            for v in glob.glob(f"{state_dir}/v=*")
+            if os.path.exists(os.path.join(v, "_SUCCESS"))
+        )
         return versions[-1] if versions else None
 
     def write(batch_df: DataFrame, batch_id: int) -> None:

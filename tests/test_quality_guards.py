@@ -753,6 +753,38 @@ def test_sim_ivfpq_recall_and_shape(spark):
     assert all(n <= TOP_K for n in per_q.values())
 
 
+def test_approx_percentile_within_rank_error_envelope(spark):
+    """KLL/GK sketch contract (r4 verdict item 5): percentile_approx at
+    accuracy=10000 guarantees rank error ≤ n/accuracy. For each group
+    and each quantile q, the approx value must lie between the exact
+    order statistics at ranks (q ± eps)·n, with eps = 1/accuracy plus
+    one-rank slack — the same envelope pattern agg_hll_merge pins."""
+    from hyperswitch_data_backfill_spark.catalog import load_table
+
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
+        for r in REGISTRY["agg_approx_percentile"].fn(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    # collect per-group sorted values driver-side (sf0.001: ~6k rows)
+    import collections
+
+    vals = collections.defaultdict(list)
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        vals[r["l_returnflag"]].append(float(r["l_extendedprice"]))
+    eps = 1.0 / 10000
+    assert set(approx) == set(vals)
+    for flag, (p50, p95, p99) in approx.items():
+        xs = sorted(vals[flag])
+        n = len(xs)
+        for q, got in ((0.50, p50), (0.95, p95), (0.99, p99)):
+            lo_rank = max(0, int((q - eps) * n) - 1)
+            hi_rank = min(n - 1, int((q + eps) * n) + 1)
+            assert xs[lo_rank] <= float(got) <= xs[hi_rank], (
+                flag, q, got, xs[lo_rank], xs[hi_rank]
+            )
+
+
 def test_hll_merge_equals_direct_and_bounded_error(spark):
     """Mergeable-HLL contract: the union of per-bucket sketches is the
     SAME sketch as one direct pass (register maxima — associative), and

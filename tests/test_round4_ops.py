@@ -173,10 +173,10 @@ def test_countmin_never_underestimates(spark):
 def test_pq_quantize_quality(spark):
     import numpy as np
     from hyperswitch_data_backfill_spark.operators.similarity import (
-        PQ_K, PQ_M, _pq_codebook,
+        PQ_K, PQ_M, emb_pq_quantize_arrays,
     )
 
-    out = REGISTRY["emb_pq_quantize"].fn(spark, SF_DIR).collect()
+    out = emb_pq_quantize_arrays(spark, SF_DIR).collect()
     assert out
     for r in out[:50]:
         assert len(r.codes) == PQ_M
@@ -191,5 +191,32 @@ def test_pq_quantize_quality(spark):
     mean_pq = sum(r.recon_mse for r in out) / len(out)
     assert mean_pq < mse_rank0, (mean_pq, mse_rank0)
     # encode is deterministic / idempotent
-    again = {r.vec_id: tuple(r.codes) for r in REGISTRY["emb_pq_quantize"].fn(spark, SF_DIR).collect()}
+    again = {r.vec_id: tuple(r.codes) for r in emb_pq_quantize_arrays(spark, SF_DIR).collect()}
     assert {r.vec_id: tuple(r.codes) for r in out} == again
+
+
+def test_pq_quantize_driver_key_packs_codes_losslessly(spark):
+    """The registered key emits one BIGINT per vector (driver-hashable —
+    the r4 canonicalizer crashed on array cells); the fold acc*16+c must
+    decode back to exactly the array variant's codes."""
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        PQ_K, PQ_M, emb_pq_quantize_arrays,
+    )
+
+    packed = {
+        r.vec_id: r.codes_packed
+        for r in REGISTRY["emb_pq_quantize"].fn(spark, SF_DIR).collect()
+    }
+    arrays = {
+        r.vec_id: list(r.codes) for r in emb_pq_quantize_arrays(spark, SF_DIR).collect()
+    }
+    assert set(packed) == set(arrays)
+    for vid, p in packed.items():
+        decoded = []
+        for _ in range(PQ_M):
+            decoded.append(int(p % PQ_K))
+            p //= PQ_K
+        assert decoded[::-1] == arrays[vid], vid
+    # schema is canonicalizer-safe: no array/struct columns
+    df = REGISTRY["emb_pq_quantize"].fn(spark, SF_DIR)
+    assert all(not t.startswith(("array", "struct")) for _, t in df.dtypes), df.dtypes

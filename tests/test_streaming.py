@@ -759,6 +759,40 @@ def test_cdc_snapshot_maintainer_stream_equals_batch(spark, tmp_path):
     assert after == before
 
 
+def test_cdc_snapshot_maintainer_ignores_partial_versions(spark, tmp_path):
+    """Crash-safety of the version reader: a v= directory WITHOUT a
+    _SUCCESS marker (a write that died mid-flight) must stay invisible —
+    current_state keeps serving the last committed version until the
+    batch retry overwrites the partial one."""
+    import os
+
+    from hyperswitch_data_backfill_spark.operators.lakehouse import (
+        orders_changelog,
+    )
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        cdc_snapshot_maintainer,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    changes = orders_changelog(load_table(spark, sf, "orders"))
+    state_dir = str(tmp_path / "state")
+    maintainer = cdc_snapshot_maintainer(state_dir)
+    maintainer(changes, batch_id=0)
+    committed = {tuple(r) for r in maintainer.current_state(spark).collect()}
+    assert committed
+
+    # simulate a crash mid-write of the next version: files, no _SUCCESS
+    partial = f"{state_dir}/v=000000001"
+    os.makedirs(partial)
+    with open(f"{partial}/part-00000.parquet", "wb") as f:
+        f.write(b"\x00garbage not parquet")
+    assert {tuple(r) for r in maintainer.current_state(spark).collect()} == committed
+
+    # the retried batch overwrites the partial dir and becomes visible
+    maintainer(changes.limit(0), batch_id=1)
+    assert {tuple(r) for r in maintainer.current_state(spark).collect()} == committed
+
+
 def test_attribute_stream_equals_batch(spark, sliced_event_dir):
     """Batch≡stream attribution parity: the stateful one-row-per-user
     carry-forward must reproduce the batch attr_last_touch result

@@ -230,8 +230,161 @@ def events_mode() -> None:
     spark.stop()
 
 
+def embeddings_mode() -> None:
+    """Third rehearsal axis (r4 verdict item 4): the ANN family as the
+    EMBEDDING corpus grows Nx. Replicas are jittered copies (σ=0.3
+    Gaussian noise — new points near the data manifold, the way a corpus
+    actually grows), queries stay the N_QUERIES originals. Records per
+    scale: LSH bucket occupancy (max/p99 members + bucket-shuffle
+    max-part share), IVF max-cell share, candidate rows per query for
+    both, and recall of each vs a brute-force exact top-k computed on
+    the SAME inflated corpus. Flat bucket/cell shares + recall holding
+    its floor = the "bucketed, never all-pairs" claim measured."""
+    from pyspark.sql.functions import pandas_udf
+
+    from hyperswitch_data_backfill_spark.functions.arrays import dot, norm
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+        ivf_cells_udf,
+        lsh_buckets_udf,
+    )
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [1, 4, 16, 64]
+    spark = get_spark(app_name="scale-rehearsal-embeddings")
+    base = load_table(spark, sf_dir, "embeddings")
+
+    @pandas_udf("array<float>")
+    def jitter(emb, vec_id, rep):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        reps = rep.to_numpy()
+        # rep 0 keeps the original vector; others get seeded noise (one
+        # generator per batch — rehearsal metric, not a fixture)
+        seed = int(vec_id.iloc[0]) * 131071 + int(reps[0]) + 17
+        noise = np.random.default_rng(seed).standard_normal(mat.shape) * 0.3
+        noise[reps == 0] = 0.0
+        return pd.Series(list((mat + noise).astype(np.float32)))
+
+    def inflate(emb: DataFrame, n: int) -> DataFrame:
+        if n == 1:
+            return emb
+        r = emb.select("*", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep"))
+        return r.select(
+            (F.col("vec_id") + F.col("rep").cast("bigint") * F.lit(10**7)).alias("vec_id"),
+            jitter(F.col("embedding"), F.col("vec_id"), F.col("rep")).alias("embedding"),
+            "label",
+        )
+
+    print("| N | vecs | lsh buckets (max/p99) | lsh max-part share "
+          "| lsh cand/q | lsh recall | max IVF cell share | ivf cand/q "
+          "| ivf recall | exact wall s |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    for n in factors:
+        emb = inflate(base, n).localCheckpoint(eager=True)
+        n_vecs = emb.count()
+        basev = emb.withColumn("nrm", norm(F.col("embedding")))
+        q = basev.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        ).localCheckpoint(eager=True)
+
+        # exact top-k on the inflated corpus (the recall denominator)
+        t0 = time.perf_counter()
+        scored = (
+            basev.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id", "vec_id",
+                F.round(
+                    dot(F.col("q_emb"), F.col("embedding"))
+                    / (F.col("q_nrm") * F.col("nrm")), 6
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K).collect()
+        }
+        exact_wall = time.perf_counter() - t0
+
+        # LSH: bucket occupancy, shuffle balance, candidates, recall
+        banded = basev.select(
+            "vec_id", "embedding", "nrm",
+            F.posexplode(lsh_buckets_udf(F.col("embedding"))).alias("tbl", "bucket"),
+        )
+        occ = banded.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("members"))
+        n_b, mx_m, p99_m = bucket_stats(occ, F.col("members"))
+        _, _, share_l = part_hist(occ)
+        qb = banded.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"), "tbl", "bucket",
+        )
+        lsh_cand = (
+            banded.join(F.broadcast(qb), ["tbl", "bucket"])
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .dropDuplicates(["q_id", "vec_id"])
+        )
+        n_lsh_cand = lsh_cand.count()
+        lsh_top = lsh_cand.select(
+            "q_id", "vec_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
+        ).withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+        got_l = {(r["q_id"], r["vec_id"]) for r in lsh_top.collect()}
+        recall_l = len(exact & got_l) / max(1, len(exact))
+
+        # IVF: cell share, candidates, recall
+        cells = basev.select(
+            "vec_id", "embedding", "nrm",
+            F.explode(ivf_cells_udf(F.col("embedding"), 1)).alias("cell"),
+        )
+        crow = cells.groupBy("cell").count().agg(
+            F.max("count").alias("mx"), F.sum("count").alias("t")
+        ).collect()[0]
+        cell_share = crow["mx"] / crow["t"]
+        qc = basev.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(ivf_cells_udf(F.col("embedding"), IVF_NPROBE)).alias("cell"),
+        )
+        ivf_cand = (
+            cells.join(F.broadcast(qc), "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+        )
+        n_ivf_cand = ivf_cand.count()
+        ivf_top = ivf_cand.select(
+            "q_id", "vec_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
+        ).withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+        got_i = {(r["q_id"], r["vec_id"]) for r in ivf_top.collect()}
+        recall_i = len(exact & got_i) / max(1, len(exact))
+
+        print(
+            f"| {n} | {n_vecs} | {n_b} ({mx_m}/{p99_m:.0f}) | {share_l:.3f} "
+            f"| {n_lsh_cand / N_QUERIES:.0f} | {recall_l:.2f} "
+            f"| {cell_share:.3f} | {n_ivf_cand / N_QUERIES:.0f} "
+            f"| {recall_i:.2f} | {exact_wall:.1f} |"
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_mode()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--embeddings":
+        embeddings_mode()
     else:
         main()
