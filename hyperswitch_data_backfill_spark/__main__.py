@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="read entity tables from <dir>/<table>.parquet instead of JDBC")
     p.add_argument("--dry-run", action="store_true",
                    help="count + sample per topic instead of producing to Kafka")
+    p.add_argument("--master-key-env", default=None,
+                   help="env var holding a hex master key: decrypt enc:<hex> "
+                        "config values at boot (≙ the reference's KMS secret "
+                        "resolution, encryption.rs:11-186)")
     return p
 
 
@@ -91,8 +95,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     """Run the backfill job. ``spark``: inject an existing session (tests);
     when None a session is created and stopped here."""
     args = build_parser().parse_args(argv)
+    if args.master_key_env:
+        import os
+
+        from hyperswitch_data_backfill_spark.config import (
+            encrypted_value_resolver,
+        )
+
+        key_hex = os.environ.get(args.master_key_env)
+        if not key_hex:
+            print(f"error: env var {args.master_key_env} is unset", file=sys.stderr)
+            return 2
+        resolver = encrypted_value_resolver(bytes.fromhex(key_hex))
+    else:
+        from hyperswitch_data_backfill_spark.config import env_resolver as resolver
     cfg = load_config(args.config_path, tenant_id=args.tenant_id,
-                      batch_size=args.batch_size)
+                      batch_size=args.batch_size, resolver=resolver)
 
     entities = DEMO_ENTITIES
     if args.entities_module:
@@ -118,8 +136,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             from hyperswitch_data_backfill_spark.sources.jdbc import (
                 merchant_predicates,
+                read_jdbc_bounded,
                 read_jdbc_predicates,
-                read_jdbc_range,
             )
 
             tables = {}

@@ -161,13 +161,20 @@ def load_config(
         tree = _resolve_secrets(tomllib.load(f), resolver)
 
     db = tree.get("replica_database", {})
+    # explicit `url` (+ optional `driver`) overrides the postgres
+    # host/port/dbname assembly — lets one config target any JDBC
+    # database (the CLI's Derby integration test uses this)
+    url = db.get("url") or (
+        f"jdbc:postgresql://{db.get('host', 'localhost')}:{db.get('port', 5432)}/"
+        f"{db.get('dbname', '')}"
+    )
     jdbc = JdbcSourceConfig(
-        url=f"jdbc:postgresql://{db.get('host', 'localhost')}:{db.get('port', 5432)}/"
-        f"{db.get('dbname', '')}",
+        url=url,
         table=table,
         user=str(db.get("username", "")),
         password=str(db.get("password", "")),
         fetchsize=batch_size,
+        options={"driver": db["driver"]} if db.get("driver") else {},
     )
 
     ek = tree.get("events", {}).get("kafka", {})

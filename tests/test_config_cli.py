@@ -186,6 +186,107 @@ def test_cli_dry_run_on_fixtures(config_path, capsys, spark):
     assert "entity_id" in by_topic["orders-events"][2]
 
 
+def test_cli_jdbc_path_without_merchants_uses_bounded_read(
+    tmp_path, capsys, spark, monkeypatch
+):
+    """The CLI's real-JDBC branch with NO merchant allow-list — the
+    read_jdbc_bounded path (previously an untested import: round 5
+    caught a NameError here). Embedded Derby stands in for Postgres via
+    the new [replica_database] url/driver override; the dry run must
+    count every seeded row inside the window."""
+    import hyperswitch_data_backfill_spark.__main__ as cli
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        "jdbc:derby:memory:clitest;create=true"
+    )
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE ORDERS_CLI (ORDER_NUM INT PRIMARY KEY, "
+        "MERCHANT_NUM INT, AMOUNT BIGINT, CREATED_AT TIMESTAMP)"
+    )
+    ps = conn.prepareStatement("INSERT INTO ORDERS_CLI VALUES (?, ?, ?, ?)")
+    ts = jvm.java.sql.Timestamp
+    for i in range(60):
+        ps.setInt(1, i)
+        ps.setInt(2, i % 5)
+        ps.setLong(3, 10 * i)
+        ps.setTimestamp(4, ts.valueOf(f"2024-02-{1 + i % 20:02d} 09:00:00"))
+        ps.addBatch()
+    ps.executeBatch()
+    ps.close()
+    st.close()
+    conn.close()
+
+    (tmp_path / "cli_entities.py").write_text(
+        "from hyperswitch_data_backfill_spark.plans.spec import EntitySpec\n"
+        "ENTITIES = (EntitySpec(table='ORDERS_CLI', merchant_col='MERCHANT_NUM',\n"
+        "    time_col='CREATED_AT', key_cols=('MERCHANT_NUM', 'ORDER_NUM'),\n"
+        "    topic='orders-cli-events',\n"
+        "    remap={'ORDER_NUM': 'entity_id', 'MERCHANT_NUM': 'merchant_id',\n"
+        "           'AMOUNT': 'amount'}),)\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    cfg = tmp_path / "cli_config.toml"
+    cfg.write_text(
+        '[replica_database]\nurl = "jdbc:derby:memory:clitest"\n'
+        'driver = "org.apache.derby.jdbc.EmbeddedDriver"\n'
+        "\n[events.kafka]\nbrokers = [\"b:9092\"]\n"
+        'consolidated_events_topic = "cli-consolidated"\n'
+    )
+    rc = cli.main([
+        "-f", str(cfg),
+        "-s", "2024-02-01",
+        "-e", "2024-02-10 23:59:59",
+        "-p", "3",
+        "--entities-module", "cli_entities",
+        "--dry-run",
+    ], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    by_topic = {line.split("\t")[0]: line.split("\t") for line in out}
+    expected = sum(1 for i in range(60) if 1 + i % 20 <= 10)
+    assert int(by_topic["orders-cli-events"][1]) == expected
+    assert int(by_topic["cli-consolidated"][1]) == expected
+    assert '"entity_id"' in by_topic["orders-cli-events"][2]
+
+
+def test_cli_encrypted_config_boot(tmp_path, capsys, spark):
+    """--master-key-env: the CLI decrypts enc:<hex> config values at
+    boot (≙ the reference resolving every secret section before any
+    query, main.rs:62-80) and the job then runs normally."""
+    import hyperswitch_data_backfill_spark.__main__ as cli
+    from hyperswitch_data_backfill_spark.config import encrypt_secret_value
+
+    master = bytes.fromhex("9f" * 32)
+    enc = encrypt_secret_value("sekrit", master)
+    cfg = tmp_path / "enc_cli.toml"
+    cfg.write_text(
+        f'[replica_database]\npassword = "{enc}"\n'
+        "\n[events.kafka]\nbrokers = [\"b:9092\"]\n"
+        'consolidated_events_topic = "cli-consolidated"\n'
+    )
+    import os
+
+    os.environ["CLI_TEST_MASTER_KEY"] = master.hex()
+    try:
+        rc = cli.main([
+            "-f", str(cfg),
+            "-s", "1996-01-01",
+            "-e", "1997-12-31 23:59:59",
+            "--parquet-dir", SF_DIR,
+            "--master-key-env", "CLI_TEST_MASTER_KEY",
+            "--dry-run",
+        ], spark=spark)
+    finally:
+        del os.environ["CLI_TEST_MASTER_KEY"]
+    assert rc == 0
+    assert "cli-consolidated" in capsys.readouterr().out
+    # unset env var → clean error, not a stack trace
+    rc2 = cli.main(["-f", str(cfg), "--master-key-env", "NOPE_UNSET"], spark=spark)
+    assert rc2 == 2
+
+
 def test_cli_date_parsing_matches_reference_formats():
     # utility.rs:6-31 accepts seconds, subseconds, and date-only
     import argparse

@@ -280,7 +280,7 @@ def embeddings_mode() -> None:
             "label",
         )
 
-    print("| N | vecs | lsh buckets (max/p99) | lsh max-part share "
+    print("| N | vecs | lsh buckets (max/p99) | max lsh bucket share "
           "| lsh cand/q | lsh recall | max IVF cell share | ivf cand/q "
           "| ivf recall | exact wall s |")
     print("|---|---|---|---|---|---|---|---|---|---|")
@@ -322,7 +322,12 @@ def embeddings_mode() -> None:
         )
         occ = banded.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("members"))
         n_b, mx_m, p99_m = bucket_stats(occ, F.col("members"))
-        _, _, share_l = part_hist(occ)
+        # the pair-emit bound: the biggest single bucket as a share of
+        # the corpus (per table). Flat share while N grows 64× = the
+        # bucket join's largest task scales WITH the data, not faster.
+        # (part_hist on the 512-row occupancy agg is meaningless — AQE
+        # coalesces it to one partition.)
+        share_l = mx_m / n_vecs
         qb = banded.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
             F.col("nrm").alias("q_nrm"), "tbl", "bucket",
