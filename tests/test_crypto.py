@@ -65,3 +65,59 @@ def test_aes_available_flag():
     # container ships without `cryptography` — the engine must degrade
     # to the demo cipher, not crash at import
     assert HAVE_AES in (True, False)
+
+
+# --- property-based guards (hypothesis): the cipher and the encrypted
+# config value format must round-trip for ARBITRARY payloads/keys, not
+# just the hand-picked examples above.
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    payload=st.binary(min_size=0, max_size=4096),
+    key=st.binary(min_size=1, max_size=64),
+)
+def test_xor_cipher_roundtrips_any_payload_any_key(payload, key):
+    assert xor_cipher(xor_cipher(payload, key), key) == payload
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    secret=st.text(min_size=0, max_size=512),
+    key32=st.binary(min_size=32, max_size=32),
+    nonce=st.binary(min_size=12, max_size=12),
+)
+def test_encrypted_config_value_roundtrips_any_secret(secret, key32, nonce):
+    from hyperswitch_data_backfill_spark.config import (
+        encrypt_secret_value,
+        encrypted_value_resolver,
+    )
+
+    enc = encrypt_secret_value(secret, key32, nonce=nonce)
+    assert enc.startswith("enc:")
+    resolve = encrypted_value_resolver(key32)
+    assert resolve("s", "password", enc) == secret
+    # non-encrypted values pass through untouched — even ones that look
+    # almost like ciphertext
+    assert resolve("s", "password", "enc") == "enc"
+    assert resolve("s", "password", secret.replace("enc:", "")) == secret.replace("enc:", "")
+
+
+@settings(max_examples=20, deadline=None)
+@given(key32=st.binary(min_size=32, max_size=32))
+def test_encrypted_config_value_rejects_wrong_key(key32):
+    import pytest
+
+    from hyperswitch_data_backfill_spark.config import (
+        encrypt_secret_value,
+        encrypted_value_resolver,
+    )
+
+    if not HAVE_AES:
+        pytest.skip("authenticated rejection needs AES-GCM")
+    enc = encrypt_secret_value("top-secret", key32)
+    wrong = bytes(b ^ 0xFF for b in key32)
+    with pytest.raises(ValueError, match="decryption failed"):
+        encrypted_value_resolver(wrong)("s", "password", enc)

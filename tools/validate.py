@@ -11,10 +11,16 @@ failure. Stages 2-4 can be skipped for a quick check:
 
     python tools/validate.py            # everything (~15 min)
     python tools/validate.py --quick    # pytest + sf0.01 sweep only
+    python tools/validate.py --sf1      # everything + bench at the
+                                        # generated sf1 scale point
+                                        # (tools/make_bigsf.py runs
+                                        # first if .benchdata/sf1 is
+                                        # missing)
 """
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
@@ -29,10 +35,20 @@ STAGES_FULL = (
 
 def main() -> int:
     quick = "--quick" in sys.argv
-    stages = STAGES_FULL[:2] if quick else STAGES_FULL
+    stages = list(STAGES_FULL[:2] if quick else STAGES_FULL)
+    if "--sf1" in sys.argv and not quick:
+        sf1 = "/root/repo/.benchdata/sf1"
+        if not os.path.exists(f"{sf1}/lineitem.parquet"):
+            stages.append(("make-sf1", [sys.executable, "tools/make_bigsf.py"]))
+        stages.append(
+            ("bench-sf1", [sys.executable, "bench.py"])
+        )  # env set below
     for name, cmd in stages:
         t0 = time.time()
-        r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+        env = dict(os.environ)
+        if name == "bench-sf1":
+            env["SPARK_GRAFT_SF_DIR"] = "/root/repo/.benchdata/sf1"
+        r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", env=env)
         wall = time.time() - t0
         tail = (r.stdout or r.stderr).strip().splitlines()[-1:] or [""]
         ok = r.returncode == 0 and (
