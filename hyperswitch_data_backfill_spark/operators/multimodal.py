@@ -48,12 +48,14 @@ FEATURE_SCHEMA = StructType(
 
 
 def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
-    """Ingest a directory of media files as binary rows (binaryFile source)."""
-    return (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .load(path)
-    )
+    """Ingest a directory of media files as binary rows (binaryFile source).
+
+    Thin wrapper over the canonical ``sources.files.read_binary_files``
+    (which adds recursive lookup and documents the small-file packing /
+    2 GiB-per-file / manifest-at-10^8-objects scale contract)."""
+    from hyperswitch_data_backfill_spark.sources.files import read_binary_files
+
+    return read_binary_files(spark, path, glob=glob)
 
 
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:

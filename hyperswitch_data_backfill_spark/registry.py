@@ -126,6 +126,9 @@ _DRIVER_WINDOW: list[str] = [
 #   2. the round-3-vintage cohort (win_session, win_first_last,
 #      win_sliding, the compaction/functions/text/analytics/multimodal
 #      r3 batch — ~47 keys), oldest-first, filling the 50 slots.
+# `python tools/rotation.py` computes evidence ages from the shipped
+# CORRECTNESS files and prints this ordering ready to paste (it cannot
+# detect changed implementations — prepend those by hand).
 # The hygiene test continues to enforce that no key (oracle-backed or
 # rows-only) is ever outside window ∪ recorded-driver-evidence.
 

@@ -46,8 +46,8 @@ class FileSourceConfig:
     """Declarative file-source spec (the dump-file twin of JdbcSourceConfig)."""
 
     path: str
-    format: str  # csv | json | parquet | orc | avro (needs spark-avro)
-    schema: StructType | None = None  # required for csv/json
+    format: str  # csv | json | xml | parquet | orc | avro (needs spark-avro)
+    schema: StructType | None = None  # required for csv/json/xml
     options: dict[str, str] = field(default_factory=dict)
 
 
@@ -91,6 +91,32 @@ def read_file_source(spark: SparkSession, cfg: FileSourceConfig) -> DataFrame:
                 "(--packages org.apache.spark:spark-avro_2.13:<spark version>); "
                 f"underlying error: {e}"
             ) from e
+    if fmt == "xml":
+        # built-in since Spark 4 — the payments-interchange format (ISO
+        # 20022 pain/camt messages are XML). Records span lines, so the
+        # text-scan+expression trick csv/json use does NOT apply here;
+        # the format reader's own PERMISSIVE + columnNameOfCorruptRecord
+        # provides the dead-letter column instead. One inherited
+        # restriction (QUERY_ONLY_CORRUPT_RECORD_COLUMN): a query whose
+        # pruned schema is ONLY the corrupt column is rejected by Spark
+        # — quarantine consumers must keep at least one data column in
+        # the projection (split_corrupt's full-row frames do; a bare
+        # `bad.count()` does not — use `len(bad.collect())` or project a
+        # data column first).
+        if cfg.schema is None:
+            raise ValueError("xml source requires an explicit schema (no inference)")
+        if "rowTag" not in cfg.options:
+            raise ValueError("xml source requires options={'rowTag': <element>}")
+        schema = StructType(
+            [f for f in cfg.schema.fields if f.name != CORRUPT_COL]
+        ).add(CORRUPT_COL, "string")
+        return (
+            spark.read.format("xml")
+            .options(mode="PERMISSIVE", columnNameOfCorruptRecord=CORRUPT_COL,
+                     **cfg.options)
+            .schema(schema)
+            .load(cfg.path)
+        )
     if fmt not in ("csv", "json"):
         raise ValueError(f"unsupported file source format: {cfg.format!r}")
     if cfg.schema is None:
@@ -110,6 +136,34 @@ def read_file_source(spark: SparkSession, cfg: FileSourceConfig) -> DataFrame:
     else:
         parsed = F.from_json(F.col("value"), schema, opts)
     return raw.select(parsed.alias("_r")).select("_r.*")
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Multimodal ingestion source: one row per file with the raw bytes
+    as an opaque ``content: binary`` column plus path/mtime/length
+    metadata — exactly the (payload, typed-metadata) shape the L5
+    multimodal operators consume (operators/multimodal.py attaches a
+    metadata struct and decodes via mapInPandas; bytes never visit the
+    driver).
+
+    Scale notes: Spark packs many small files per task (bin-packing by
+    ``spark.sql.files.maxPartitionBytes``), so millions of images
+    schedule fine; a single file must fit in one task's memory (the 2
+    GiB column limit) — chunk video into segments upstream. Listing is
+    driver-side — for 10^8+ objects, land a manifest table instead and
+    read paths from it.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -314,7 +314,7 @@ def test_file_source_requires_schema_and_known_format(spark):
     with pytest.raises(ValueError, match="explicit schema"):
         read_file_source(spark, FileSourceConfig(path="/x", format="csv"))
     with pytest.raises(ValueError, match="unsupported"):
-        read_file_source(spark, FileSourceConfig(path="/x", format="xml"))
+        read_file_source(spark, FileSourceConfig(path="/x", format="sequencefile"))
 
 
 def test_parquet_file_source_reads_fixture(spark):
@@ -729,3 +729,106 @@ def test_avro_source_capability_error_without_module(spark, tmp_path):
         assert df is not None
     except NotImplementedError as e:
         assert "spark-avro" in str(e)
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    """S7 extension e2e: files on disk -> binaryFile source -> the REAL
+    PNG/WAV codecs (operators/codecs.py) via extract_features. The
+    content column is the opaque binary payload the L5 multimodal model
+    expects; glob filtering prunes non-media files at the listing."""
+    import numpy as np
+
+    from hyperswitch_data_backfill_spark.operators import codecs
+    from hyperswitch_data_backfill_spark.operators.multimodal import (
+        extract_features,
+    )
+    from hyperswitch_data_backfill_spark.sources.files import read_binary_files
+
+    img = (np.arange(48).reshape(6, 8) * 5 % 256).astype(np.uint8)
+    (tmp_path / "a.png").write_bytes(codecs.encode_png(img))
+    pcm = (np.sin(np.arange(800) / 10) * 3000).astype(np.int16).reshape(-1, 1)
+    (tmp_path / "b.wav").write_bytes(codecs.encode_wav(pcm, rate=8000))
+    (tmp_path / "notes.txt").write_text("not media")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.{png,wav}")
+    assert files.count() == 2  # txt pruned by the glob at listing time
+
+    media = files.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.element_at(F.split(F.col("path"), "\\."), -1).alias("kind"),
+        F.col("content").alias("payload"),
+    )
+    feats = {r["kind"]: r for r in extract_features(media, decode_stub=False).collect()}
+    assert feats["png"]["feature"].startswith("png:6x8:mean=")
+    assert abs(float(feats["png"]["feature"].split("mean=")[1]) - img.mean()) < 1e-3
+    assert feats["wav"]["feature"] == "wav:800x1@8000"
+    assert feats["png"]["n_bytes"] == (tmp_path / "a.png").stat().st_size
+
+
+def test_binary_file_source_recursive_lookup(spark, tmp_path):
+    from hyperswitch_data_backfill_spark.sources.files import read_binary_files
+
+    (tmp_path / "sub" / "deeper").mkdir(parents=True)
+    (tmp_path / "top.bin").write_bytes(b"t")
+    (tmp_path / "sub" / "mid.bin").write_bytes(b"m")
+    (tmp_path / "sub" / "deeper" / "leaf.bin").write_bytes(b"l")
+    flat = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    deep = read_binary_files(spark, str(tmp_path), glob="*.bin", recursive=True)
+    assert flat.count() == 1 and deep.count() == 3
+    got = {bytes(r["content"]) for r in deep.collect()}
+    assert got == {b"t", b"m", b"l"}
+
+
+def test_xml_source_schema_enforced_and_quarantine(spark, tmp_path):
+    """S7 extension: XML interchange (ISO 20022-shaped) with the same
+    declared-schema + dead-letter contract as csv/json — malformed
+    rowTag elements land in _corrupt_record, clean rows parse typed."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from hyperswitch_data_backfill_spark.sources.files import (
+        FileSourceConfig,
+        read_file_source,
+        split_corrupt,
+    )
+
+    (tmp_path / "pain.xml").write_text(
+        "<doc>"
+        "<tx><id>1</id><ccy>USD</ccy><amt>10.5</amt></tx>"
+        "<tx><id>2</id><ccy>EUR</ccy><amt>20.25</amt></tx>"
+        "<tx><id>oops</id><ccy>GBP</ccy><amt>not-a-number</amt></tx>"
+        "</doc>"
+    )
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("ccy", StringType()),
+        StructField("amt", DoubleType()),
+    ])
+    cfg = FileSourceConfig(
+        path=str(tmp_path / "pain.xml"), format="xml", schema=schema,
+        options={"rowTag": "tx"},
+    )
+    clean, bad = split_corrupt(read_file_source(spark, cfg))
+    rows = {r["id"]: (r["ccy"], r["amt"]) for r in clean.collect()}
+    assert rows == {1: ("USD", 10.5), 2: ("EUR", 20.25)}
+    # quarantine queries must project >= 1 data column (Spark's
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction — documented in the
+    # xml branch of read_file_source); full-row collect qualifies
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    # the raw element is preserved for triage (unlike json, the XML
+    # reader nulls ALL typed fields of a failed row rather than keeping
+    # the ones that parsed — the raw record is the recovery source)
+    assert "not-a-number" in quarantined[0]["_corrupt_record"]
+    assert "GBP" in quarantined[0]["_corrupt_record"]
+
+    # contract errors are loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rowTag"):
+        read_file_source(spark, FileSourceConfig(
+            path="x.xml", format="xml", schema=schema))
+    with _pytest.raises(ValueError, match="schema"):
+        read_file_source(spark, FileSourceConfig(
+            path="x.xml", format="xml", options={"rowTag": "tx"}))
