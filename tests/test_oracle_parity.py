@@ -30,6 +30,16 @@ def test_rows_only_query(spark, name):
     rows = df.count()
     assert rows >= 0
     assert len(df.columns) > 0
+    # driver-canonicalizer safety: the rows-only checker pandas-sorts
+    # over ALL columns, and array/struct/map cells are unhashable there
+    # (emb_pq_quantize's r4 red row was exactly this — pack nested
+    # values into ints or delimited strings for the registered key)
+    offending = [
+        (c, t) for c, t in df.dtypes if t.startswith(("array", "struct", "map"))
+    ]
+    assert not offending, (
+        f"rows-only key {name} returns canonicalizer-unsafe columns: {offending}"
+    )
 
 
 def test_registry_contract():
