@@ -1,4 +1,4 @@
-"""Quickstart: the three headline pipelines, end to end.
+"""Quickstart: the headline pipelines, end to end.
 
 Run: python examples/quickstart.py [sf_dir]   (default sf0.001, ~1 min)
 
@@ -7,8 +7,12 @@ Run: python examples/quickstart.py [sf_dir]   (default sf0.001, ~1 min)
 2. LLM corpus build — gate → dedup → near-dup drop → decontam → pack.
 3. Settlement report — as-of FX conversion → daily rollup → deltas.
 4. Vector search — IVF-PQ approximate nearest neighbors.
+5. Multimodal ingestion — files on disk → binaryFile source → real
+   PNG decode in mapInPandas (round 5).
+6. Encrypted config boot — enc:<hex> secrets decrypted at load with a
+   master key (round 5, ≙ the reference's KMS resolution).
 
-Every one of these is also a registered fixture query verified against
+Every pipeline stop is also a registered fixture query verified against
 a DuckDB oracle (see INVENTORY.md); this script is the human-facing
 tour of the same entry points.
 """
@@ -41,6 +45,50 @@ def main() -> int:
 
     print("=== 4. IVF-PQ vector search (top-k per query) ===")
     REGISTRY["sim_ivfpq"].fn(spark, sf_dir).orderBy("q_id", "rk").show(5)
+
+    print("=== 5. Multimodal ingestion (binaryFile -> PNG codec) ===")
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.operators import codecs
+    from hyperswitch_data_backfill_spark.operators.multimodal import (
+        extract_features,
+    )
+    from hyperswitch_data_backfill_spark.sources.files import read_binary_files
+
+    media_dir = tempfile.mkdtemp(prefix="quickstart_media_")
+    img = (np.arange(96).reshape(8, 12) % 256).astype(np.uint8)
+    with open(f"{media_dir}/sample.png", "wb") as f:
+        f.write(codecs.encode_png(img))
+    media = read_binary_files(spark, media_dir, glob="*.png").select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.lit("png").alias("kind"),
+        F.col("content").alias("payload"),
+    )
+    extract_features(media, decode_stub=False).show(truncate=60)
+
+    print("=== 6. Encrypted config boot (enc:<hex> secrets) ===")
+    from hyperswitch_data_backfill_spark.config import (
+        encrypt_secret_value,
+        encrypted_value_resolver,
+        load_config,
+    )
+
+    master = bytes.fromhex("9f" * 32)
+    enc = encrypt_secret_value("replica-password", master)
+    cfg_path = f"{media_dir}/config.toml"
+    with open(cfg_path, "w") as f:
+        f.write(
+            f'[replica_database]\npassword = "{enc}"\n'
+            '\n[events.kafka]\nbrokers = ["broker:9092"]\n'
+            'consolidated_events_topic = "consolidated"\n'
+        )
+    cfg = load_config(cfg_path, resolver=encrypted_value_resolver(master))
+    print(f"stored : {enc[:40]}...")
+    print(f"loaded : {cfg.replica_database.password}")
+    print(f"redact : {cfg.redact()['replica_database']['password']}")
 
     spark.stop()
     return 0
