@@ -44,6 +44,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``load_table``: the same fixture table as a
+    file-source STREAM with the same engine-canonical types (including
+    the nanos→timestamp_ntz conversion — streams must see identical
+    columns or batch≡stream parity is meaningless). File streams need
+    an explicit schema; it is taken from a batch read of the same path,
+    so there is exactly one source of schema truth."""
+    prepare_session(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    # the file stream source requires a DIRECTORY basePath; stream the
+    # fixture dir with a glob pinning this one table's file
+    reader = (
+        spark.readStream.schema(raw_schema)
+        .option("basePath", sf_dir)
+        .option("pathGlobFilter", f"{name}.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    for col in _NANO_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(
+                col,
+                F.expr(f"cast(timestamp_micros({col} div 1000) as timestamp_ntz)"),
+            )
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -553,10 +553,9 @@ def time_weighted_avg(ev: DataFrame) -> DataFrame:
 
 ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
 
-
-@register(
-    "attr_last_touch",
-    oracle=f"""
+# shared by attr_last_touch AND its streaming replay key — one oracle,
+# two execution engines (batch window vs applyInPandasWithState)
+_ATTR_ORACLE = f"""
     WITH seq AS (
         SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
                LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_id END
@@ -584,7 +583,12 @@ ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
            CASE WHEN us - touch_us <= {ATTR_WINDOW_US}
                 THEN CAST(us - touch_us AS BIGINT) END AS lag_us
     FROM seq WHERE event_type = 'purchase'
-    """,
+    """
+
+
+@register(
+    "attr_last_touch",
+    oracle=_ATTR_ORACLE,
     doc="Last-touch attribution: each purchase is credited to the most "
         "recent preceding non-purchase event by the same user within a "
         "7-day lookback, else 'direct' — the standard marketing-"
@@ -598,6 +602,39 @@ ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
 )
 def attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_attribution_replay",
+    oracle=_ATTR_ORACLE,
+    doc="A REAL Structured Streaming execution, driver-hash-verified: "
+        "the events fixture replays through streaming/pipeline.py's "
+        "attribute_stream (applyInPandasWithState, one state row per "
+        "user) via a file-source stream + availableNow trigger + memory "
+        "sink, and the appended result must hash-match the SAME oracle "
+        "as the batch attr_last_touch window formulation. This upgrades "
+        "the batch≡stream parity pytest to driver evidence for the "
+        "stateful-streaming engine itself (not a foreachBatch replay — "
+        "the state machine runs inside a live StreamingQuery). "
+        "load_stream_table guarantees the stream sees the same "
+        "canonical column types as the batch path.",
+)
+def stream_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from hyperswitch_data_backfill_spark.catalog import load_stream_table
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        attribute_stream,
+        write_memory_sink,
+    )
+
+    name = f"attr_replay_{uuid.uuid4().hex[:8]}"
+    stream = load_stream_table(spark, sf_dir, "events")
+    q = write_memory_sink(attribute_stream(stream), name, complete=False)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_attribution_replay did not finish in 300s")
+    return spark.table(name)
 
 
 def last_touch_attribution(ev: DataFrame) -> DataFrame:

@@ -70,6 +70,7 @@ _DRIVER_WINDOW: list[str] = [
     "sim_ivfpq",              # zero driver evidence
     "agg_hll_merge",          # zero driver evidence
     "stream_cdc_maintainer_batch",  # new in round 5
+    "stream_attribution_replay",    # new in round 5 (live streaming query)
     "agg_approx_percentile",  # rows-only r2; envelope pytest added r5
     # -- 2. round-1-vintage evidence
     "win_rank_stats",
@@ -113,7 +114,9 @@ _DRIVER_WINDOW: list[str] = [
     "set_union",
     "set_intersect",
     "set_except",
-    "set_intersect_all",
+    # (set_intersect_all — r2-green, pure codegen, untouched — evicted
+    #  to round 6 to make room for stream_attribution_replay; it is the
+    #  only r2-cohort key not re-checked this round)
     "win_rownum",
     "win_lag",
     "win_running_sum",
