@@ -1,0 +1,81 @@
+"""Smoke tests for the repo tools that back operational claims:
+tools/rotation.py (window-rotation policy is mechanical) and
+tools/make_bigsf.py (the sf1 scale point is reproducible and
+referential-integrity-preserving)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_rotation_tool_suggests_valid_window():
+    r = subprocess.run(
+        [sys.executable, "tools/rotation.py"],
+        capture_output=True, text=True, cwd=str(REPO), timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    out = r.stdout
+    assert "_DRIVER_WINDOW = [" in out
+    # the suggestion contains exactly 50 quoted keys, all registered
+    from hyperswitch_data_backfill_spark import registry
+
+    registry._load_all_operator_modules()
+    body = out.split("_DRIVER_WINDOW = [", 1)[1]
+    keys = [
+        line.split('"')[1]
+        for line in body.splitlines()
+        if line.strip().startswith('"')
+    ]
+    assert len(keys) == 50
+    unknown = set(keys) - set(registry.REGISTRY)
+    assert not unknown, unknown
+    # never-swept and ERR keys must come before any green key
+    first_green = out.find(" green ")
+    for marker in (" NEVER ", " ERR "):
+        pos = out.find(marker)
+        if pos != -1:
+            assert pos < first_green
+
+
+def test_make_bigsf_preserves_schema_and_integrity(tmp_path):
+    dst = str(tmp_path / "sf2x")
+    r = subprocess.run(
+        [sys.executable, "tools/make_bigsf.py", "/root/testdata/sf0.001", dst, "2"],
+        capture_output=True, text=True, cwd=str(REPO), timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    con = duckdb.connect()
+
+    def count(path, t):
+        return con.sql(f"SELECT COUNT(*) FROM read_parquet('{path}/{t}.parquet')").fetchone()[0]
+
+    src = "/root/testdata/sf0.001"
+    for t in ("customer", "orders", "lineitem", "events", "documents", "embeddings"):
+        assert count(dst, t) == 2 * count(src, t), t
+    for dim in ("region", "nation"):
+        assert count(dst, dim) == count(src, dim), dim
+    # schema identical (names + types) for a fact table
+    s1 = con.sql(f"DESCRIBE SELECT * FROM read_parquet('{src}/orders.parquet')").fetchall()
+    s2 = con.sql(f"DESCRIBE SELECT * FROM read_parquet('{dst}/orders.parquet')").fetchall()
+    assert [(r[0], r[1]) for r in s1] == [(r[0], r[1]) for r in s2]
+    # referential integrity survives the key shifts
+    orphans = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{dst}/orders.parquet') o "
+        f"WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{dst}/customer.parquet') c "
+        f"WHERE c.c_custkey = o.o_custkey)"
+    ).fetchone()[0]
+    assert orphans == 0
+    # documents: replica tokens are salted (no cross-replica duplicate shingles)
+    dup_texts = con.sql(
+        f"SELECT COUNT(*) FROM (SELECT text, COUNT(*) c FROM "
+        f"read_parquet('{dst}/documents.parquet') GROUP BY text HAVING COUNT(*) > "
+        f"(SELECT MAX(c2) FROM (SELECT COUNT(*) c2 FROM read_parquet('{src}/documents.parquet') GROUP BY text)))"
+    ).fetchone()[0]
+    assert dup_texts == 0
+    con.close()
