@@ -57,18 +57,27 @@ def load_stream_table(
     an explicit schema; it is taken from a batch read of the same path,
     so there is exactly one source of schema truth."""
     prepare_session(spark)
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
     raw_schema = spark.read.parquet(path).schema
-    # the file stream source requires a DIRECTORY basePath; stream the
-    # fixture dir with a glob pinning this one table's file
-    reader = (
-        spark.readStream.schema(raw_schema)
-        .option("basePath", sf_dir)
-        .option("pathGlobFilter", f"{name}.parquet")
-    )
+    # The file stream source requires a DIRECTORY. Two fixture layouts:
+    # - <table>.parquet is itself a directory (a Spark write): stream it;
+    # - <table>.parquet is a single file (the driver's fixtures): stream
+    #   the parent dir with a glob pinning this one table's file (the
+    #   glob matches FILE names, so it must not be used for the
+    #   directory layout — part files would be filtered out).
+    reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(sf_dir)
+    if os.path.isdir(path):
+        df = reader.parquet(path)
+    else:
+        df = (
+            reader.option("basePath", sf_dir)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             df = df.withColumn(

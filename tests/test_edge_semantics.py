@@ -1,0 +1,134 @@
+"""Boundary-exact semantics tests on CRAFTED fixtures.
+
+The oracle gate proves operator ≡ DuckDB on the generated fixtures, but
+the generated data may never land exactly ON a boundary (tie
+timestamps, gap == threshold, age == tolerance). These tests write a
+hand-built events.parquet into a tmp dir and drive the REGISTERED
+functions on it (the fns take sf_dir, so the exact production code path
+runs — no reimplementation), pinning each documented boundary rule:
+
+- join_asof: strictly-earlier — a same-instant purchase is NOT visible;
+- join_asof_tolerance: age == tolerance is a HIT (<=), +1 µs a miss;
+- win_session: gap == threshold stays the SAME session (> starts new);
+- attr_last_touch: lag == window is credited (<=), +1 µs is 'direct';
+- stream_attribution_replay: the live stream reproduces the batch
+  result on the same crafted boundary data.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from hyperswitch_data_backfill_spark.registry import REGISTRY, queries
+
+queries()
+
+T0 = datetime(2024, 3, 1, 12, 0, 0)
+US = timedelta(microseconds=1)
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _events_dir(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, val, "{}") for i, (ts, uid, et, val) in enumerate(rows)],
+        EVENTS_SCHEMA,
+    )
+    d = tmp_path / "crafted"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_asof_same_instant_purchase_is_invisible(spark, tmp_path):
+    rows = [
+        (T0, 1, "purchase", 10.0),          # id 0: build row at T0
+        (T0, 1, "view", 1.0),               # id 1: probe at the SAME instant
+        (T0 + US, 1, "view", 1.0),          # id 2: probe 1 µs later
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {r["event_id"]: r for r in REGISTRY["join_asof"].fn(spark, d).collect()}
+    assert out[1]["p_ts"] is None, "strict <: same-instant purchase must not match"
+    assert out[2]["p_ts"] == T0 and out[2]["p_value"] == 10.0
+    # the purchase row itself (also a probe) must not see itself
+    assert out[0]["p_ts"] is None
+
+
+def test_asof_tolerance_boundary_inclusive(spark, tmp_path):
+    from hyperswitch_data_backfill_spark.operators.joins import ASOF_TOLERANCE_US
+
+    tol = timedelta(microseconds=ASOF_TOLERANCE_US)
+    rows = [
+        (T0, 1, "purchase", 10.0),
+        (T0 + tol, 1, "view", 1.0),          # id 1: age == tolerance → hit
+        (T0 + tol + US, 1, "view", 1.0),     # id 2: age == tolerance + 1µs → miss
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {r["event_id"]: r for r in REGISTRY["join_asof_tolerance"].fn(spark, d).collect()}
+    assert out[1]["p_ts"] == T0 and out[1]["p_value"] == 10.0
+    assert out[2]["p_ts"] is None and out[2]["p_value"] is None
+
+
+def test_session_gap_boundary_stays_in_session(spark, tmp_path):
+    from hyperswitch_data_backfill_spark.operators.windows import SESSION_GAP_MIN
+
+    gap = timedelta(minutes=SESSION_GAP_MIN)
+    rows = [
+        (T0, 1, "view", 1.0),
+        (T0 + gap, 1, "view", 1.0),               # gap == threshold → same session
+        (T0 + gap + gap + US, 1, "view", 1.0),    # gap + 1 µs → NEW session
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    sessions = {
+        r["session_id"]: r for r in REGISTRY["win_session"].fn(spark, d).collect()
+    }
+    assert len(sessions) == 2
+    assert sessions[1]["n_events"] == 2
+    assert sessions[1]["session_end"] == T0 + gap
+    assert sessions[2]["n_events"] == 1
+
+
+def test_attribution_window_boundary_inclusive(spark, tmp_path):
+    from hyperswitch_data_backfill_spark.operators.analytics import ATTR_WINDOW_US
+
+    win = timedelta(microseconds=ATTR_WINDOW_US)
+    rows = [
+        (T0, 1, "click", 1.0),                 # id 0: the touch
+        (T0 + win, 1, "purchase", 10.0),       # id 1: lag == window → credited
+        (T0 + win + US, 1, "purchase", 10.0),  # id 2: lag == window + 1 µs → direct
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {
+        r["purchase_event_id"]: r
+        for r in REGISTRY["attr_last_touch"].fn(spark, d).collect()
+    }
+    assert out[1]["touch_event_id"] == 0 and out[1]["touch_type"] == "click"
+    assert out[1]["lag_us"] == ATTR_WINDOW_US
+    assert out[2]["touch_type"] == "direct" and out[2]["touch_event_id"] is None
+
+
+def test_stream_replay_matches_batch_on_boundary_data(spark, tmp_path):
+    """The live-stream key must agree with the batch key on the exact
+    boundary rows above — not just on the generated fixtures."""
+    from hyperswitch_data_backfill_spark.operators.analytics import ATTR_WINDOW_US
+
+    win = timedelta(microseconds=ATTR_WINDOW_US)
+    rows = [
+        (T0, 1, "click", 1.0),
+        (T0 + win, 1, "purchase", 10.0),
+        (T0 + win + US, 1, "purchase", 10.0),
+        (T0, 2, "purchase", 5.0),          # purchase with no prior touch
+        (T0, 3, "email", 1.0),
+        (T0 + US, 3, "purchase", 7.0),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    batch = {tuple(r) for r in REGISTRY["attr_last_touch"].fn(spark, d).collect()}
+    stream = {
+        tuple(r) for r in REGISTRY["stream_attribution_replay"].fn(spark, d).collect()
+    }
+    assert stream == batch
+    assert len(batch) == 4
