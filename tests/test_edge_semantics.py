@@ -132,3 +132,70 @@ def test_stream_replay_matches_batch_on_boundary_data(spark, tmp_path):
     }
     assert stream == batch
     assert len(batch) == 4
+
+
+ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+CUSTOMER_SCHEMA = (
+    "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+def _cdc_dir(spark, tmp_path):
+    """Crafted star corner: same-date tie, tombstone, insert, passthrough."""
+    customers = [
+        (1, "alice", 0, 100.0, "BUILDING"),
+        (2, "bob", 0, 200.0, "AUTOMOBILE"),
+        (3, "carol", 0, 300.0, "MACHINERY"),
+    ]
+    day = T0
+    orders = [
+        # key 1: TWO changes on the same date — higher orderkey must win
+        (100, 1, "O", 11.0, day, "1-URGENT"),
+        (101, 1, "O", 22.0, day, "1-URGENT"),
+        # key 2: last change (later date) is a tombstone (status F)
+        (200, 2, "O", 33.0, day, "1-URGENT"),
+        (201, 2, "F", 44.0, day + timedelta(days=1), "1-URGENT"),
+        # key 10: change for a key NOT in the snapshot → insert
+        (300, 10, "O", 55.0, day, "1-URGENT"),
+        # key 3: no changes → passthrough
+    ]
+    d = tmp_path / "cdc"
+    spark.createDataFrame(customers, CUSTOMER_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(orders, ORDERS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "orders.parquet"))
+    return str(d)
+
+
+def test_cdc_apply_changes_corner_cases(spark, tmp_path):
+    d = _cdc_dir(spark, tmp_path)
+    out = {r["c_custkey"]: r for r in REGISTRY["cdc_apply_changes"].fn(spark, d).collect()}
+    assert set(out) == {1, 3, 10}, "tombstoned key 2 must vanish"
+    # same-date tie: orderkey 101 (22.0) beats 100 (11.0)
+    assert out[1]["acctbal_cents"] == 2200 and out[1]["last_op"] == "U"
+    assert out[1]["c_name"] == "alice"
+    # passthrough keeps the snapshot balance, no op provenance
+    assert out[3]["acctbal_cents"] == 30000 and out[3]["last_op"] is None
+    # insert: no snapshot columns to inherit
+    assert out[10]["acctbal_cents"] == 5500 and out[10]["last_op"] == "U"
+    assert out[10]["c_name"] is None and out[10]["c_mktsegment"] is None
+
+
+def test_stream_cdc_maintainer_matches_batch_on_corner_cases(spark, tmp_path):
+    """Slice-invariance must hold ON the tie rows too: the two same-date
+    changes for key 1 land in DIFFERENT micro-batch slices (orderkey
+    100 % 3 == 1, 101 % 3 == 2), so the tie is resolved across the
+    state merge, not within one batch."""
+    d = _cdc_dir(spark, tmp_path)
+    batch = {tuple(r) for r in REGISTRY["cdc_apply_changes"].fn(spark, d).collect()}
+    sliced = {
+        tuple(r)
+        for r in REGISTRY["stream_cdc_maintainer_batch"].fn(spark, d).collect()
+    }
+    assert sliced == batch and len(batch) == 3
