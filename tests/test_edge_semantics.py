@@ -199,3 +199,65 @@ def test_stream_cdc_maintainer_matches_batch_on_corner_cases(spark, tmp_path):
         for r in REGISTRY["stream_cdc_maintainer_batch"].fn(spark, d).collect()
     }
     assert sliced == batch and len(batch) == 3
+
+
+def test_scd2_apply_equals_full_rebuild_on_tie_timestamps(spark, tmp_path):
+    """The SCD2 apply contract on pathological input: three versions of
+    one key at the SAME microsecond, split across the base (even ids)
+    and delta (odd ids) halves. Interval ordering falls back to
+    event_id, producing zero-length intervals — the incremental apply
+    must still be indistinguishable from the full rebuild."""
+    rows = [
+        (T0, 1, "v0", 1.0),   # id 0 → base
+        (T0, 1, "v1", 1.0),   # id 1 → delta
+        (T0, 1, "v2", 1.0),   # id 2 → base
+        (T0 + US, 2, "w0", 1.0),  # id 3 → untouched-key path (no odd ids)
+        # id 4 → base again so user 2 has only-even ids (pure anti-join path)
+        (T0 + 2 * US, 2, "w1", 1.0),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    full = {tuple(r) for r in REGISTRY["scd2_intervals"].fn(spark, d).collect()}
+    applied = {tuple(r) for r in REGISTRY["scd2_apply"].fn(spark, d).collect()}
+    assert applied == full
+    # the tie triple chains 0 -> 1 -> 2 with zero-length intervals
+    chain = sorted(
+        (r for r in full if r[0] == 1), key=lambda r: (r[3], r[1])
+    )
+    assert [c[1] for c in chain] == [0, 1, 2]
+    assert chain[0][4] == chain[0][3] and chain[1][4] == chain[1][3]
+    assert chain[2][4] is None  # open-ended current version
+
+
+def test_topk_per_group_tie_at_kth_place(spark, tmp_path):
+    """row_number (not rank): a price tie at the k-th place keeps the
+    lower orderkey and drops the higher — exactly 3 rows per group."""
+    day = T0
+    orders = [
+        (1, 7, "O", 50.0, day, "1-URGENT"),
+        (2, 7, "O", 40.0, day, "1-URGENT"),
+        (3, 7, "O", 30.0, day, "1-URGENT"),   # tied with id 4 at rank 3
+        (4, 7, "O", 30.0, day, "1-URGENT"),   # loses the tie (higher key)
+        (5, 7, "O", 20.0, day, "1-URGENT"),
+    ]
+    d = tmp_path / "topk"
+    spark.createDataFrame(orders, ORDERS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "orders.parquet"))
+    out = REGISTRY["topk_per_group"].fn(spark, str(d)).collect()
+    assert sorted((r["o_orderkey"], r["rk"]) for r in out) == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_dedup_exact_survivor_is_lowest_doc_id(spark, tmp_path):
+    docs = [
+        (9, "same text", "en", "web", 9),
+        (2, "same text", "en", "crawl", 9),   # survivor: lowest doc_id
+        (5, "same text", "fr", "web", 9),
+        (7, "unique", "en", "web", 6),
+    ]
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r["doc_id"]: r for r in REGISTRY["dedup_exact"].fn(spark, str(d)).collect()}
+    assert set(out) == {2, 7}
+    assert out[2]["source"] == "crawl", "survivor row must keep ITS OWN attributes"
