@@ -261,3 +261,46 @@ def test_dedup_exact_survivor_is_lowest_doc_id(spark, tmp_path):
     out = {r["doc_id"]: r for r in REGISTRY["dedup_exact"].fn(spark, str(d)).collect()}
     assert set(out) == {2, 7}
     assert out[2]["source"] == "crawl", "survivor row must keep ITS OWN attributes"
+
+
+def test_money_asof_quote_day_inclusive_and_null_before_first_quote(spark, tmp_path):
+    """FX as-of boundary: an order exactly ON a quote day uses that
+    day's rate (<= is inclusive); an order BEFORE the first quote in
+    the book gets a NULL rate and NULL usd_cents (try_element_at on an
+    empty eligible set), never a crash or a future rate."""
+    from datetime import date
+
+    from hyperswitch_data_backfill_spark.functions.money import (
+        FX_N_CCY,
+        FX_QUOTE_EVERY_DAYS,
+        FX_RATE_BASE,
+        FX_RATE_SPREAD,
+    )
+
+    # find a date whose epoch-day is on the quote grid
+    base = date(2024, 1, 1)
+    epoch_day = (base - date(1970, 1, 1)).days
+    shift = (-epoch_day) % FX_QUOTE_EVERY_DAYS
+    qdate = base + timedelta(days=shift)
+    qday = epoch_day + shift
+    custkey = 7
+    ccy = custkey % FX_N_CCY
+    mk = lambda d: datetime(d.year, d.month, d.day)
+    orders = [
+        (1, custkey, "O", 10.0, mk(qdate), "1-URGENT"),                 # ON the quote day
+        (2, custkey, "O", 20.0, mk(qdate + timedelta(days=1)), "1-URGENT"),  # after
+        (3, custkey, "O", 30.0, mk(qdate - timedelta(days=1)), "1-URGENT"),  # before ANY quote
+    ]
+    d = tmp_path / "fx"
+    spark.createDataFrame(orders, ORDERS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "orders.parquet"))
+    out = {
+        r["o_orderkey"]: r
+        for r in REGISTRY["money_convert_asof"].fn(spark, str(d)).collect()
+    }
+    expected_rate = FX_RATE_BASE + (qday * 7919 + ccy * 104729) % FX_RATE_SPREAD
+    assert out[1]["rate_micro"] == expected_rate
+    assert out[1]["usd_cents"] == (1000 * expected_rate) // FX_RATE_BASE
+    assert out[2]["rate_micro"] == expected_rate, "day after still sees the quote"
+    assert out[3]["rate_micro"] is None and out[3]["usd_cents"] is None
