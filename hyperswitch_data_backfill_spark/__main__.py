@@ -106,7 +106,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if not key_hex:
             print(f"error: env var {args.master_key_env} is unset", file=sys.stderr)
             return 2
-        resolver = encrypted_value_resolver(bytes.fromhex(key_hex))
+        try:
+            key = bytes.fromhex(key_hex)
+        except ValueError:
+            print(f"error: env var {args.master_key_env} is not valid hex",
+                  file=sys.stderr)
+            return 2
+        if len(key) not in (16, 24, 32):
+            print(f"error: master key from {args.master_key_env} must be "
+                  f"16/24/32 bytes (AES-128/192/256), got {len(key)}",
+                  file=sys.stderr)
+            return 2
+        resolver = encrypted_value_resolver(key)
     else:
         from hyperswitch_data_backfill_spark.config import env_resolver as resolver
     cfg = load_config(args.config_path, tenant_id=args.tenant_id,

@@ -47,52 +47,98 @@ def env_resolver(section: str, key: str, value: str) -> str:
     return os.environ.get(f"HYPERSWITCH_SECRET_{section}_{key}".upper(), value)
 
 
-#: prefix marking a config value as KMS-style ciphertext: "enc:<hex(nonce||ct)>"
+#: prefix marking a config value as KMS-style ciphertext:
+#: "enc:<scheme>:<hex(nonce||ct)>" with scheme ∈ {gcm, xor}. The scheme
+#: is recorded AT ENCRYPT TIME so decrypt never guesses from the local
+#: environment: a gcm blob on a container without `cryptography` fails
+#: loudly instead of being silently XOR-"decrypted" into garbage.
 ENC_PREFIX = "enc:"
 _NONCE_LEN = 12  # AES-GCM standard nonce size; also used by the XOR fallback
+_XOR_TAG_LEN = 16  # truncated SHA-256 MAC appended by the xor scheme
+_SCHEMES = ("gcm", "xor")
 
 
-def encrypt_secret_value(plaintext: str, master_key: bytes, nonce: bytes | None = None) -> str:
-    """Produce an ``enc:<hex>`` config value the encrypted-value resolver
-    can decrypt — the write side of the reference's KMS-encrypted config
-    (``encryption.rs:11-186`` stores ciphertext in the settings tree and
-    decrypts each section at boot).
+def _xor_tag(master_key: bytes, nonce: bytes, plaintext: bytes) -> bytes:
+    """Integrity tag for the xor scheme so a wrong master key raises at
+    load (matching GCM's authenticated contract) instead of yielding
+    wrong secrets silently."""
+    import hashlib
 
-    AES-256-GCM (authenticated) when the ``cryptography`` package is
-    present; otherwise the same deterministic SHA-256 CTR XOR cipher the
-    U1 decrypt UDF falls back to (functions/crypto.py) — identical
-    interface, NOT for production use.
+    return hashlib.sha256(b"cfg-mac:" + master_key + nonce + plaintext).digest()[:_XOR_TAG_LEN]
+
+
+def encrypt_secret_value(
+    plaintext: str, master_key: bytes, nonce: bytes | None = None, scheme: str | None = None
+) -> str:
+    """Produce an ``enc:<scheme>:<hex>`` config value the encrypted-value
+    resolver can decrypt — the write side of the reference's KMS-encrypted
+    config (``encryption.rs:11-186`` stores ciphertext in the settings
+    tree and decrypts each section at boot).
+
+    ``scheme='gcm'`` → AES-256-GCM (authenticated; needs the
+    ``cryptography`` package). ``scheme='xor'`` → the deterministic
+    SHA-256 CTR XOR cipher the U1 decrypt UDF falls back to
+    (functions/crypto.py) plus a truncated-SHA-256 MAC — same
+    fail-on-bad-key contract, NOT for production use. Default: gcm when
+    available, else xor; either way the chosen scheme is embedded in the
+    value so decryption on a differently-provisioned host cannot
+    mis-dispatch.
     """
     from hyperswitch_data_backfill_spark.functions import crypto
 
+    if scheme is None:
+        scheme = "gcm" if crypto.HAVE_AES else "xor"
+    if scheme not in _SCHEMES:
+        raise ValueError(f"unknown cipher scheme {scheme!r}; expected one of {_SCHEMES}")
     if nonce is None:
         nonce = os.urandom(_NONCE_LEN)
     if len(nonce) != _NONCE_LEN:
         raise ValueError(f"nonce must be {_NONCE_LEN} bytes, got {len(nonce)}")
     data = plaintext.encode()
-    if crypto.HAVE_AES:
+    if scheme == "gcm":
+        if not crypto.HAVE_AES:
+            raise ValueError(
+                "scheme 'gcm' requires the cryptography package; "
+                "use scheme='xor' or install it"
+            )
         ct = crypto.aes_gcm_encrypt(data, master_key, nonce)
     else:
-        ct = crypto.xor_cipher(data, master_key + nonce)
-    return ENC_PREFIX + (nonce + ct).hex()
+        ct = crypto.xor_cipher(data, master_key + nonce) + _xor_tag(master_key, nonce, data)
+    return f"{ENC_PREFIX}{scheme}:{(nonce + ct).hex()}"
 
 
 def encrypted_value_resolver(master_key: bytes) -> SecretResolver:
     """Second resolver backend (≙ the reference's real secret-management
     client, vs env_resolver's NoEncryption): any secret whose TOML value
-    is ``enc:<hex(nonce||ciphertext)>`` is decrypted with the master
-    key; plaintext values pass through unchanged, so one config file can
-    mix encrypted and clear sections exactly like the reference's
-    14-section walk. Decryption is driver-side and one-time; a bad key
-    or tampered ciphertext raises at load, before any query runs."""
+    is ``enc:<scheme>:<hex(nonce||ciphertext)>`` is decrypted with the
+    master key; plaintext values pass through unchanged, so one config
+    file can mix encrypted and clear sections exactly like the
+    reference's 14-section walk. Decryption is driver-side and one-time;
+    a bad key, tampered ciphertext, unknown scheme, or a scheme the local
+    host can't run (gcm without `cryptography`) raises at load, before
+    any query runs."""
     from hyperswitch_data_backfill_spark.functions import crypto
 
     def resolve(section: str, key: str, value: str) -> str:
         if not value.startswith(ENC_PREFIX):
             return value
-        blob = bytes.fromhex(value[len(ENC_PREFIX):])
+        body = value[len(ENC_PREFIX):]
+        scheme, sep, hexblob = body.partition(":")
+        if not sep or scheme not in _SCHEMES:
+            raise ValueError(
+                f"secret [{section}].{key}: missing/unknown cipher scheme in "
+                f"'enc:' value (expected enc:<scheme>:<hex> with scheme in "
+                f"{_SCHEMES}; legacy unschemed 'enc:<hex>' blobs must be "
+                "re-encrypted with encrypt_secret_value)"
+            )
+        blob = bytes.fromhex(hexblob)
         nonce, ct = blob[:_NONCE_LEN], blob[_NONCE_LEN:]
-        if crypto.HAVE_AES:
+        if scheme == "gcm":
+            if not crypto.HAVE_AES:
+                raise ValueError(
+                    f"secret [{section}].{key}: encrypted with AES-GCM but the "
+                    "cryptography package is not installed on this host"
+                )
             pt = crypto.aes_gcm_decrypt(ct, master_key, nonce)
             if pt is None:
                 raise ValueError(
@@ -100,7 +146,13 @@ def encrypted_value_resolver(master_key: bytes) -> SecretResolver:
                     "(wrong master key or tampered ciphertext)"
                 )
         else:
+            ct, tag = ct[:-_XOR_TAG_LEN], ct[-_XOR_TAG_LEN:]
             pt = crypto.xor_cipher(ct, master_key + nonce)
+            if _xor_tag(master_key, nonce, pt) != tag:
+                raise ValueError(
+                    f"secret [{section}].{key}: decryption failed "
+                    "(wrong master key or tampered ciphertext)"
+                )
         return pt.decode()
 
     return resolve

@@ -574,10 +574,11 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "vec_id",
         "label",
-        # 8 codes in [0, 16) fold losslessly into one 32-bit-wide bigint;
-        # keeps the driver canonicalizer (pandas sort over all columns)
-        # away from unhashable array cells.
-        F.expr("aggregate(codes, 0L, (acc, c) -> acc * 16 + c)").alias("codes_packed"),
+        # PQ_M codes in [0, PQ_K) fold losslessly into one bigint (radix =
+        # PQ_K so the pack and the code range cannot drift apart); keeps
+        # the driver canonicalizer (pandas sort over all columns) away
+        # from unhashable array cells.
+        F.expr(f"aggregate(codes, 0L, (acc, c) -> acc * {PQ_K} + c)").alias("codes_packed"),
         "recon_mse",
     )
 

@@ -110,10 +110,15 @@ def read_file_source(spark: SparkSession, cfg: FileSourceConfig) -> DataFrame:
         schema = StructType(
             [f for f in cfg.schema.fields if f.name != CORRUPT_COL]
         ).add(CORRUPT_COL, "string")
+        # dict-merge (caller options win) instead of keyword expansion:
+        # 'mode'/'columnNameOfCorruptRecord' are legal XML reader options,
+        # and passing either in cfg.options would raise TypeError
+        # ("multiple values for keyword argument") under the kwargs form.
+        xml_opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL,
+                    **cfg.options}
         return (
             spark.read.format("xml")
-            .options(mode="PERMISSIVE", columnNameOfCorruptRecord=CORRUPT_COL,
-                     **cfg.options)
+            .options(**xml_opts)
             .schema(schema)
             .load(cfg.path)
         )

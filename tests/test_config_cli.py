@@ -287,6 +287,27 @@ def test_cli_encrypted_config_boot(tmp_path, capsys, spark):
     assert rc2 == 2
 
 
+def test_cli_master_key_validation(tmp_path, capsys, spark):
+    """Malformed / wrong-length master keys get the same clean rc=2 as
+    the unset case — no uncaught ValueError from bytes.fromhex and no
+    late cryptic AES key-size error."""
+    import os
+
+    import hyperswitch_data_backfill_spark.__main__ as cli
+
+    cfg = tmp_path / "any.toml"
+    cfg.write_text("[replica_database]\n\n[events.kafka]\nbrokers = []\n")
+    for bad, msg in [("not-hex!!", "not valid hex"), ("abcd", "16/24/32 bytes")]:
+        os.environ["CLI_TEST_BAD_KEY"] = bad
+        try:
+            rc = cli.main(["-f", str(cfg), "--master-key-env", "CLI_TEST_BAD_KEY"],
+                          spark=spark)
+        finally:
+            del os.environ["CLI_TEST_BAD_KEY"]
+        assert rc == 2
+        assert msg in capsys.readouterr().err
+
+
 def test_cli_date_parsing_matches_reference_formats():
     # utility.rs:6-31 accepts seconds, subseconds, and date-only
     import argparse

@@ -121,3 +121,68 @@ def test_encrypted_config_value_rejects_wrong_key(key32):
     wrong = bytes(b ^ 0xFF for b in key32)
     with pytest.raises(ValueError, match="decryption failed"):
         encrypted_value_resolver(wrong)("s", "password", enc)
+
+
+def test_enc_value_records_cipher_scheme():
+    """The scheme chosen at encrypt time is embedded in the value —
+    decrypt dispatches on the RECORDED scheme, never on the local
+    HAVE_AES flag, so a blob moved between differently-provisioned
+    hosts can't be mis-decrypted into garbage."""
+    from hyperswitch_data_backfill_spark.config import (
+        encrypt_secret_value,
+        encrypted_value_resolver,
+    )
+
+    key = bytes(range(32))
+    xor_blob = encrypt_secret_value("s3cret", key, scheme="xor")
+    assert xor_blob.startswith("enc:xor:")
+    assert encrypted_value_resolver(key)("s", "password", xor_blob) == "s3cret"
+    if HAVE_AES:
+        gcm_blob = encrypt_secret_value("s3cret", key, scheme="gcm")
+        assert gcm_blob.startswith("enc:gcm:")
+        assert encrypted_value_resolver(key)("s", "password", gcm_blob) == "s3cret"
+
+
+def test_enc_value_xor_scheme_is_authenticated():
+    """The xor fallback carries a MAC tag: a wrong master key raises at
+    load (same contract as GCM) instead of yielding wrong secrets."""
+    import pytest
+
+    from hyperswitch_data_backfill_spark.config import (
+        encrypt_secret_value,
+        encrypted_value_resolver,
+    )
+
+    key = bytes(range(32))
+    blob = encrypt_secret_value("top-secret", key, scheme="xor")
+    wrong = bytes(b ^ 0xFF for b in key)
+    with pytest.raises(ValueError, match="decryption failed"):
+        encrypted_value_resolver(wrong)("s", "password", blob)
+    # tampered ciphertext also fails closed
+    head, hexpart = blob.rsplit(":", 1)
+    flipped = f"{head}:{hexpart[:-2]}{'00' if hexpart[-2:] != '00' else '01'}"
+    with pytest.raises(ValueError, match="decryption failed"):
+        encrypted_value_resolver(key)("s", "password", flipped)
+
+
+def test_enc_value_unknown_or_missing_scheme_fails_loudly():
+    import pytest
+
+    from hyperswitch_data_backfill_spark.config import encrypted_value_resolver
+
+    key = bytes(range(32))
+    resolve = encrypted_value_resolver(key)
+    # legacy unschemed blob: must be re-encrypted, not guessed at
+    with pytest.raises(ValueError, match="cipher scheme"):
+        resolve("s", "password", "enc:" + ("ab" * 20))
+    with pytest.raises(ValueError, match="cipher scheme"):
+        resolve("s", "password", "enc:rot13:" + ("ab" * 20))
+
+
+def test_encrypt_rejects_unknown_scheme():
+    import pytest
+
+    from hyperswitch_data_backfill_spark.config import encrypt_secret_value
+
+    with pytest.raises(ValueError, match="unknown cipher scheme"):
+        encrypt_secret_value("x", bytes(32), scheme="rot13")

@@ -832,3 +832,14 @@ def test_xml_source_schema_enforced_and_quarantine(spark, tmp_path):
     with _pytest.raises(ValueError, match="schema"):
         read_file_source(spark, FileSourceConfig(
             path="x.xml", format="xml", options={"rowTag": "tx"}))
+
+    # caller options may legally include the reserved reader keys
+    # ('mode', 'columnNameOfCorruptRecord' are valid XML options) —
+    # dict-merge must not raise TypeError ("multiple values for keyword
+    # argument") the kwargs-expansion form produced
+    overridden = FileSourceConfig(
+        path=str(tmp_path / "pain.xml"), format="xml", schema=schema,
+        options={"rowTag": "tx", "mode": "PERMISSIVE",
+                 "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    assert read_file_source(spark, overridden).count() == 3  # no TypeError

@@ -19,26 +19,32 @@ import json
 import sys
 from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO_ROOT))
 
 from hyperswitch_data_backfill_spark import registry  # noqa: E402
 
 
 def evidence_ages() -> dict[str, tuple[int, str]]:
-    """key -> (latest round with a usable driver record, kind)."""
-    repo = Path(__file__).resolve().parent.parent
+    """key -> (latest round with a driver record, kind).
+
+    Files are walked in round order, so each key's entry reflects its
+    LATEST record — including regressions: a round-N red row (hash or
+    row-count mismatch, or a hard error) overwrites an older green, so a
+    regressed key ranks as RED/ERR (front of the window) instead of
+    riding its stale green."""
     latest: dict[str, tuple[int, str]] = {}
-    for f in sorted(repo.glob("CORRECTNESS_r0*.json")):
+    for f in sorted(_REPO_ROOT.glob("CORRECTNESS_r0*.json")):
         rnd = int(f.stem[len("CORRECTNESS_r"):])
         for key, row in json.loads(f.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
                 latest[key] = (rnd, "green")
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                prev = latest.get(key)
-                if prev is None or prev[0] < rnd:
-                    latest[key] = (rnd, "rows_only")
-            elif row.get("err") and key not in latest:
+                latest[key] = (rnd, "rows_only")
+            elif row.get("err"):
                 latest[key] = (rnd, "ERR")
+            else:  # oracle ran and mismatched: a real red, not an infra error
+                latest[key] = (rnd, "RED")
     return latest
 
 
@@ -53,10 +59,12 @@ def main() -> None:
     def rank(k: str) -> tuple[int, int]:
         rec = ages.get(k)
         if rec is None:
-            return (-2, 0)           # never swept: always first
+            return (-3, 0)           # never swept: always first
         rnd, kind = rec
+        if kind == "RED":
+            return (-2, rnd)         # latest record mismatched: next
         if kind == "ERR":
-            return (-1, rnd)         # last record errored: next
+            return (-1, rnd)         # latest record errored: next
         return (rnd, 0)              # then oldest-evidence-first
 
     ordered = sorted(keys, key=lambda k: (rank(k), k))
