@@ -24,9 +24,12 @@ def test_sim_topk_recall(spark):
     truth = {(r["q_id"], r["vec_id"]) for r in exact}
     got = {(r["q_id"], r["vec_id"]) for r in approx}
     recall = len(truth & got) / len(truth)
-    # 8 tables × 6 bits on near-orthogonal random vectors: empirically
-    # ~0.4-0.7; the floor guards against silent recall collapse.
-    assert recall >= 0.25, f"LSH recall collapsed: {recall:.3f}"
+    # Deterministic pipeline (fixed seeds, fixed fixture): measured
+    # 0.287 on this corpus (r6). Floor pinned within ~6% of measured so
+    # a subtle banding bug that halves recall (e.g. half the tables —
+    # measured 0.163, see test_lsh_recall_floor_catches_degradation)
+    # fails loudly instead of shipping green.
+    assert recall >= 0.27, f"LSH recall collapsed: {recall:.3f} (measured 0.287)"
 
 
 def test_minhash_candidates_cover_true_pairs(spark):
@@ -65,9 +68,9 @@ def test_sim_ivf_recall_and_exactness(spark):
     truth = {(r["q_id"], r["vec_id"]): r["cos_sim"] for r in exact_rows}
     got = {(r["q_id"], r["vec_id"]): r["cos_sim"] for r in ivf_rows}
     recall = len(set(truth) & set(got)) / len(truth)
-    # 3-of-16 cells probed on near-orthogonal random vectors: empirically
-    # ~0.36; the floor guards against silent probe/assignment regressions.
-    assert recall >= 0.2, f"IVF recall collapsed: {recall:.3f}"
+    # Deterministic: measured 0.325 on this corpus (r6); floor within
+    # ~8% of measured so probe/assignment regressions can't hide.
+    assert recall >= 0.30, f"IVF recall collapsed: {recall:.3f} (measured 0.325)"
     per_q = {}
     for (q, _v) in got:
         per_q[q] = per_q.get(q, 0) + 1
@@ -324,6 +327,11 @@ def test_sim_ivf_trained_recall_floor(spark):
     }
     hit = sum(1 for k in got if k in exact)
     recall = hit / len(exact)
+    # Measured 0.60 under the test session config (local[4], shuffle=8).
+    # NOTE: unlike the fixed-codebook variants, trained-IVF recall is
+    # parallelism-SENSITIVE — KMeans partial-aggregation order shifts
+    # the codebook (measured 0.41 at local[8]) — so the floor is pinned
+    # to the test config, not to an absolute.
     assert recall >= 0.5, f"trained-IVF recall {recall:.2f} below floor"
     for k, v in got.items():
         if k in exact:
@@ -745,7 +753,9 @@ def test_sim_ivfpq_recall_and_shape(spark):
     rows = REGISTRY["sim_ivfpq"].fn(spark, SF_DIR).collect()
     got = {(r["q_id"], r["vec_id"]) for r in rows}
     recall = len(exact & got) / len(exact)
-    assert recall >= 0.15, f"IVF-PQ recall collapsed: {recall:.3f}"
+    # Deterministic: measured 0.275 (r6); floor within ~9% of measured
+    # (was 0.15 — too loose to catch a halved recall, r5 verdict item 3).
+    assert recall >= 0.25, f"IVF-PQ recall collapsed: {recall:.3f} (measured 0.275)"
     per_q: dict[int, int] = {}
     for r in rows:
         per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
@@ -793,3 +803,123 @@ def test_hll_merge_equals_direct_and_bounded_error(spark):
     assert row["merged_est"] == row["direct_est"], "partial merge diverged from direct sketch"
     assert row["rel_err"] <= 0.05, f"HLL error out of envelope: {row['rel_err']}"
     assert row["exact"] > 0
+
+
+def _lsh_topk_over(emb, tables):
+    """The sim_topk candidate pipeline, parameterized by corpus frame and
+    table count — used to (a) prove the recall floor catches a degraded
+    banding config and (b) measure recall on a clustered corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        dot,
+        lsh_buckets_udf,
+        norm,
+    )
+
+    banded = emb.withColumn("nrm", norm(F.col("embedding"))).select(
+        "vec_id", "embedding", "nrm",
+        F.posexplode(lsh_buckets_udf(F.col("embedding"), tables=tables)).alias(
+            "tbl", "bucket"
+        ),
+    )
+    q = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"), "tbl", "bucket",
+    )
+    cand = (
+        banded.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+        .select(
+            "q_id", "vec_id",
+            (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+             ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
+def test_lsh_recall_floor_catches_degradation(spark):
+    """The floor must have teeth (r5 verdict item 3): a deliberate
+    recall-halving mutation — half the LSH tables — must land BELOW the
+    sim_topk floor, so that class of banding bug fails CI instead of
+    shipping green. Measured: 8 tables → 0.287 (floor 0.27); 4 tables →
+    0.163; 2 tables → 0.075."""
+    from hyperswitch_data_backfill_spark.catalog import load_table
+
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in REGISTRY["sim_exact_small"].fn(spark, SF_DIR).collect()
+    }
+    emb = load_table(spark, SF_DIR, "embeddings")
+    degraded = {
+        (r["q_id"], r["vec_id"]) for r in _lsh_topk_over(emb, tables=4).collect()
+    }
+    recall = len(exact & degraded) / len(exact)
+    assert recall < 0.27, (
+        f"half-tables mutation still clears the floor ({recall:.3f}) — "
+        "the floor is too loose to catch a halved-recall banding bug"
+    )
+
+
+def test_lsh_recall_on_clustered_corpus(spark):
+    """The fixture's near-orthogonal random vectors are the HARD case
+    for hyperplane LSH; a real embedding corpus is clustered and
+    collides far more. Verify the claim on the easy case: a corpus of
+    50 well-separated cluster centers, 40 jittered members each, where
+    each query IS a jittered member — exact top-k is intra-cluster and
+    LSH must recover most of it."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        DIM,
+        N_QUERIES,
+        TOP_K,
+        dot,
+        norm,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((50, DIM)) * 3.0
+    rows = []
+    vec_id = 0
+    for c in centers:
+        for _ in range(40):
+            rows.append((vec_id, (c + rng.standard_normal(DIM) * 0.25).tolist()))
+            vec_id += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # exact top-k on the clustered corpus (first N_QUERIES ids as queries)
+    base = emb.withColumn("nrm", norm(F.col("embedding")))
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id",
+                (dot(F.col("q_emb"), F.col("embedding")) /
+                 (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K).collect()
+    }
+
+    got = {
+        (r["q_id"], r["vec_id"]) for r in _lsh_topk_over(emb, tables=8).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    # clustered members of one cluster share most hyperplane signs;
+    # measured ≈1.0 on this fixture — floor leaves jitter headroom
+    assert recall >= 0.85, f"clustered-corpus LSH recall only {recall:.3f}"

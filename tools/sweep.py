@@ -18,10 +18,12 @@ import time
 from datetime import date, datetime
 from decimal import Decimal
 
+from pathlib import Path
+
 import duckdb
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from hyperswitch_data_backfill_spark.catalog import TABLES  # noqa: E402  (single source of truth)
 
