@@ -182,6 +182,49 @@ def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_tumbling_replay",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+    doc="A REAL watermarked Structured Streaming aggregation, driver-"
+        "hash-verified: the events fixture replays through streaming/"
+        "pipeline.py's tumbling_event_counts (withWatermark('2 hours') "
+        "+ window('1 hour') groupBy) as a live StreamingQuery — file "
+        "stream → availableNow → APPEND-mode memory sink. Append mode "
+        "emits exactly the FINALIZED windows (window end ≤ watermark = "
+        "max event time − 2 h; unfinalized tail windows stay in state), "
+        "so the oracle encodes watermark-finalization semantics itself "
+        "rather than approximating them away. Third streaming execution "
+        "style under the oracle gate (after applyInPandasWithState "
+        "replay and foreachBatch CDC): the built-in watermarked "
+        "stateful-agg engine. State is O(active windows) — the property "
+        "that lets this run forever on a 100 TB/day stream.",
+)
+def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from hyperswitch_data_backfill_spark.catalog import load_stream_table
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        tumbling_event_counts,
+        write_memory_sink,
+    )
+
+    name = f"tumb_replay_{uuid.uuid4().hex[:8]}"
+    stream = load_stream_table(spark, sf_dir, "events")
+    q = write_memory_sink(tumbling_event_counts(stream), name, complete=False)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_tumbling_replay did not finish in 300s")
+    return spark.table(name)
+
+
+@register(
     "win_rank_stats",
     oracle="""
     SELECT o_custkey, o_orderkey,

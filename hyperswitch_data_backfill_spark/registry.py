@@ -51,87 +51,79 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # tests/test_registry.py::test_driver_window_covers_every_unproven_key,
 # extended to rows-only keys in round 5 per the r4 verdict).
 #
-# ROUND-5 WINDOW (executing the rotation recorded in round 4; evidence
-# ages computed from shipped CORRECTNESS_r01–r04):
-#   1. evidence-gap / changed / new keys first — emb_pq_quantize (r4's
-#      one red row; impl changed this round to emit a packed bigint),
-#      sim_ivfpq + agg_hll_merge (registered post-r4-window, zero
-#      driver evidence), stream_cdc_maintainer_batch (new this round),
-#      agg_approx_percentile (rows-only r2, never re-swept — r4
-#      verdict item 5);
-#   2. the 4 keys whose latest evidence is round-1 vintage;
-#   3. all 41 keys whose latest evidence is round-2 vintage (the 23
-#      r4-evicted keys plus the rest of the r2 cohort) — exactly fills
-#      the 50 slots. After this sweep no key's evidence is older than
-#      round 3.
+# ROUND-6 WINDOW (executing the rotation recorded in round 5; evidence
+# ages computed from shipped CORRECTNESS_r01–r05 by tools/rotation.py):
+#   1. round-6 additions / changed implementations first —
+#      stream_tumbling_replay (NEW: win_tumbling's watermarked
+#      streaming twin run as a live append-mode StreamingQuery;
+#      sf0.01-swept green locally before shipping);
+#   2. set_intersect_all — the one r2-vintage key (three rounds stale;
+#      its r5 eviction is repaid first, per the r5 verdict);
+#   3. the round-3-vintage cohort, oldest-first alphabetical (the
+#      compaction/functions/text/analytics/multimodal r3 batch),
+#      filling the 50 slots. win_session/win_sliding and the r3 tail
+#      past 50 slots roll to round 7 (recorded below).
 _DRIVER_WINDOW: list[str] = [
-    # -- 1. evidence gaps (red / never-swept / new / stale-rows-only)
-    "emb_pq_quantize",        # r4 ERR (unhashable array) → now packed bigint
-    "sim_ivfpq",              # zero driver evidence
-    "agg_hll_merge",          # zero driver evidence
-    "stream_cdc_maintainer_batch",  # new in round 5
-    "stream_attribution_replay",    # new in round 5 (live streaming query)
-    "agg_approx_percentile",  # rows-only r2; envelope pytest added r5
-    # -- 2. round-1-vintage evidence
-    "win_rank_stats",
-    "win_range_frame",
-    "dedup_minhash",
-    "dedup_simhash",
-    # -- 3. round-2-vintage evidence (oldest-first cohort, fills to 50)
-    "scan_orders",
-    "scan_customer_page",
-    "count_filtered",
-    "filter_eq",
-    "filter_between",
-    "filter_conj",
-    "project_subset",
-    "validate_ids",
-    "remap_columns",
-    "exists_subquery",
-    "scalar_subquery_avg",
-    "join_semi",
-    "join_left",
-    "join_anti",
-    "join_range",
-    "join_asof_forward",
-    "agg_group_count",
-    "agg_stats",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_histogram",
-    "agg_mode",
-    "anomaly_zscore",
-    "sample_stable_split",
-    "sample_stratified_fixed",
-    "sort_by_key",
-    "limit_k",
-    "paginate_window",
-    "topk_per_group",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    # (set_intersect_all — r2-green, pure codegen, untouched — evicted
-    #  to round 6 to make room for stream_attribution_replay; it is the
-    #  only r2-cohort key not re-checked this round)
-    "win_rownum",
-    "win_lag",
-    "win_running_sum",
-    "win_tumbling",
+    "stream_tumbling_replay",
+    "set_intersect_all",
+    "agg_corr_moments",
+    "agg_unpivot",
+    "array_ops",
+    "compact_latest",
+    "date_trunc_bucket",
+    "decontam_ngram",
+    "dedup_clusters",
+    "dedup_exact_hashkey",
+    "dedup_survivors",
+    "emb_centroid_per_label",
+    "emb_quantize_int8",
+    "emb_random_projection",
+    "funnel_steps",
+    "json_extract",
+    "json_extract_agg",
+    "json_serialize",
+    "kafka_payload_shape",
+    "map_props_stats",
+    "math_money",
+    "merge_upsert",
+    "multimodal_audio_rms",
+    "multimodal_frame_sample",
+    "multimodal_resize_mean",
+    "neardup_cosine",
+    "neardup_levenshtein",
+    "pack_sequences",
+    "parse_datetime_multi",
+    "pipeline_backfill_job",
+    "pipeline_clean_corpus",
+    "profile_columns",
+    "retention_cohort",
+    "sample_weighted_mix",
+    "scd2_intervals",
+    "sim_exact_small",
+    "text_chunk_overlap",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_length_quantile_gate",
+    "text_ngram_freq",
+    "text_pii_redact",
+    "text_quality",
+    "text_repetition_gate",
+    "text_stats",
+    "text_tfidf",
+    "text_token_count_bpe",
+    "text_tokens",
+    "win_first_last",
+    "win_gap_islands",
 ]
 
-# ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, every key's
-# evidence is round-3 vintage or newer. Round 6's window should be:
-#   1. any round-6 additions / implementation changes — always first;
-#   2. the round-3-vintage cohort (win_session, win_first_last,
-#      win_sliding, the compaction/functions/text/analytics/multimodal
-#      r3 batch — ~47 keys), oldest-first, filling the 50 slots.
-# `python tools/rotation.py` computes evidence ages from the shipped
-# CORRECTNESS files and prints this ordering ready to paste (it cannot
-# detect changed implementations — prepend those by hand).
+# ROUND-7 ROTATION PLAN: after CORRECTNESS_r06 lands, the oldest
+# evidence is the r3-vintage tail that missed this window —
+# win_session, win_sliding, plus the r4-vintage cohort. Round 7's
+# window: any r7 additions/changes first, then win_session +
+# win_sliding, then r4-vintage keys oldest-first to fill 50.
+# `python tools/rotation.py` computes this from the shipped
+# CORRECTNESS files (it cannot detect changed implementations —
+# prepend those by hand).
 # The hygiene test continues to enforce that no key (oracle-backed or
 # rows-only) is ever outside window ∪ recorded-driver-evidence.
 

@@ -1035,3 +1035,43 @@ def test_funnel_stream_hits_parity_sf001(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_stream_tumbling_replay_append_matches_finalized_windows(spark):
+    """The registered live-StreamingQuery key (windows.py
+    stream_tumbling_replay) emits in APPEND mode, so its output must be
+    exactly the FINALIZED windows: batch tumbling rows whose window end
+    <= watermark (max event time - 2h). Unfinalized tail windows must
+    be withheld (state, not output) - this is the semantics the DuckDB
+    oracle encodes, so the test also guards the oracle's WHERE clause."""
+    from hyperswitch_data_backfill_spark.registry import REGISTRY, queries
+
+    queries()  # force operator-module load so REGISTRY is populated
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batch = (
+        ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    finalized = {
+        tuple(r)
+        for r in batch.filter(
+            F.col("bucket_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff)
+        ).collect()
+    }
+    withheld = batch.count() - len(finalized)
+    assert finalized and withheld > 0, "fixture must exercise both emitted and withheld windows"
+
+    got = {tuple(r) for r in REGISTRY["stream_tumbling_replay"].fn(spark, sf).collect()}
+    assert got == finalized

@@ -5,9 +5,11 @@ Runs every `queries()` entry on a VANILLA SparkSession (no engine confs
 DuckDB oracle at the given sf dir, and prints one status line per query
 plus a summary. Usage:
 
-    python tools/sweep.py [sf_dir] [query ...]
+    python tools/sweep.py [sf_dir] [query ...] [--json out.json]
 
-With query names given, sweeps only those.
+With query names given, sweeps only those. `--json` writes a compact
+machine-readable record (per-key status/rows/wall + summary) so scale
+sweeps leave a committable evidence artifact, not just a scrollback.
 """
 
 from __future__ import annotations
@@ -49,8 +51,14 @@ def _norm(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     if "--window" in only:
         # sweep exactly the 50 keys the external driver will check
         from hyperswitch_data_backfill_spark import registry
@@ -80,6 +88,7 @@ def main() -> int:
         )
 
     n_pass = n_rows_only = n_fail = 0
+    records: dict[str, dict] = {}
     t_total = time.time()
     for name, fn in qs.items():
         t0 = time.time()
@@ -88,6 +97,8 @@ def main() -> int:
             if name not in oracles:
                 n = df.count()
                 n_rows_only += 1
+                records[name] = {"status": "rows_only", "rows": n,
+                                 "wall_s": round(time.time() - t0, 2)}
                 print(f"ROWS-ONLY {name}: {n} rows ({time.time()-t0:.1f}s)")
                 continue
             spark_cols = sorted(df.columns)
@@ -98,11 +109,13 @@ def main() -> int:
             drows_raw = res.fetchall()
             if spark_cols != duck_cols:
                 n_fail += 1
+                records[name] = {"status": "fail", "err": "column mismatch"}
                 print(f"FAIL {name}: cols spark={spark_cols} duck={duck_cols}")
                 continue
             drows = [tuple(_norm(row[dmap[c]]) for c in duck_cols) for row in drows_raw]
             if len(srows) != len(drows):
                 n_fail += 1
+                records[name] = {"status": "fail", "err": "rowcount mismatch"}
                 print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
                 continue
             ss, dd = sorted(srows, key=repr), sorted(drows, key=repr)
@@ -111,6 +124,7 @@ def main() -> int:
                 diff = next(
                     (i for i, (a, b) in enumerate(zip(ss, dd)) if a != b), None
                 )
+                records[name] = {"status": "fail", "err": "value mismatch"}
                 print(
                     f"FAIL {name}: value mismatch at sorted idx {diff}: "
                     f"spark={ss[diff] if diff is not None else '?'} "
@@ -118,14 +132,33 @@ def main() -> int:
                 )
                 continue
             n_pass += 1
+            records[name] = {"status": "pass", "rows": len(srows),
+                             "wall_s": round(time.time() - t0, 2)}
             print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
         except Exception as e:  # noqa: BLE001
             n_fail += 1
+            records[name] = {"status": "err",
+                             "err": f"{type(e).__name__}: {str(e)[:200]}"}
             print(f"ERR  {name}: {type(e).__name__}: {str(e)[:300]}")
     print(
         f"SUMMARY pass={n_pass} rows_only={n_rows_only} fail={n_fail} "
         f"total={len(qs)} wall={time.time()-t_total:.0f}s"
     )
+    if json_out:
+        import json
+        import os
+
+        payload = {
+            "sf_dir": sf_dir,
+            "loadavg": round(os.getloadavg()[0], 2),
+            "summary": {"pass": n_pass, "rows_only": n_rows_only,
+                        "fail": n_fail, "total": len(qs),
+                        "wall_s": round(time.time() - t_total, 1)},
+            "keys": records,
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
