@@ -637,3 +637,69 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / PACK_BUDGET).cast("bigint").alias("seq_id"),
         (start % PACK_BUDGET).cast("bigint").alias("offset_in_seq"),
     )
+
+
+@register(
+    "decontam_bloom_fn",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), ix AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {DECONTAM_NGRAM - 1})) AS i
+        FROM t WHERE len(toks) >= {DECONTAM_NGRAM}
+    ), grams AS (
+        SELECT doc_id, array_to_string(toks[i : i + {DECONTAM_NGRAM - 1}], ' ') AS g
+        FROM ix
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+    ), hit AS (
+        SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)
+    )
+    SELECT d.doc_id, TRUE AS bloom_dropped
+    FROM documents d
+    WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
+      AND d.doc_id IN (SELECT doc_id FROM hit)
+    """,
+    doc="Curation-err (round-7): the Bloom decontaminator's no-false-"
+        "negative guarantee, driver-hashed. The oracle recomputes the "
+        "EXACT contaminated set (same SQL as decontam_ngram's hit CTE) "
+        "and asserts each of those docs was dropped by decontam_bloom — "
+        "a Bloom false negative (impossible unless the probe/build bit "
+        "math diverges) would flip its row to FALSE. Complements the "
+        "pytest guard (survivors ⊆ exact survivors, bounded extra "
+        "drops) with per-doc driver evidence.",
+)
+def decontam_bloom_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def grams(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - (DECONTAM_NGRAM - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + k) for k in range(DECONTAM_NGRAM)]
+            ),
+        )
+
+    exploded = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= DECONTAM_NGRAM)
+        .select("doc_id", F.explode(grams(F.col("toks"))).alias("g"))
+    )
+    bench = (
+        exploded.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0).select("g").distinct()
+    )
+    exact_hit = (
+        exploded.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    bloom_kept = decontam_bloom(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_kept")
+    )
+    return exact_hit.join(bloom_kept, "doc_id", "left").select(
+        "doc_id", F.col("_kept").isNull().alias("bloom_dropped")
+    )

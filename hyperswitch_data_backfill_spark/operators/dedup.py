@@ -792,3 +792,107 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("ndocs") >= SPAN_MIN_DOCS)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash error-envelope twins (round-7): dedup_minhash's output is
+# hash-incomparable to an exact engine (the estimates depend on xxhash64
+# bit mixing), but both legs of its CONTRACT are:
+#   precision — a pair whose signatures agree strongly really is a
+#     near-dup (exact Jaccard over the threshold);
+#   recall — every genuinely near-identical pair is emitted as a
+#     candidate.
+# Each leg is SQL-checkable against the exact shingle graph, so each
+# gets a driver-hashed key. Everything here is deterministic for a given
+# corpus (xxhash64 signatures), so the flags are stable across runs.
+# ---------------------------------------------------------------------------
+
+# Signature-agreement level at which the precision claim is asserted:
+# est ≥ 0.75 = ≥24/32 minhashes agree. Measured fixture margin: every
+# such candidate has exact Jaccard ≥ 0.889 at sf0.01 / sf0.1 vs the
+# 0.5 floor asserted.
+MINHASH_PRECISION_EST = 0.75
+# Recall leg asserted at exact Jaccard ≥ 0.9: P(missed by 8×4 banding)
+# = (1 - 0.9^4)^8 ≈ 2e-4 per pair — and the fixture outcome is
+# deterministic (24/24 found at sf0.01, 247/247 at sf0.1).
+MINHASH_RECALL_JACCARD = 0.9
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh array<string>) — exact shingle set per doc, for
+    re-scoring a SMALL pair frame. Only ever joined against candidate
+    pairs (O(near-dups), not O(corpus²))."""
+    return shingles_df(docs).groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+
+
+@register(
+    "dedup_minhash_precision",
+    oracle="SELECT CAST(0 AS BIGINT) AS n_violations",
+    doc="L2b-err (precision leg): every dedup_minhash candidate whose "
+        f"estimated Jaccard is ≥ {MINHASH_PRECISION_EST} (≥24/32 "
+        "signature agreement) must have exact shingle Jaccard ≥ "
+        f"{JACCARD_THRESHOLD}. Exact re-score touches only the emitted "
+        "pairs — two joins against the per-doc shingle sets, O(candidate "
+        "pairs) work. The oracle asserts zero violations; a broken "
+        "signature family (e.g. correlated hashes) surfaces as a "
+        "nonzero count → driver hash red.",
+)
+def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        dedup_minhash(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= MINHASH_PRECISION_EST)
+        .select("id_a", "id_b")
+    )
+    sets = _shingle_sets(docs)
+    scored = (
+        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
+            ).alias("exact_jac")
+        )
+    )
+    return scored.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("exact_jac") < JACCARD_THRESHOLD, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_violations")
+    )
+
+
+@register(
+    "dedup_minhash_recall_pairs",
+    oracle=_PAIR_PREFIX + f"""
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard, TRUE AS found
+    FROM scored_pairs WHERE ROUND(jac, 6) >= {MINHASH_RECALL_JACCARD}
+    """,
+    doc="L2b-err (recall leg): every exact pair with shingle Jaccard ≥ "
+        f"{MINHASH_RECALL_JACCARD} appears among dedup_minhash's "
+        "candidates. The oracle recomputes the exact high-similarity "
+        "pair set from the shingle graph and asserts found=TRUE per "
+        "pair — a missed pair flips its row to FALSE and the hash goes "
+        "red. (The pytest recall floor covers the broader ≥0.5 band "
+        "where banding is probabilistic by design.)",
+)
+def dedup_minhash_recall_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs).filter(
+        F.col("jaccard") >= MINHASH_RECALL_JACCARD
+    )
+    cand = dedup_minhash(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(True).alias("_hit")
+    )
+    return exact.join(cand, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("found"),
+    )

@@ -688,3 +688,41 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return shortlist.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
+# Round-7 error envelope: avg recall@10 of the LSH path vs the exact
+# top-k, asserted in-plan so the driver hashes it. Measured on the
+# near-orthogonal fixture vectors (the HARD case for hyperplane LSH):
+# 0.3875 at sf0.01, 0.3625 at sf0.1, rising to ~0.6 at sf1 — the floor
+# sits under all three with margin. Deterministic: planes are seeded,
+# signatures/buckets are pure functions of the corpus.
+LSH_AVG_RECALL_FLOOR = 0.25
+
+
+@register(
+    "sim_topk_recall_floor",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    doc="L3b-err: driver-hashed recall envelope for sim_topk — average "
+        f"recall@{TOP_K} across the {N_QUERIES} fixture queries, "
+        "measured against the exact top-k (sim_exact_small's plan), "
+        f"must clear {LSH_AVG_RECALL_FLOOR}. The exact referee is "
+        "affordable in-plan because the query set is fixed and small; "
+        "the pytest floors cover the per-config variants (tables/bits "
+        "sweeps, clustered-corpus easy case). A silently degraded "
+        "banding (fewer effective tables, broken signature) drops the "
+        "average below the floor → flag flips → hash red.",
+)
+def sim_topk_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_exact_small(spark, sf_dir).select("q_id", "vec_id")
+    ann = sim_topk(spark, sf_dir).select("q_id", "vec_id")
+    hits = exact.join(ann, ["q_id", "vec_id"], "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("_n_hits")).select(
+        F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+        (
+            F.col("_n_hits").cast("double") / (N_QUERIES * TOP_K)
+            >= LSH_AVG_RECALL_FLOOR
+        ).alias("recall_ok"),
+    )

@@ -51,76 +51,82 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # tests/test_registry.py::test_driver_window_covers_every_unproven_key,
 # extended to rows-only keys in round 5 per the r4 verdict).
 #
-# ROUND-6 WINDOW (executing the rotation recorded in round 5; evidence
-# ages computed from shipped CORRECTNESS_r01–r05 by tools/rotation.py):
-#   1. round-6 additions / changed implementations first —
-#      stream_tumbling_replay (NEW: win_tumbling's watermarked
-#      streaming twin run as a live append-mode StreamingQuery;
-#      sf0.01-swept green locally before shipping);
-#   2. set_intersect_all — the one r2-vintage key (three rounds stale;
-#      its r5 eviction is repaid first, per the r5 verdict);
-#   3. the round-3-vintage cohort, oldest-first alphabetical (the
-#      compaction/functions/text/analytics/multimodal r3 batch),
-#      filling the 50 slots. win_session/win_sliding and the r3 tail
-#      past 50 slots roll to round 7 (recorded below).
+# ROUND-7 WINDOW (executing the rotation recorded in round 6; evidence
+# ages computed from shipped CORRECTNESS_r01–r06 by tools/rotation.py):
+#   1. round-7 additions first — the seven error-envelope twins that
+#      convert rows-only sketch/approx keys into driver-hashed claims
+#      (r6 verdict item 5): agg_approx_percentile_err,
+#      agg_approx_distinct_err, agg_hll_merge_err,
+#      dedup_minhash_precision, dedup_minhash_recall_pairs,
+#      decontam_bloom_fn, sim_topk_recall_floor — all sf0.01+sf0.1
+#      swept green locally before shipping;
+#   2. win_session + win_sliding — the only r3-vintage keys left
+#      (r6 verdict item 1);
+#   3. the r4-vintage cohort, oldest-first alphabetical, with
+#      udf_decrypt (rows-only r4) promoted over the alphabet tail,
+#      filling the 50 slots. Rolled to round 8 (will be 3 rounds old —
+#      unavoidable: 158 keys / 50-slot window is a >3-round cycle):
+#      text_collapse_runs, text_inverted_index, text_unigram_logprob,
+#      text_vocab_oov, tpch_q3_topk, ts_gapfill, win_ntile.
 _DRIVER_WINDOW: list[str] = [
-    "stream_tumbling_replay",
-    "set_intersect_all",
-    "agg_corr_moments",
-    "agg_unpivot",
-    "array_ops",
-    "compact_latest",
-    "date_trunc_bucket",
-    "decontam_ngram",
-    "dedup_clusters",
-    "dedup_exact_hashkey",
-    "dedup_survivors",
-    "emb_centroid_per_label",
-    "emb_quantize_int8",
-    "emb_random_projection",
-    "funnel_steps",
-    "json_extract",
-    "json_extract_agg",
-    "json_serialize",
-    "kafka_payload_shape",
-    "map_props_stats",
-    "math_money",
-    "merge_upsert",
-    "multimodal_audio_rms",
-    "multimodal_frame_sample",
-    "multimodal_resize_mean",
-    "neardup_cosine",
-    "neardup_levenshtein",
-    "pack_sequences",
-    "parse_datetime_multi",
-    "pipeline_backfill_job",
-    "pipeline_clean_corpus",
-    "profile_columns",
-    "retention_cohort",
-    "sample_weighted_mix",
-    "scd2_intervals",
-    "sim_exact_small",
-    "text_chunk_overlap",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_length_quantile_gate",
-    "text_ngram_freq",
-    "text_pii_redact",
-    "text_quality",
-    "text_repetition_gate",
-    "text_stats",
-    "text_tfidf",
-    "text_token_count_bpe",
-    "text_tokens",
-    "win_first_last",
-    "win_gap_islands",
+    "agg_approx_percentile_err",
+    "agg_approx_distinct_err",
+    "agg_hll_merge_err",
+    "dedup_minhash_precision",
+    "dedup_minhash_recall_pairs",
+    "decontam_bloom_fn",
+    "sim_topk_recall_floor",
+    "win_session",
+    "win_sliding",
+    "agg_countmin",
+    "agg_equidepth_histogram",
+    "agg_heavy_hitters",
+    "agg_incremental_merge",
+    "agg_percentile",
+    "agg_salted_skew",
+    "attr_last_touch",
+    "cdc_apply_changes",
+    "cdc_snapshot_diff",
+    "compact_bin_pack",
+    "decontam_bloom",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_span_ngrams",
+    "dq_referential_integrity",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "join_asof",
+    "join_asof_tolerance",
+    "join_broadcast",
+    "join_full_outer",
+    "join_skew_salted",
+    "join_smj",
+    "json_variant_extract",
+    "layout_zonemap",
+    "layout_zorder",
+    "money_convert_asof",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    "pipeline_corpus_build",
+    "pipeline_settlement_report",
+    "scd2_apply",
+    "seq_pattern_funnel",
+    "seq_pattern_funnel_sessioned",
+    "sim_ivf",
+    "sim_ivf_trained",
+    "sim_topk",
+    "text_bm25",
+    "udf_decrypt",
 ]
 
-# ROUND-7 ROTATION PLAN: after CORRECTNESS_r06 lands, the oldest
-# evidence is the r3-vintage tail that missed this window —
-# win_session, win_sliding, plus the r4-vintage cohort. Round 7's
-# window: any r7 additions/changes first, then win_session +
-# win_sliding, then r4-vintage keys oldest-first to fill 50.
+# ROUND-8 ROTATION PLAN: after CORRECTNESS_r07 lands, the oldest
+# evidence is the r4-vintage tail rolled above (text_collapse_runs,
+# text_inverted_index, text_unigram_logprob, text_vocab_oov,
+# tpch_q3_topk, ts_gapfill, win_ntile), then the r5-vintage cohort.
+# Round 8's window: any r8 additions/changes first, then that tail,
+# then r5-vintage keys oldest-first to fill 50.
 # `python tools/rotation.py` computes this from the shipped
 # CORRECTNESS files (it cannot detect changed implementations —
 # prepend those by hand).

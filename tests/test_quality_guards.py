@@ -796,9 +796,13 @@ def test_approx_percentile_within_rank_error_envelope(spark):
 
 
 def test_hll_merge_equals_direct_and_bounded_error(spark):
-    """Mergeable-HLL contract: the union of per-bucket sketches is the
-    SAME sketch as one direct pass (register maxima — associative), and
-    the estimate is within the sketch's error envelope of exact."""
+    """Mergeable-HLL contract: the union of per-bucket sketches carries
+    the same information as one direct pass (register maxima —
+    associative), and the estimate is within the sketch's error envelope
+    of exact. Estimate EQUALITY holds only in sparse mode (true at
+    sf0.001's ~1.5k distinct keys, asserted here); after dense-mode
+    promotion the union's target-type estimator can differ by a few
+    counts — the sf-independent bound lives in agg_hll_merge_err."""
     row = REGISTRY["agg_hll_merge"].fn(spark, SF_DIR).collect()[0]
     assert row["merged_est"] == row["direct_est"], "partial merge diverged from direct sketch"
     assert row["rel_err"] <= 0.05, f"HLL error out of envelope: {row['rel_err']}"
