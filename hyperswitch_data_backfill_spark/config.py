@@ -107,6 +107,58 @@ def encrypt_secret_value(
     return f"{ENC_PREFIX}{scheme}:{(nonce + ct).hex()}"
 
 
+def reencrypt_legacy_value(
+    value: str, master_key: bytes, *, legacy_scheme: str, scheme: str | None = None
+) -> str:
+    """One-shot migration for pre-scheme-tag ``enc:<hex>`` blobs (the
+    format rounds 1-5 emitted) to the current ``enc:<scheme>:<hex>``
+    format, which the resolver otherwise rejects with no decrypt path.
+
+    The legacy format recorded no scheme — decrypt used to guess from
+    the local environment — so the caller must state via
+    ``legacy_scheme`` ('gcm' or 'xor') which cipher produced the blob:
+    an explicit opt-in, never a guess, because XOR-"decrypting" a GCM
+    blob would emit garbage as plaintext. Legacy xor blobs carried no
+    MAC either, so for those the only integrity check is the UTF-8
+    decode — eyeball the re-encrypted config's plaintext via a test
+    decrypt before deploying. Already-tagged values pass through
+    unchanged (idempotent), so the helper can walk a whole config.
+    ``scheme`` picks the output cipher (default: gcm when available).
+    See tools/reencrypt_config.py for the file-level walk."""
+    from hyperswitch_data_backfill_spark.functions import crypto
+
+    if not value.startswith(ENC_PREFIX):
+        return value
+    body = value[len(ENC_PREFIX):]
+    maybe_scheme = body.partition(":")[0]
+    if maybe_scheme in _SCHEMES:
+        return value  # already scheme-tagged — idempotent
+    if legacy_scheme not in _SCHEMES:
+        raise ValueError(
+            f"legacy_scheme must be one of {_SCHEMES}, got {legacy_scheme!r}"
+        )
+    try:
+        blob = bytes.fromhex(body)
+    except ValueError as e:
+        raise ValueError(f"legacy enc: value is not hex: {e}") from e
+    nonce, ct = blob[:_NONCE_LEN], blob[_NONCE_LEN:]
+    if legacy_scheme == "gcm":
+        if not crypto.HAVE_AES:
+            raise ValueError(
+                "legacy_scheme 'gcm' requires the cryptography package"
+            )
+        pt = crypto.aes_gcm_decrypt(ct, master_key, nonce)
+        if pt is None:
+            raise ValueError(
+                "legacy blob decryption failed (wrong master key, tampered "
+                "ciphertext, or the blob was actually xor-encrypted)"
+            )
+    else:
+        # legacy xor had no MAC: UTF-8 decode below is the only guard
+        pt = crypto.xor_cipher(ct, master_key + nonce)
+    return encrypt_secret_value(pt.decode(), master_key, scheme=scheme)
+
+
 def encrypted_value_resolver(master_key: bytes) -> SecretResolver:
     """Second resolver backend (≙ the reference's real secret-management
     client, vs env_resolver's NoEncryption): any secret whose TOML value

@@ -42,6 +42,7 @@ import json
 import threading
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -92,23 +93,49 @@ class HttpKeyringClient:
       deterministic rejection only delays the boot failure.
     """
 
+    _LOOPBACK_HOSTS = ("127.0.0.1", "localhost", "::1", "[::1]")
+
     def __init__(self, base_url: str, *, timeout: float = 2.0,
-                 retries: int = 2, backoff: float = 0.05):
+                 retries: int = 2, backoff: float = 0.05,
+                 auth_token: str | None = None,
+                 allow_insecure_transport: bool = False):
+        """``auth_token`` is sent as ``Authorization: Bearer <token>`` on
+        every call (the hook a KMS facade's token/mTLS front door needs).
+        Plain ``http://`` to a non-loopback host ships plaintext secrets
+        across the network, so it is REFUSED at construction unless
+        ``allow_insecure_transport=True`` is passed explicitly — the
+        localhost stub keeps working, a copy-pasted production URL fails
+        loudly before the first secret moves."""
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
         self.retries = retries
         self.backoff = backoff
+        self.auth_token = auth_token
+        host = urllib.parse.urlsplit(self.base_url).hostname or ""
+        if (
+            self.base_url.startswith("http://")
+            and host not in self._LOOPBACK_HOSTS
+            and not allow_insecure_transport
+        ):
+            raise ValueError(
+                f"refusing plain http:// keyring transport to non-loopback "
+                f"host {host!r}: decrypted secrets would cross the network "
+                "unencrypted. Use https://, or pass "
+                "allow_insecure_transport=True if this is a trusted tunnel."
+            )
 
     def decrypt(self, section: str, key: str, ciphertext: str) -> str:
         body = json.dumps(
             {"section": section, "key": key, "value": ciphertext}
         ).encode()
+        headers = {"Content-Type": "application/json"}
+        if self.auth_token:
+            headers["Authorization"] = f"Bearer {self.auth_token}"
         last_err: Exception | None = None
         for attempt in range(self.retries + 1):
             try:
                 req = urllib.request.Request(
-                    f"{self.base_url}/decrypt", data=body,
-                    headers={"Content-Type": "application/json"},
+                    f"{self.base_url}/decrypt", data=body, headers=headers,
                 )
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                     return json.loads(resp.read())["plaintext"]
@@ -160,6 +187,10 @@ def fetch_raw_secrets(tree: dict, client: HttpKeyringClient) -> dict:
     def walk(node, section: str):
         if isinstance(node, dict):
             return {k: walk(v, section) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            # TOML arrays (e.g. a list of connector entries) can nest
+            # ciphertexts too — recurse so none passes through unresolved
+            return [walk(v, section) for v in node]
         if isinstance(node, str) and node.startswith(ENC_PREFIX):
             # key name is best-effort context only; the walk decrypts by
             # value shape, like convert_to_raw_secret's masked fields
@@ -187,6 +218,10 @@ class _StubHandler(BaseHTTPRequestHandler):
         srv: StubKeyringServer = self.server  # type: ignore[assignment]
         if srv.latency:
             time.sleep(srv.latency)
+        if srv.require_token is not None:
+            if self.headers.get("Authorization") != f"Bearer {srv.require_token}":
+                self._reply(401, {"error": "missing or invalid bearer token"})
+                return
         if srv.fail_next > 0:
             srv.fail_next -= 1
             self._reply(503, {"error": "transient keyring failure (injected)"})
@@ -223,11 +258,13 @@ class StubKeyringServer(ThreadingHTTPServer):
     mutable knobs for exercising client timeout/retry paths.
     """
 
-    def __init__(self, master_key: bytes, *, latency: float = 0.0):
+    def __init__(self, master_key: bytes, *, latency: float = 0.0,
+                 require_token: str | None = None):
         super().__init__(("127.0.0.1", 0), _StubHandler)
         self._resolve = encrypted_value_resolver(master_key)
         self.latency = latency
         self.fail_next = 0
+        self.require_token = require_token
         self._thread: threading.Thread | None = None
 
     @property

@@ -319,3 +319,98 @@ def test_cli_date_parsing_matches_reference_formats():
     assert parse_datetime_arg("2024-06-26") == "2024-06-26 00:00:00"
     with pytest.raises(argparse.ArgumentTypeError):
         parse_datetime_arg("26/06/2024")
+
+
+def test_reencrypt_legacy_value_migration(tmp_path):
+    """r6 advisory #4: pre-scheme-tag 'enc:<hex>' blobs (rounds 1-5)
+    have a decrypt path again — the one-shot migration helper decrypts
+    them under an EXPLICIT legacy_scheme flag and re-emits the
+    scheme-tagged format the resolver accepts. Idempotent on
+    already-tagged values; wrong-scheme opt-in fails loudly for gcm."""
+    import os as _os
+
+    from hyperswitch_data_backfill_spark.config import (
+        ENC_PREFIX,
+        _NONCE_LEN,
+        encrypted_value_resolver,
+        reencrypt_legacy_value,
+    )
+    from hyperswitch_data_backfill_spark.functions import crypto
+
+    master = bytes(range(32))
+    resolver = encrypted_value_resolver(master)
+    nonce = _os.urandom(_NONCE_LEN)
+
+    # legacy xor blob: nonce || xor-ct, NO mac, NO scheme tag
+    legacy_xor = ENC_PREFIX + (
+        nonce + crypto.xor_cipher(b"legacy-pass", master + nonce)
+    ).hex()
+    # the current resolver rejects it...
+    with pytest.raises(ValueError, match="legacy"):
+        resolver("replica_database", "password", legacy_xor)
+    # ...the migration helper revives it
+    migrated = reencrypt_legacy_value(legacy_xor, master, legacy_scheme="xor")
+    assert resolver("replica_database", "password", migrated) == "legacy-pass"
+    # idempotent: an already-tagged value passes through unchanged
+    assert reencrypt_legacy_value(migrated, master, legacy_scheme="xor") == migrated
+
+    if crypto.HAVE_AES:
+        legacy_gcm = ENC_PREFIX + (
+            nonce + crypto.aes_gcm_encrypt(b"legacy-gcm", master, nonce)
+        ).hex()
+        migrated_gcm = reencrypt_legacy_value(legacy_gcm, master, legacy_scheme="gcm")
+        assert resolver("secrets", "master_enc_key", migrated_gcm) == "legacy-gcm"
+        # declaring the wrong legacy scheme for a gcm blob fails loudly
+        # (auth tag mismatch), never emits garbage
+        with pytest.raises(ValueError):
+            reencrypt_legacy_value(legacy_gcm, master, legacy_scheme="gcm",
+                                   scheme="nope")
+        with pytest.raises(ValueError, match="decryption failed"):
+            reencrypt_legacy_value(
+                ENC_PREFIX + (nonce + crypto.aes_gcm_encrypt(b"x", b"\x00" * 32, nonce)).hex(),
+                master, legacy_scheme="gcm",
+            )
+
+
+def test_reencrypt_config_tool_walks_file(tmp_path, monkeypatch):
+    """tools/reencrypt_config.py migrates every legacy blob in a TOML
+    file in place, preserving comments and plaintext values."""
+    import os as _os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    from hyperswitch_data_backfill_spark.config import (
+        ENC_PREFIX,
+        _NONCE_LEN,
+        encrypted_value_resolver,
+    )
+    from hyperswitch_data_backfill_spark.functions import crypto
+
+    master = bytes(range(32))
+    nonce = _os.urandom(_NONCE_LEN)
+    legacy = ENC_PREFIX + (nonce + crypto.xor_cipher(b"pw-1", master + nonce)).hex()
+    cfg = tmp_path / "legacy.toml"
+    cfg.write_text(
+        "# a comment that must survive\n"
+        "[replica_database]\n"
+        f'password = "{legacy}"\n'
+        'username = "app"\n'
+    )
+    repo = _Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [_sys.executable, str(repo / "tools" / "reencrypt_config.py"),
+         "--legacy-scheme", "xor", str(cfg)],
+        capture_output=True, text=True,
+        env={**_os.environ, "MASTER_KEY_HEX": master.hex()},
+    )
+    assert out.returncode == 0, out.stderr
+    text = cfg.read_text()
+    assert "# a comment that must survive" in text
+    assert 'username = "app"' in text
+    assert legacy not in text
+    import re as _re
+
+    new_val = _re.search(r'password = "(enc:[^"]+)"', text).group(1)
+    resolver = encrypted_value_resolver(master)
+    assert resolver("replica_database", "password", new_val) == "pw-1"

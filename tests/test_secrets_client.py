@@ -156,3 +156,54 @@ def test_sections_toml_shape_parses():
     with StubKeyringServer(MASTER) as url:
         raw = fetch_raw_secrets(tree, _client(url))
     assert all(raw[s]["secret_value"] == "v-" + s for s in REFERENCE_SECRET_SECTIONS)
+
+
+def test_boot_walk_recurses_into_toml_arrays():
+    """An enc: ciphertext nested inside a TOML array (e.g. a list of
+    connector credential tables) is resolved too — round-6's walk only
+    recursed into dicts and silently passed list-nested ciphertext
+    through (r6 advisory #1)."""
+    ct = encrypt_secret_value("list-secret", MASTER)
+    tree = {
+        "api_keys": {
+            "connectors": [
+                {"name": "a", "api_key": ct},
+                {"name": "b", "api_key": "plain"},
+            ],
+            "flat_list": [ct, "plain"],
+        }
+    }
+    with StubKeyringServer(MASTER) as url:
+        raw = fetch_raw_secrets(tree, _client(url))
+    assert raw["api_keys"]["connectors"][0]["api_key"] == "list-secret"
+    assert raw["api_keys"]["connectors"][1]["api_key"] == "plain"
+    assert raw["api_keys"]["flat_list"] == ["list-secret", "plain"]
+
+
+def test_insecure_remote_transport_refused():
+    """Plain http:// to a non-loopback host would ship decrypted
+    secrets across the network — constructing such a client raises
+    unless explicitly overridden (r6 advisory #3)."""
+    with pytest.raises(ValueError, match="refusing plain http"):
+        HttpKeyringClient("http://keyring.internal:8200")
+    # loopback stays allowed (the stub server's whole point)
+    HttpKeyringClient("http://127.0.0.1:9")
+    HttpKeyringClient("http://localhost:9")
+    # https is fine anywhere; explicit override is honored
+    HttpKeyringClient("https://keyring.internal:8200")
+    HttpKeyringClient("http://keyring.internal:8200", allow_insecure_transport=True)
+
+
+def test_bearer_token_auth_round_trip():
+    """auth_token is sent as a Bearer header; the stub enforces it —
+    wrong/missing token is a 401 (deterministic rejection, no retry)."""
+    ct = encrypt_secret_value("tok-secret", MASTER)
+    with StubKeyringServer(MASTER, require_token="s3cr3t-token") as url:
+        ok = _client(url, auth_token="s3cr3t-token")
+        assert ok.decrypt("secrets", "master_enc_key", ct) == "tok-secret"
+        bad = _client(url, auth_token="wrong", retries=3)
+        with pytest.raises(SecretFetchError, match="rejected"):
+            bad.decrypt("secrets", "master_enc_key", ct)
+        missing = _client(url)
+        with pytest.raises(SecretFetchError, match="rejected"):
+            missing.decrypt("secrets", "master_enc_key", ct)

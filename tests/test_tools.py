@@ -79,3 +79,82 @@ def test_make_bigsf_preserves_schema_and_integrity(tmp_path):
     ).fetchone()[0]
     assert dup_texts == 0
     con.close()
+
+
+def test_check_workflow_passes_on_tree_and_catches_breakage(tmp_path):
+    """tools/check_workflow.py (r6 verdict item 4): the shipped
+    workflows lint clean, and the checker actually catches the failure
+    classes it claims — bash typos, missing paths, pyspark/connector
+    version skew, steps with neither run nor uses."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import check_workflow as cw
+
+    repo = Path(__file__).resolve().parent.parent
+    for wf in sorted((repo / ".github" / "workflows").glob("*.yml")):
+        assert cw.check_workflow(wf) == [], wf
+
+    broken = tmp_path / "broken.yml"
+    broken.write_text(
+        "name: x\n"
+        "on: [push]\n"
+        "jobs:\n"
+        "  j:\n"
+        "    runs-on: ubuntu-latest\n"
+        "    steps:\n"
+        "      - name: bad bash\n"
+        "        run: |\n"
+        "          if [ -f x ]; then echo hi\n"          # missing fi
+        "      - name: missing path\n"
+        "        run: python tools/does_not_exist.py\n"
+        "      - name: neither\n"
+        "        with: {x: 1}\n"
+    )
+    errs = cw.check_workflow(broken)
+    assert any("bash syntax" in e for e in errs)
+    assert any("does_not_exist" in e for e in errs)
+    assert any("run/uses" in e for e in errs)
+
+    skew = tmp_path / "skew.yml"
+    skew.write_text(
+        "name: x\n"
+        "on: [push]\n"
+        "jobs:\n"
+        "  j:\n"
+        "    runs-on: ubuntu-latest\n"
+        "    env:\n"
+        "      PYSPARK_SUBMIT_ARGS: --packages org.apache.spark:spark-sql-kafka-0-10_2.13:3.5.0 pyspark-shell\n"
+        "    steps:\n"
+        "      - name: install\n"
+        "        run: pip install \"pyspark==4.1.2\"\n"
+    )
+    assert any("classpath mismatch" in e for e in cw.check_workflow(skew))
+
+
+def test_ci_dry_run_job_steps_locally(tmp_path, capsys):
+    """Local mirror of e2e.yml's container-free dry-run job: generate
+    the CI fixture, boot the engine through the CLI exactly as the
+    workflow step does, and assert both entity topics plus the
+    consolidated feed report rows. (The ONLY delta the full e2e job
+    adds is live Postgres+Kafka wiring.)"""
+    import hyperswitch_data_backfill_spark.__main__ as cli
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "gen_ci_fixture.py"), str(tmp_path)],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr
+    rc = cli.main([
+        "-f", str(repo / "examples" / "e2e" / "ci-dry-run.toml"),
+        "-s", "1995-01-01", "-e", "2001-12-31",
+        "--parquet-dir", str(tmp_path),
+        "--dry-run",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    by_topic = {ln.split("\t")[0]: int(ln.split("\t")[1]) for ln in lines}
+    assert by_topic["orders-events"] == 1500
+    assert by_topic["lineitem-events"] > 0
+    assert by_topic["hyperswitch-consolidated-events"] == (
+        by_topic["orders-events"] + by_topic["lineitem-events"]
+    )
