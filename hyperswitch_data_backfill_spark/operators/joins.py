@@ -228,8 +228,16 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "_salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(N_JOIN_SALT)).cast("int")
     )
-    orders = load_table(spark, sf_dir, "orders").withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(N_JOIN_SALT - 1)))
+    # Repartition the dim BEFORE the ×N_JOIN_SALT explode: a compact dim
+    # often arrives as one or two parquet splits, and exploding N× inside
+    # those few scan tasks serializes the fan-out + its shuffle write on
+    # one core — measured 2.5 s single-task vs spread at the 6M-row skew
+    # bench point (tools/skew_bench.py). One extra O(dim) shuffle buys
+    # explode/build parallelism that scales with the cluster.
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(N_JOIN_SALT - 1))))
     )
     # Hint the EXPLODED DIM side as the hash build side: its partition
     # size is bounded by |orders|/N_JOIN_SALT no matter how skewed the
@@ -243,6 +251,78 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_linenumber", "o_orderdate", "l_extendedprice")
     )
+
+
+MAX_HOT_KEYS = 64  # a hot SET bigger than this is not "skew", it's a
+# mis-chosen join key — raise instead of silently broadcasting a big slice
+
+
+@register(
+    "join_skew_split",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_extendedprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="hot/cold split-union equi-join — the 100 TB skew pattern that "
+        "BEATS full-dim salting when the dim is too big to replicate "
+        "(tools/skew_bench.py: at the 6M-row 90%-whale point the "
+        "x8-explode salted join pays more in dim replication than it "
+        "saves on the whale). Detect the hot key set (keys holding more "
+        "than hot_factor x the average partition's share of fact rows — "
+        "a bounded driver probe, <= MAX_HOT_KEYS by contract), then "
+        "split: hot fact rows join a BROADCAST of just their few dim "
+        "rows (map-side, the whale never crosses a shuffle), cold rows "
+        "take the ordinary shuffle join; unionByName glues the disjoint "
+        "halves. Oracle is the plain join - the rewrite changes only "
+        "physical distribution. On an unskewed corpus the hot set is "
+        "empty and the operator degenerates to exactly the plain join. "
+        "At 100 TB the detection pass rides a sample or prior stats "
+        "instead of the exact groupBy used here for determinism.",
+)
+def join_skew_split(
+    spark: SparkSession, sf_dir: str, hot_factor: float = 4.0
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def project(joined: DataFrame) -> DataFrame:
+        return joined.select(
+            "l_orderkey", "l_linenumber", "o_orderdate", "l_extendedprice"
+        )
+
+    n_part = spark.sparkContext.defaultParallelism
+    total = li.count()
+    threshold = max(int(hot_factor * total / n_part), 1000)
+    hot_rows = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > threshold)
+        .select("l_orderkey")
+        .limit(MAX_HOT_KEYS + 1)
+        .collect()
+    )
+    if len(hot_rows) > MAX_HOT_KEYS:
+        raise ValueError(
+            f"more than {MAX_HOT_KEYS} keys exceed the hot threshold "
+            f"({threshold} rows): the key is uniformly heavy, not skewed - "
+            "use the plain shuffle join (or bucketing), not a hot-key split"
+        )
+    hot = [r["l_orderkey"] for r in hot_rows]
+    plain = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    if not hot:
+        return project(plain)
+    li_hot = li.filter(F.col("l_orderkey").isin(hot))
+    li_cold = li.filter(~F.col("l_orderkey").isin(hot))
+    dim_hot = orders.filter(F.col("o_orderkey").isin(hot))
+    hot_join = li_hot.join(
+        F.broadcast(dim_hot), li_hot.l_orderkey == dim_hot.o_orderkey
+    )
+    cold_join = li_cold.join(
+        orders.hint("shuffle_hash"), li_cold.l_orderkey == orders.o_orderkey
+    )
+    return project(hot_join).unionByName(project(cold_join))
 
 
 @register(

@@ -58,16 +58,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #      (r6 verdict item 5): agg_approx_percentile_err,
 #      agg_approx_distinct_err, agg_hll_merge_err,
 #      dedup_minhash_precision, dedup_minhash_recall_pairs,
-#      decontam_bloom_fn, sim_topk_recall_floor — all sf0.01+sf0.1
-#      swept green locally before shipping;
+#      decontam_bloom_fn, sim_topk_recall_floor — plus join_skew_split
+#      (the hot/cold split-union skew join added with the skew bench) —
+#      all sf0.01+sf0.1 swept green locally before shipping;
 #   2. win_session + win_sliding — the only r3-vintage keys left
 #      (r6 verdict item 1);
 #   3. the r4-vintage cohort, oldest-first alphabetical, with
 #      udf_decrypt (rows-only r4) promoted over the alphabet tail,
 #      filling the 50 slots. Rolled to round 8 (will be 3 rounds old —
-#      unavoidable: 158 keys / 50-slot window is a >3-round cycle):
-#      text_collapse_runs, text_inverted_index, text_unigram_logprob,
-#      text_vocab_oov, tpch_q3_topk, ts_gapfill, win_ntile.
+#      unavoidable: 159 keys / 50-slot window is a >3-round cycle):
+#      text_bm25, text_collapse_runs, text_inverted_index,
+#      text_unigram_logprob, text_vocab_oov, tpch_q3_topk, ts_gapfill,
+#      win_ntile.
 _DRIVER_WINDOW: list[str] = [
     "agg_approx_percentile_err",
     "agg_approx_distinct_err",
@@ -76,6 +78,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_minhash_recall_pairs",
     "decontam_bloom_fn",
     "sim_topk_recall_floor",
+    "join_skew_split",
     "win_session",
     "win_sliding",
     "agg_countmin",
@@ -117,7 +120,6 @@ _DRIVER_WINDOW: list[str] = [
     "sim_ivf",
     "sim_ivf_trained",
     "sim_topk",
-    "text_bm25",
     "udf_decrypt",
 ]
 

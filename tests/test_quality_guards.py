@@ -927,3 +927,58 @@ def test_lsh_recall_on_clustered_corpus(spark):
     # clustered members of one cluster share most hyperplane signs;
     # measured ≈1.0 on this fixture — floor leaves jitter headroom
     assert recall >= 0.85, f"clustered-corpus LSH recall only {recall:.3f}"
+
+
+def test_skew_split_join_matches_plain_and_broadcasts_hot_slice(spark, tmp_path):
+    """join_skew_split (round 7): on a planted 90%-whale fact table the
+    hot/cold split must (a) return exactly the plain join's rows, (b)
+    route the whale through a broadcast join of its few dim rows (the
+    whale never crosses a shuffle — the property tools/skew_bench.py
+    measures as 6x lower max-task), and (c) refuse a "hot set" that is
+    really a uniformly heavy key (MAX_HOT_KEYS guard)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.operators.joins import (
+        MAX_HOT_KEYS,
+        join_skew_split,
+    )
+
+    n = 40_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(1).cast("bigint"))
+        .otherwise((F.col("id") % 2000) + 1)
+        .alias("l_orderkey"),
+        (F.col("id") % 7).cast("int").alias("l_linenumber"),
+        (F.col("id") * 1.5).alias("l_extendedprice"),
+    )
+    dim = spark.range(1, 2001).select(
+        F.col("id").alias("o_orderkey"),
+        F.date_add(F.lit("1995-01-01").cast("date"), (F.col("id") % 365).cast("int"))
+        .alias("o_orderdate"),
+    )
+    fact.write.parquet(str(tmp_path / "lineitem.parquet"))
+    dim.write.parquet(str(tmp_path / "orders.parquet"))
+
+    split = join_skew_split(spark, str(tmp_path), hot_factor=1.0)
+    plain = fact.join(dim, fact.l_orderkey == dim.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_orderdate", "l_extendedprice"
+    )
+    assert sorted(map(tuple, split.collect())) == sorted(map(tuple, plain.collect()))
+    p = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, f"hot slice did not broadcast:\n{p[:2000]}"
+    assert "Union" in p, p
+
+    # uniformly heavy key space: every key "hot" -> must raise, not
+    # silently broadcast a large dim slice
+    # (MAX_HOT_KEYS+16) keys, each above the 1000-row threshold floor
+    heavy = spark.range((MAX_HOT_KEYS + 16) * 1100).select(
+        (F.col("id") % (MAX_HOT_KEYS + 16)).alias("l_orderkey"),
+        F.lit(1).alias("l_linenumber"),
+        F.lit(1.0).alias("l_extendedprice"),
+    )
+    hdir = tmp_path / "heavy"
+    heavy.write.parquet(str(hdir / "lineitem.parquet"))
+    dim.write.parquet(str(hdir / "orders.parquet"))
+    with pytest.raises(ValueError, match="uniformly heavy"):
+        join_skew_split(spark, str(hdir), hot_factor=0.0001)
