@@ -1075,3 +1075,67 @@ def test_stream_tumbling_replay_append_matches_finalized_windows(spark):
 
     got = {tuple(r) for r in REGISTRY["stream_tumbling_replay"].fn(spark, sf).collect()}
     assert got == finalized
+
+
+def test_crash_between_sink_write_and_checkpoint_commit_replays_exactly_once(
+    spark, tmp_path
+):
+    """r6 verdict stretch 9 — the full kill-replay loop through Spark's
+    checkpoint machinery (not a hand re-invocation of the writer): the
+    query is killed AFTER the sink finished writing batch 1 but BEFORE
+    Spark committed that batch to the checkpoint — the exact window
+    where at-least-once delivery duplicates a non-idempotent sink. On
+    restart from the same checkpoint Spark re-delivers the batch with
+    the SAME batch_id; the idempotent writer overwrites its own
+    batch_id partition; the lake ends with exactly one copy of every
+    source row."""
+    import pytest as _pytest
+
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        idempotent_parquet_batch_writer,
+        read_parquet_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_DIR, "events").limit(300)
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    inner = idempotent_parquet_batch_writer(out)
+    crash_flag = tmp_path / "crashed_once"
+    seen_batches = []
+
+    def crashing(batch_df, batch_id):
+        inner(batch_df, batch_id)  # sink write COMPLETES...
+        seen_batches.append(batch_id)
+        if batch_id == 1 and not crash_flag.exists():
+            crash_flag.write_text("x")
+            # ...then the process dies before the checkpoint commit
+            raise RuntimeError("injected crash between sink write and commit")
+
+    def start():
+        stream = read_parquet_stream(
+            spark, src, ev.schema, max_files_per_trigger=1
+        )
+        return (
+            stream.writeStream.foreachBatch(crashing)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+
+    q2 = start()  # same checkpoint: resume, replay the uncommitted batch
+    q2.awaitTermination(300)
+
+    assert seen_batches.count(1) == 2, (
+        f"batch 1 should run twice (crash + replay): {seen_batches}"
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 300
+    assert got.select("event_id").distinct().count() == 300
+    # every batch directory holds exactly the rows of its final write
+    assert got.select("batch_id").distinct().count() == len(set(seen_batches))
