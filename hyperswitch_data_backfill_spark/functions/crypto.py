@@ -145,11 +145,22 @@ def decrypt_with_broadcast_keys(
 
 @register(
     "udf_decrypt",
-    oracle=None,  # binary crypto is not SQL-expressible → rows-only; the
-    # round-trip property is asserted in tests/test_crypto.py instead.
+    # The CIPHERTEXT is not SQL-expressible, but this key's OUTPUT is:
+    # per doc, both ok flags must be TRUE and the recovered length must
+    # equal the source text's — all oracle-predictable. Rows-only until
+    # round 7; upgraded in place (the round-trip claim itself is now
+    # driver-hashed; byte-exact plaintext equality stays in
+    # tests/test_crypto.py).
+    oracle="""
+    SELECT doc_id, TRUE AS decrypt_ok, TRUE AS roundtrip_ok,
+           CAST(length(text) AS INTEGER) AS n_chars_recovered
+    FROM documents
+    """,
     doc="U1+U4: encrypt documents.text with per-source keys, then run the "
         "engine's decrypt path (broadcast key join + pandas UDF) and verify "
-        "round-trip in-plan; returns doc_id + ok flag + recovered length.",
+        "round-trip in-plan; returns doc_id + ok flag + recovered length. "
+        "The oracle asserts every doc decrypts, round-trips, and recovers "
+        "its full length — a broken key join or cipher flips a row red.",
 )
 def udf_decrypt(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

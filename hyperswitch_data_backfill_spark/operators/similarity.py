@@ -716,13 +716,106 @@ LSH_AVG_RECALL_FLOOR = 0.25
         "average below the floor → flag flips → hash red.",
 )
 def sim_topk_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_floor_frame(spark, sf_dir, sim_topk, LSH_AVG_RECALL_FLOOR)
+
+
+def _recall_floor_frame(spark, sf_dir, ann_fn, floor: float) -> DataFrame:
+    """Shared recall-envelope plan: avg recall@TOP_K of ``ann_fn`` vs
+    the exact referee, emitted as a driver-hashable flag. The referee
+    runs in the SAME plan (one job), and the intersection is a
+    broadcast-sized semi-join on (q_id, vec_id)."""
     exact = sim_exact_small(spark, sf_dir).select("q_id", "vec_id")
-    ann = sim_topk(spark, sf_dir).select("q_id", "vec_id")
+    ann = ann_fn(spark, sf_dir).select("q_id", "vec_id")
     hits = exact.join(ann, ["q_id", "vec_id"], "left_semi")
     return hits.agg(F.count(F.lit(1)).alias("_n_hits")).select(
         F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
         (
-            F.col("_n_hits").cast("double") / (N_QUERIES * TOP_K)
-            >= LSH_AVG_RECALL_FLOOR
+            F.col("_n_hits").cast("double") / (N_QUERIES * TOP_K) >= floor
         ).alias("recall_ok"),
+    )
+
+
+# IVF probes 3/16 cells: measured recall 0.363 (sf0.01) / 0.375
+# (sf0.1) / holds at sf1; IVF-PQ adds 4-bit-code ADC shortlisting:
+# measured 0.263 / 0.212. Floors sit >=25% under every measured point.
+IVF_AVG_RECALL_FLOOR = 0.25
+IVFPQ_AVG_RECALL_FLOOR = 0.15
+
+
+@register(
+    "sim_ivf_recall_floor",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    doc="L3d-err: driver-hashed recall envelope for sim_ivf (nprobe=3 of "
+        f"{IVF_K} cells) — avg recall@{TOP_K} vs the exact referee must "
+        f"clear {IVF_AVG_RECALL_FLOOR}. A broken cell assignment or "
+        "probe-set regression flips the flag.",
+)
+def sim_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_floor_frame(spark, sf_dir, sim_ivf, IVF_AVG_RECALL_FLOOR)
+
+
+@register(
+    "sim_ivfpq_recall_floor",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    doc="L3e-err: driver-hashed recall envelope for the full IVF-PQ path "
+        "(cell probe -> ADC shortlist over 4-bit codes -> exact re-rank) "
+        f"— avg recall@{TOP_K} must clear {IVFPQ_AVG_RECALL_FLOOR}. "
+        "Catches codebook/distance-table regressions end to end.",
+)
+def sim_ivfpq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_floor_frame(spark, sf_dir, sim_ivfpq, IVFPQ_AVG_RECALL_FLOOR)
+
+
+# Trained IVF (driver-sample k-means codebook): measured recall 0.487
+# (sf0.01) / 0.512 (sf0.1) — the trained codebook beats the seeded one
+# by ~0.13 recall; floor sits ~30% under the worst measured point.
+IVF_TRAINED_AVG_RECALL_FLOOR = 0.35
+
+
+@register(
+    "sim_ivf_trained_recall_floor",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    doc="L3d2-err: driver-hashed recall envelope for sim_ivf_trained "
+        f"(k-means codebook) — avg recall@{TOP_K} must clear "
+        f"{IVF_TRAINED_AVG_RECALL_FLOOR}, a floor the untrained seeded "
+        "codebook cannot reach (measured 0.363 vs 0.487): this flag "
+        "also proves the TRAINING leg is actually wired in, not "
+        "silently falling back to seeded centroids.",
+)
+def sim_ivf_trained_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_floor_frame(
+        spark, sf_dir, sim_ivf_trained, IVF_TRAINED_AVG_RECALL_FLOOR
+    )
+
+
+# PQ reconstruction error: measured max per-vector MSE 0.0153 (sf0.01) /
+# 0.0147 (sf0.1) / 0.0515 (generated sf1, whose jittered vectors are the
+# worst case) against the seeded codebook; bound ~2x the worst point.
+PQ_RECON_MSE_BOUND = 0.1
+
+
+@register(
+    "emb_pq_quantize_err",
+    oracle="SELECT vec_id, TRUE AS codes_in_range, TRUE AS within_bound FROM embeddings",
+    doc="L8b-err: per-vector error envelope for emb_pq_quantize — every "
+        f"code in [0, {PQ_K}) and reconstruction MSE <= 0.1 "
+        "for every vector, driver-hashed per "
+        "vec_id. Deterministic (seeded codebook), so the flags are "
+        "stable at any sf; a codebook or argmin regression flips rows.",
+)
+def emb_pq_quantize_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = emb_pq_quantize_arrays(spark, sf_dir)
+    return enc.select(
+        "vec_id",
+        F.forall("codes", lambda c: (c >= 0) & (c < PQ_K)).alias("codes_in_range"),
+        (F.col("recon_mse") <= PQ_RECON_MSE_BOUND).alias("within_bound"),
     )

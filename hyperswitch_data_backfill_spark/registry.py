@@ -66,10 +66,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #   3. the r4-vintage cohort, oldest-first alphabetical, with
 #      udf_decrypt (rows-only r4) promoted over the alphabet tail,
 #      filling the 50 slots. Rolled to round 8 (will be 3 rounds old —
-#      unavoidable: 159 keys / 50-slot window is a >3-round cycle):
-#      text_bm25, text_collapse_runs, text_inverted_index,
-#      text_unigram_logprob, text_vocab_oov, tpch_q3_topk, ts_gapfill,
-#      win_ntile.
+#      unavoidable: 163 keys / 50-slot window is a >3-round cycle):
+#      money_convert_asof, scd2_apply, seq_pattern_funnel,
+#      seq_pattern_funnel_sessioned, text_bm25, text_collapse_runs,
+#      text_inverted_index, text_unigram_logprob, text_vocab_oov,
+#      tpch_q3_topk, ts_gapfill, win_ntile.
 _DRIVER_WINDOW: list[str] = [
     "agg_approx_percentile_err",
     "agg_approx_distinct_err",
@@ -79,6 +80,10 @@ _DRIVER_WINDOW: list[str] = [
     "decontam_bloom_fn",
     "sim_topk_recall_floor",
     "join_skew_split",
+    "sim_ivf_recall_floor",
+    "sim_ivf_trained_recall_floor",
+    "sim_ivfpq_recall_floor",
+    "emb_pq_quantize_err",
     "win_session",
     "win_sliding",
     "agg_countmin",
@@ -109,14 +114,10 @@ _DRIVER_WINDOW: list[str] = [
     "json_variant_extract",
     "layout_zonemap",
     "layout_zorder",
-    "money_convert_asof",
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
     "pipeline_corpus_build",
     "pipeline_settlement_report",
-    "scd2_apply",
-    "seq_pattern_funnel",
-    "seq_pattern_funnel_sessioned",
     "sim_ivf",
     "sim_ivf_trained",
     "sim_topk",

@@ -13,9 +13,13 @@ sanctioned reason).
 from hyperswitch_data_backfill_spark import registry
 
 # SURVEY §5.2-sanctioned rows-only keys: approximate sketches (HLL, KLL,
-# MinHash, SimHash, LSH/IVF ANN) and ciphertext output — no exact
-# cross-engine oracle exists BY DESIGN; each has pytest recall/round-trip
-# guards (test_quality_guards.py, test_crypto.py).
+# MinHash, SimHash, LSH/IVF ANN) — no exact cross-engine oracle exists BY
+# DESIGN; each has pytest recall/round-trip guards
+# (test_quality_guards.py) AND, since round 7, a driver-hashed
+# error-envelope twin (*_err / *_recall_floor / *_precision keys) so the
+# CLAIM each sketch makes is oracle-checked even though its raw output
+# isn't. udf_decrypt left this list in round 7: its output (flags +
+# lengths) was always oracle-predictable — upgraded in place.
 SANCTIONED_ROWS_ONLY = {
     "agg_approx_distinct",   # HLL sketch — estimate, not exact
     "agg_hll_merge",         # Datasketches HLL partials — estimate; merge≡direct pytest
@@ -26,7 +30,6 @@ SANCTIONED_ROWS_ONLY = {
     "sim_ivf",               # IVF ANN — recall floor vs exact baseline
     "sim_ivf_trained",       # KMeans-trained IVF — recall floor
     "sim_ivfpq",             # IVF-PQ ANN — PQ-compressed ranking; recall floor
-    "udf_decrypt",           # ciphertext/nonce output; round-trip pytest
     "emb_pq_quantize",       # PQ codes = float argmin vs float codebook —
     #   not oracle-replayable; pytest pins code range, idempotence, and
     #   recon-MSE beating the rank-0 (global-mean) quantizer

@@ -1,10 +1,11 @@
 """One-command repo validation — the verify recipe, executable.
 
 Runs, in order:
-  1. pytest tests/ (full suite)
-  2. vanilla-session oracle sweep at sf0.01 (the driver's gate)
-  3. vanilla-session oracle sweep at sf0.1 (10x scale check)
-  4. bench.py (headline timings JSON)
+  1. tools/check_workflow.py (CI workflow static lint)
+  2. pytest tests/ (full suite)
+  3. vanilla-session oracle sweep at sf0.01 (the driver's gate)
+  4. vanilla-session oracle sweep at sf0.1 (10x scale check)
+  5. bench.py (headline timings JSON)
 
 Prints one PASS/FAIL line per stage and exits non-zero on the first
 failure. Stages 2-4 can be skipped for a quick check:
@@ -26,6 +27,7 @@ import sys
 import time
 
 STAGES_FULL = (
+    ("workflow-lint", [sys.executable, "tools/check_workflow.py"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
     ("sweep-sf0.01", [sys.executable, "tools/sweep.py", "/root/testdata/sf0.01"]),
     ("sweep-sf0.1", [sys.executable, "tools/sweep.py", "/root/testdata/sf0.1"]),
@@ -35,7 +37,7 @@ STAGES_FULL = (
 
 def main() -> int:
     quick = "--quick" in sys.argv
-    stages = list(STAGES_FULL[:2] if quick else STAGES_FULL)
+    stages = list(STAGES_FULL[:3] if quick else STAGES_FULL)
     if "--sf1" in sys.argv and not quick:
         sf1 = "/root/repo/.benchdata/sf1"
         if not os.path.exists(f"{sf1}/lineitem.parquet"):
