@@ -437,15 +437,32 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
-    # Same bucket-then-pair shape as dedup_minhash: explode each doc to
-    # its 4 bands, one shuffle on (band, bits), pairs generated inside
-    # each bucket — no self-join.
+    return simhash_pairs(simhash_signatures(docs))
+
+
+def simhash_pairs(sigs: DataFrame, rotate_bits: int = 0) -> DataFrame:
+    """Banded Hamming-≤3 pair generation over (doc_id, simhash).
+
+    Same bucket-then-pair shape as dedup_minhash: explode each doc to
+    its 4 bands, one shuffle on (band, bits), pairs generated inside
+    each bucket — no self-join. ``rotate_bits`` rotates the 32-bit
+    fingerprint before banding: rotation permutes bits, so Hamming
+    distance is invariant and the pigeonhole guarantee (≤3 differing
+    bits leave ≥1 of 4 bands intact) holds for ANY rotation — which is
+    what lets dedup_simhash_crosscheck run a second, independent
+    pigeonhole partition against the first."""
+    fp = F.col("simhash")
+    if rotate_bits:
+        fp = (
+            F.shiftright("simhash", rotate_bits)
+            .bitwiseOR(F.shiftleft("simhash", 32 - rotate_bits))
+            .bitwiseAND(F.lit(0xFFFFFFFF))
+        )
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("simhash", b * 8).bitwiseAND(F.lit(255)).alias("bits"),
+                F.shiftright(fp, b * 8).bitwiseAND(F.lit(255)).alias("bits"),
             )
             for b in range(4)
         ]
@@ -478,6 +495,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+@register(
+    "dedup_simhash_crosscheck",
+    oracle="SELECT CAST(0 AS BIGINT) AS only_in_primary, CAST(0 AS BIGINT) AS only_in_rotated",
+    doc="L2c-err (round 7): driver-hashed completeness cross-check for "
+        "dedup_simhash — the SAME Hamming-≤3 pair set must come out of "
+        "two INDEPENDENT pigeonhole partitions (the primary 4×8 banding "
+        "and a 4-bit-rotated banding; rotation preserves Hamming "
+        "distance, so both are complete by pigeonhole). A banding bug "
+        "that drops pairs would have to drop exactly the same pairs "
+        "under both partitions to stay green. Cost: 2× the banding "
+        "scan, pair sets are O(near-dups). The exact brute-force proof "
+        "stays in pytest at small sf; this key extends banding evidence "
+        "to every driver sf.",
+)
+def dedup_simhash_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    a = simhash_pairs(sigs).select("id_a", "id_b")
+    b = simhash_pairs(sigs, rotate_bits=4).select("id_a", "id_b")
+    only_a = a.join(b, ["id_a", "id_b"], "left_anti")
+    only_b = b.join(a, ["id_a", "id_b"], "left_anti")
+    return only_a.agg(F.count(F.lit(1)).alias("only_in_primary")).crossJoin(
+        only_b.agg(F.count(F.lit(1)).alias("only_in_rotated"))
     )
 
 

@@ -66,8 +66,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #   3. the r4-vintage cohort, oldest-first alphabetical, with
 #      udf_decrypt (rows-only r4) promoted over the alphabet tail,
 #      filling the 50 slots. Rolled to round 8 (will be 3 rounds old —
-#      unavoidable: 163 keys / 50-slot window is a >3-round cycle):
-#      money_convert_asof, scd2_apply, seq_pattern_funnel,
+#      unavoidable: 164 keys / 50-slot window is a >3-round cycle):
+#      layout_zorder, money_convert_asof, scd2_apply, seq_pattern_funnel,
 #      seq_pattern_funnel_sessioned, text_bm25, text_collapse_runs,
 #      text_inverted_index, text_unigram_logprob, text_vocab_oov,
 #      tpch_q3_topk, ts_gapfill, win_ntile.
@@ -77,6 +77,7 @@ _DRIVER_WINDOW: list[str] = [
     "agg_hll_merge_err",
     "dedup_minhash_precision",
     "dedup_minhash_recall_pairs",
+    "dedup_simhash_crosscheck",
     "decontam_bloom_fn",
     "sim_topk_recall_floor",
     "join_skew_split",
@@ -113,7 +114,6 @@ _DRIVER_WINDOW: list[str] = [
     "join_smj",
     "json_variant_extract",
     "layout_zonemap",
-    "layout_zorder",
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
     "pipeline_corpus_build",
