@@ -939,3 +939,137 @@ def dedup_minhash_recall_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.coalesce(F.col("_hit"), F.lit(False)).alias("found"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (round 7) — the PRODUCTION shape: a daily batch is
+# deduped AGAINST the already-curated historical corpus, not by
+# re-deduping the whole corpus. Fixture partition: doc_id % 5 == 0 is
+# "today's batch" (20%), the rest is history. At 100 TB the history
+# side is a STORED artifact (md5 fingerprint table / shingle inverted
+# index, bucketed by its key) so each increment costs O(batch), never
+# O(corpus): the exact probe is an anti-join against the fingerprint
+# table; the near-dup probe joins batch shingles to the stored posting
+# lists, bounded by the same max-df cap as jaccard_pairs.
+# ---------------------------------------------------------------------------
+
+INCR_BATCH_MOD = 5
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0
+    ) b
+    WHERE rn = 1
+      AND NOT EXISTS (
+          SELECT 1 FROM documents h
+          WHERE h.doc_id % {INCR_BATCH_MOD} <> 0 AND h.text = b.text
+      )
+    """,
+    doc="L1b: incremental exact dedup — batch survivors are docs that "
+        "are first-of-their-content WITHIN the batch (min doc_id) AND "
+        "whose md5 fingerprint is absent from the historical corpus's "
+        "fingerprint table. The history side reduces to a 16-byte-key "
+        "anti-join against a stored, bucketed fingerprint table — the "
+        "batch never touches historical text. Oracle phrases the same "
+        "predicate via text equality (md5 is content identity here).",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    hist_fp = (
+        docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    batch_first = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("fp", F.md5("text"))
+    )
+    return batch_first.join(hist_fp, "fp", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "dedup_incremental_jaccard",
+    oracle=_PAIR_PREFIX + f"""
+    , cross_pairs AS (
+        SELECT CASE WHEN id_a % {INCR_BATCH_MOD} = 0 THEN id_a ELSE id_b END AS batch_id,
+               jac
+        FROM scored_pairs
+        WHERE (id_a % {INCR_BATCH_MOD} = 0) <> (id_b % {INCR_BATCH_MOD} = 0)
+          AND jac >= {JACCARD_THRESHOLD}
+    )
+    SELECT batch_id AS doc_id, ROUND(MAX(jac), 6) AS max_hist_jaccard
+    FROM cross_pairs GROUP BY batch_id
+    """,
+    doc="L2e: incremental near-dup probe — for each batch doc, its max "
+        "exact shingle Jaccard against the HISTORICAL corpus (only "
+        f"pairs ≥ {JACCARD_THRESHOLD} reported; these are the docs an "
+        "incremental curation run drops). Pairing emits ONLY "
+        "history×batch pairs from each posting list — batch×batch and "
+        "history×history pairs are never materialized, so the "
+        "increment's pair volume is O(batch near-dups), and the "
+        "history side is exactly the stored inverted index "
+        "dedup_ngram_jaccard's scale story describes. Same max-df skew "
+        "cap applies (max_bucket_members).",
+)
+def dedup_incremental_jaccard(
+    spark: SparkSession, sf_dir: str, max_bucket_members: int | None = None
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    if max_bucket_members is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_bucket_members)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    sh = sh.withColumn("is_batch", F.col("doc_id") % INCR_BATCH_MOD == 0)
+    # Per shingle: the two sides' posting lists, pairs emitted ONLY
+    # across sides (history member x batch member) — the incremental
+    # analogue of jaccard_pairs' bucket-local emission.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(
+            F.collect_list(
+                F.when(~F.col("is_batch"), F.struct("doc_id", "n"))
+            ).alias("hist"),
+            F.collect_list(
+                F.when(F.col("is_batch"), F.struct("doc_id", "n"))
+            ).alias("batch"),
+        )
+        .filter((F.size("hist") > 0) & (F.size("batch") > 0))
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(hist, h -> transform(batch, b ->
+            struct(h AS h, b AS b))))
+        """
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.b.doc_id").alias("doc_id"),
+            F.col("p.h.doc_id").alias("hist_id"),
+            F.col("p.b.n").alias("n_b"),
+            F.col("p.h.n").alias("n_h"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_b") + F.col("n_h") - F.col("inter"))
+    return (
+        pairs.withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(F.round(F.max("jac"), 6).alias("max_hist_jaccard"))
+    )

@@ -66,8 +66,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #   3. the r4-vintage cohort, oldest-first alphabetical, with
 #      udf_decrypt (rows-only r4) promoted over the alphabet tail,
 #      filling the 50 slots. Rolled to round 8 (will be 3 rounds old —
-#      unavoidable: 164 keys / 50-slot window is a >3-round cycle):
-#      layout_zorder, money_convert_asof, scd2_apply, seq_pattern_funnel,
+#      unavoidable: 166 keys / 50-slot window is a >3-round cycle):
+#      layout_zorder, money_convert_asof, multimodal_png_roundtrip,
+#      multimodal_wav_roundtrip, scd2_apply, seq_pattern_funnel,
 #      seq_pattern_funnel_sessioned, text_bm25, text_collapse_runs,
 #      text_inverted_index, text_unigram_logprob, text_vocab_oov,
 #      tpch_q3_topk, ts_gapfill, win_ntile.
@@ -78,6 +79,8 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_minhash_precision",
     "dedup_minhash_recall_pairs",
     "dedup_simhash_crosscheck",
+    "dedup_incremental_exact",
+    "dedup_incremental_jaccard",
     "decontam_bloom_fn",
     "sim_topk_recall_floor",
     "join_skew_split",
@@ -114,8 +117,6 @@ _DRIVER_WINDOW: list[str] = [
     "join_smj",
     "json_variant_extract",
     "layout_zonemap",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
     "pipeline_corpus_build",
     "pipeline_settlement_report",
     "sim_ivf",
