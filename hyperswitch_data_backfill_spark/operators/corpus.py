@@ -703,3 +703,100 @@ def decontam_bloom_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_hit.join(bloom_kept, "doc_id", "left").select(
         "doc_id", F.col("_kept").isNull().alias("bloom_dropped")
     )
+
+
+TEMP_MIX_EXP = 0.5  # temperature alpha: weight_l ∝ n_l^0.5 (XLM-R style)
+
+
+@register(
+    "sample_temperature_mix",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS corpus_n,
+               SUM(CAST(ROUND(sqrt(n), 6) AS DECIMAL(18,6))) AS s_sum
+        FROM stats
+    ), e AS (
+        SELECT lang, n,
+               ROUND(((CAST(CAST(ROUND(sqrt(n), 6) AS DECIMAL(18,6)) AS DOUBLE)
+                       / CAST(s_sum AS DOUBLE)) * corpus_n) / n, 6) AS epochs
+        FROM stats, tot
+    ), d AS (
+        SELECT doc_id, d.lang, epochs,
+               CAST(FLOOR(epochs) AS BIGINT) AS full_copies,
+               CAST(ROUND((epochs - FLOOR(epochs)) * 1000000) AS BIGINT) AS thresh,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000000 AS bucket
+        FROM documents d JOIN e USING (lang)
+    )
+    SELECT doc_id, lang, CAST(gs AS INTEGER) AS copy_id, epochs
+    FROM d, UNNEST(generate_series(0, full_copies - 1)) AS t(gs)
+    UNION ALL
+    SELECT doc_id, lang, CAST(full_copies AS INTEGER) AS copy_id, epochs
+    FROM d WHERE bucket < thresh
+    """,
+    doc="Curation: temperature-based source/language mixing — the "
+        "multilingual-pretraining rebalancer (mix weight ∝ n^0.5, "
+        "XLM-R style): low-resource languages are UPSAMPLED (epochs>1 → "
+        "integer repeat copies + an md5-bucket-selected fractional "
+        "copy), the high-resource head is downsampled (epochs<1 → "
+        "fractional copy only), holding total size ≈ corpus size. "
+        "Emits (doc_id, lang, copy_id, epochs) — the materialized "
+        "training-mix manifest. Determinism dance for the oracle: "
+        "per-language sqrt weights rounded to DECIMAL(18,6) so the "
+        "weight SUM is exact in both engines, one fixed-association "
+        "double expression for epochs, fractional selection as an "
+        "integer-bucket compare — no float comparison anywhere. Scale "
+        "shape: the language stats are a tiny aggregate broadcast back "
+        "onto the corpus; the copy fan-out is a per-row explode — one "
+        "small shuffle (stats) + map-only rewrite, no global sample().",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = stats.agg(
+        F.sum("n").cast("bigint").alias("corpus_n"),
+        F.sum(F.round(F.sqrt("n"), 6).cast("decimal(18,6)")).alias("s_sum"),
+    )
+    e = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.round(
+            (
+                (
+                    F.round(F.sqrt("n"), 6).cast("decimal(18,6)").cast("double")
+                    / F.col("s_sum").cast("double")
+                )
+                * F.col("corpus_n")
+            )
+            / F.col("n"),
+            6,
+        ).alias("epochs"),
+    )
+    enriched = docs.join(F.broadcast(e), "lang").select(
+        "doc_id",
+        "lang",
+        "epochs",
+        F.floor("epochs").cast("bigint").alias("full_copies"),
+        F.round((F.col("epochs") - F.floor("epochs")) * 1000000)
+        .cast("bigint")
+        .alias("thresh"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 1000000
+        ).alias("bucket"),
+    )
+    copies = F.concat(
+        F.when(
+            F.col("full_copies") >= 1,
+            F.sequence(F.lit(0).cast("bigint"), F.col("full_copies") - 1),
+        ).otherwise(F.array().cast("array<bigint>")),
+        F.when(
+            F.col("bucket") < F.col("thresh"), F.array(F.col("full_copies"))
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+    return enriched.select(
+        "doc_id", "lang", F.explode(copies).alias("copy_id"), "epochs"
+    ).select("doc_id", "lang", F.col("copy_id").cast("int").alias("copy_id"), "epochs")

@@ -53,21 +53,26 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # ROUND-7 WINDOW (executing the rotation recorded in round 6; evidence
 # ages computed from shipped CORRECTNESS_r01–r06 by tools/rotation.py):
-#   1. round-7 additions first — the seven error-envelope twins that
-#      convert rows-only sketch/approx keys into driver-hashed claims
-#      (r6 verdict item 5): agg_approx_percentile_err,
+#   1. round-7 additions first (16 keys) — the error-envelope twins
+#      that convert every rows-only sketch/approx claim into a
+#      driver-hashed one (r6 verdict item 5): agg_approx_percentile_err,
 #      agg_approx_distinct_err, agg_hll_merge_err,
 #      dedup_minhash_precision, dedup_minhash_recall_pairs,
-#      decontam_bloom_fn, sim_topk_recall_floor — plus join_skew_split
-#      (the hot/cold split-union skew join added with the skew bench) —
-#      all sf0.01+sf0.1 swept green locally before shipping;
+#      dedup_simhash_crosscheck, decontam_bloom_fn, the four
+#      *_recall_floor ANN envelopes, emb_pq_quantize_err — plus the new
+#      operators join_skew_split (hot/cold split-union skew join),
+#      dedup_incremental_exact / dedup_incremental_jaccard (batch-vs-
+#      history curation), and sample_temperature_mix (training-mix
+#      rebalancer); udf_decrypt also gained an in-place oracle. All
+#      swept green locally at sf0.01 + sf0.1 + sf1 before shipping;
 #   2. win_session + win_sliding — the only r3-vintage keys left
 #      (r6 verdict item 1);
 #   3. the r4-vintage cohort, oldest-first alphabetical, with
 #      udf_decrypt (rows-only r4) promoted over the alphabet tail,
 #      filling the 50 slots. Rolled to round 8 (will be 3 rounds old —
-#      unavoidable: 166 keys / 50-slot window is a >3-round cycle):
-#      layout_zorder, money_convert_asof, multimodal_png_roundtrip,
+#      unavoidable: 167 keys / 50-slot window is a >3-round cycle):
+#      json_variant_extract, layout_zorder, money_convert_asof,
+#      multimodal_png_roundtrip,
 #      multimodal_wav_roundtrip, scd2_apply, seq_pattern_funnel,
 #      seq_pattern_funnel_sessioned, text_bm25, text_collapse_runs,
 #      text_inverted_index, text_unigram_logprob, text_vocab_oov,
@@ -82,6 +87,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_incremental_exact",
     "dedup_incremental_jaccard",
     "decontam_bloom_fn",
+    "sample_temperature_mix",
     "sim_topk_recall_floor",
     "join_skew_split",
     "sim_ivf_recall_floor",
@@ -115,7 +121,6 @@ _DRIVER_WINDOW: list[str] = [
     "join_full_outer",
     "join_skew_salted",
     "join_smj",
-    "json_variant_extract",
     "layout_zonemap",
     "pipeline_corpus_build",
     "pipeline_settlement_report",
@@ -126,11 +131,10 @@ _DRIVER_WINDOW: list[str] = [
 ]
 
 # ROUND-8 ROTATION PLAN: after CORRECTNESS_r07 lands, the oldest
-# evidence is the r4-vintage tail rolled above (text_collapse_runs,
-# text_inverted_index, text_unigram_logprob, text_vocab_oov,
-# tpch_q3_topk, ts_gapfill, win_ntile), then the r5-vintage cohort.
-# Round 8's window: any r8 additions/changes first, then that tail,
-# then r5-vintage keys oldest-first to fill 50.
+# evidence is the 16-key r4-vintage tail rolled above (listed at the
+# end of the window comment), then the r5-vintage cohort. Round 8's
+# window: any r8 additions/changes first, then that tail, then
+# r5-vintage keys oldest-first to fill 50.
 # `python tools/rotation.py` computes this from the shipped
 # CORRECTNESS files (it cannot detect changed implementations —
 # prepend those by hand).
