@@ -1073,3 +1073,99 @@ def dedup_incremental_jaccard(
         .groupBy("doc_id")
         .agg(F.round(F.max("jac"), 6).alias("max_hist_jaccard"))
     )
+
+
+SPAN_REMOVE_DF = 4  # a span this ubiquitous is boilerplate — cut it
+
+
+@register(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH tokd AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents
+    ), g AS (
+        SELECT doc_id, i, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+        FROM tokd,
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(tok) - {SPAN_K - 1})) AS i)
+    ), hot AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= {SPAN_REMOVE_DF}
+    ), covered AS (
+        SELECT DISTINCT doc_id, i + d AS pos
+        FROM g, LATERAL (SELECT UNNEST([0, 1, 2]) AS d)
+        WHERE gram IN (SELECT gram FROM hot)
+    ), toks AS (
+        SELECT doc_id, i AS pos, tok[i] AS t
+        FROM tokd, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(tok))) AS i)
+    )
+    SELECT t.doc_id,
+           COALESCE(STRING_AGG(t.t, ' ' ORDER BY t.pos)
+                    FILTER (WHERE c.pos IS NULL), '') AS clean_text,
+           CAST(COUNT(c.pos) AS INTEGER) AS n_removed
+    FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+    GROUP BY t.doc_id
+    """,
+    doc="L2f: span-level dedup REMOVAL — the rewrite the "
+        "dedup_span_ngrams inventory exists for (Lee et al. 2022 cut "
+        "duplicated substrings out of the training text rather than "
+        "dropping whole docs): every token covered by a "
+        f"{SPAN_K}-gram occurring in ≥ {SPAN_REMOVE_DF} documents "
+        "(boilerplate by ubiquity) is deleted, the remaining tokens are "
+        "rejoined, and the per-doc removed-token count is reported. "
+        "Plan: the hot-span set is a HAVING-gated aggregate (tiny by "
+        "construction — spans in 4+ docs), broadcast into a semi-join "
+        "against the positional gram stream; covered start positions "
+        "aggregate per doc (one doc_id shuffle) and the actual edit is "
+        "pure codegen array surgery (position expansion, indexed "
+        "filter, concat) — the document text itself never shuffles. "
+        "O(tokens) end to end.",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+    k = SPAN_K
+    gram_starts = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+            lambda i: F.struct(
+                i.alias("i"), F.concat_ws(" ", F.slice("toks", i, k)).alias("gram")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,gram:string>>"))
+    g = toked.select("doc_id", F.explode(gram_starts).alias("g")).select(
+        "doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram")
+    )
+    hot = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= SPAN_REMOVE_DF)
+        .select("gram")
+    )
+    starts = (
+        g.join(F.broadcast(hot), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("starts"))
+    )
+    edited = toked.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "starts", lambda s: F.sequence(s, s + F.lit(k - 1))
+                    )
+                )
+            ),
+            F.array().cast("array<int>"),
+        ).alias("removed"),
+    )
+    kept = F.filter(
+        "toks", lambda t, idx: ~F.array_contains("removed", idx + F.lit(1))
+    )
+    return edited.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("removed").cast("int").alias("n_removed"),
+    )

@@ -53,7 +53,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # ROUND-7 WINDOW (executing the rotation recorded in round 6; evidence
 # ages computed from shipped CORRECTNESS_r01–r06 by tools/rotation.py):
-#   1. round-7 additions first (16 keys) — the error-envelope twins
+#   1. round-7 additions first (17 keys) — the error-envelope twins
 #      that convert every rows-only sketch/approx claim into a
 #      driver-hashed one (r6 verdict item 5): agg_approx_percentile_err,
 #      agg_approx_distinct_err, agg_hll_merge_err,
@@ -62,16 +62,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #      *_recall_floor ANN envelopes, emb_pq_quantize_err — plus the new
 #      operators join_skew_split (hot/cold split-union skew join),
 #      dedup_incremental_exact / dedup_incremental_jaccard (batch-vs-
-#      history curation), and sample_temperature_mix (training-mix
-#      rebalancer); udf_decrypt also gained an in-place oracle. All
+#      history curation), sample_temperature_mix (training-mix
+#      rebalancer), and dedup_span_removal (boilerplate-span rewrite);
+#      udf_decrypt also gained an in-place oracle. All
 #      swept green locally at sf0.01 + sf0.1 + sf1 before shipping;
 #   2. win_session + win_sliding — the only r3-vintage keys left
 #      (r6 verdict item 1);
 #   3. the r4-vintage cohort, oldest-first alphabetical, with
 #      udf_decrypt (rows-only r4) promoted over the alphabet tail,
 #      filling the 50 slots. Rolled to round 8 (will be 3 rounds old —
-#      unavoidable: 167 keys / 50-slot window is a >3-round cycle):
-#      json_variant_extract, layout_zorder, money_convert_asof,
+#      unavoidable: 168 keys / 50-slot window is a >3-round cycle):
+#      join_full_outer, json_variant_extract, layout_zorder,
+#      money_convert_asof,
 #      multimodal_png_roundtrip,
 #      multimodal_wav_roundtrip, scd2_apply, seq_pattern_funnel,
 #      seq_pattern_funnel_sessioned, text_bm25, text_collapse_runs,
@@ -86,6 +88,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_simhash_crosscheck",
     "dedup_incremental_exact",
     "dedup_incremental_jaccard",
+    "dedup_span_removal",
     "decontam_bloom_fn",
     "sample_temperature_mix",
     "sim_topk_recall_floor",
@@ -118,7 +121,6 @@ _DRIVER_WINDOW: list[str] = [
     "join_asof",
     "join_asof_tolerance",
     "join_broadcast",
-    "join_full_outer",
     "join_skew_salted",
     "join_smj",
     "layout_zonemap",
