@@ -1112,6 +1112,9 @@ SPAN_REMOVE_DF = 4  # a span this ubiquitous is boilerplate — cut it
         f"{SPAN_K}-gram occurring in ≥ {SPAN_REMOVE_DF} documents "
         "(boilerplate by ubiquity) is deleted, the remaining tokens are "
         "rejoined, and the per-doc removed-token count is reported. "
+        "Single-pass semantics (tokens flanking a cut become adjacent "
+        "and can FORM a new duplicated span — the standard Lee et al. "
+        "caveat); run to fixpoint where that matters. "
         "Plan: the hot-span set is a HAVING-gated aggregate (tiny by "
         "construction — spans in 4+ docs), broadcast into a semi-join "
         "against the positional gram stream; covered start positions "
