@@ -111,9 +111,13 @@ class HttpKeyringClient:
         self.retries = retries
         self.backoff = backoff
         self.auth_token = auth_token
-        host = urllib.parse.urlsplit(self.base_url).hostname or ""
+        split = urllib.parse.urlsplit(self.base_url)
+        host = split.hostname or ""
+        # Scheme compare must be case-insensitive: urllib happily opens
+        # HTTP://prod-host cleartext, so a literal "http://" prefix match
+        # would let mixed-case URLs bypass the refusal.
         if (
-            self.base_url.startswith("http://")
+            split.scheme.lower() == "http"
             and host not in self._LOOPBACK_HOSTS
             and not allow_insecure_transport
         ):

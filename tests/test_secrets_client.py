@@ -192,6 +192,12 @@ def test_insecure_remote_transport_refused():
     # https is fine anywhere; explicit override is honored
     HttpKeyringClient("https://keyring.internal:8200")
     HttpKeyringClient("http://keyring.internal:8200", allow_insecure_transport=True)
+    # scheme compare is case-insensitive: urllib opens HTTP:// cleartext
+    # just the same, so mixed case must not bypass the refusal (r7 advisory)
+    with pytest.raises(ValueError, match="refusing plain http"):
+        HttpKeyringClient("HTTP://keyring.internal:8200")
+    with pytest.raises(ValueError, match="refusing plain http"):
+        HttpKeyringClient("Http://keyring.internal:8200")
 
 
 def test_bearer_token_auth_round_trip():

@@ -5,6 +5,7 @@ referential-integrity-preserving)."""
 
 from __future__ import annotations
 
+import json
 import subprocess
 import sys
 from pathlib import Path
@@ -128,6 +129,77 @@ def test_check_workflow_passes_on_tree_and_catches_breakage(tmp_path):
         "        run: pip install \"pyspark==4.1.2\"\n"
     )
     assert any("classpath mismatch" in e for e in cw.check_workflow(skew))
+
+    # Pin/artifact matching is PER JOB (r7 advisory): a mismatch in job
+    # `a` must be flagged even when a later job `b` carries a matching
+    # pair (the old file-global last-write-wins variables masked this).
+    masked = tmp_path / "masked.yml"
+    masked.write_text(
+        "name: x\n"
+        "on: [push]\n"
+        "jobs:\n"
+        "  a:\n"
+        "    runs-on: ubuntu-latest\n"
+        "    env:\n"
+        "      PYSPARK_SUBMIT_ARGS: --packages org.apache.spark:spark-sql-kafka-0-10_2.13:3.5.0 pyspark-shell\n"
+        "    steps:\n"
+        "      - name: install\n"
+        "        run: pip install \"pyspark==4.1.2\"\n"
+        "  b:\n"
+        "    runs-on: ubuntu-latest\n"
+        "    env:\n"
+        "      PYSPARK_SUBMIT_ARGS: --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 pyspark-shell\n"
+        "    steps:\n"
+        "      - name: install\n"
+        "        run: pip install \"pyspark==4.1.2\"\n"
+    )
+    errs = cw.check_workflow(masked)
+    assert any("job a" in e and "classpath mismatch" in e for e in errs)
+    assert not any("job b" in e for e in errs)
+    # and a kafka-less job next to a kafka job must not cross-compare
+    cross = tmp_path / "cross.yml"
+    cross.write_text(
+        "name: x\n"
+        "on: [push]\n"
+        "jobs:\n"
+        "  dry:\n"
+        "    runs-on: ubuntu-latest\n"
+        "    steps:\n"
+        "      - name: install\n"
+        "        run: pip install \"pyspark==9.9.9\"\n"
+        "  kafka:\n"
+        "    runs-on: ubuntu-latest\n"
+        "    env:\n"
+        "      PYSPARK_SUBMIT_ARGS: --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 pyspark-shell\n"
+        "    steps:\n"
+        "      - name: install\n"
+        "        run: pip install \"pyspark==4.1.2\"\n"
+    )
+    assert cw.check_workflow(cross) == []
+
+
+def test_bench_reconcile_lists_speedup_movers(tmp_path, capsys):
+    """tools/bench_reconcile.py (r7 advisory): improvement movers beyond
+    the threshold are listed (a large unexplained speedup can mean a
+    short-circuited plan), while only slowdowns are isolated."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import bench_reconcile as br
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {"q_fast": 1.0, "q_slow": 1.0, "q_flat": 1.0}}))
+    new.write_text(json.dumps({"queries": {"q_fast": 0.5, "q_slow": 1.5, "q_flat": 1.02}}))
+    argv = sys.argv
+    sys.argv = ["bench_reconcile.py", str(old), str(new), "--no-isolate"]
+    try:
+        rc = br.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "q_fast" in out and "-50%" in out      # speedup surfaced
+    assert "q_slow" in out and "+50%" in out      # slowdown listed
+    assert "q_flat" not in out                    # inside threshold
 
 
 def test_ci_dry_run_job_steps_locally(tmp_path, capsys):

@@ -2,9 +2,12 @@
 
 Compares two bench records (BENCH_r{N}.json driver files — `parsed`
 payload — or raw bench.py JSON lines), lists every per-query mover
-beyond --threshold (default 10%), and runs tools/isolate_bench.py
-min-of-N on each mover so noise and real regressions are separated the
-same way every round instead of on verdict demand.
+beyond --threshold (default 10%) in BOTH directions, and runs
+tools/isolate_bench.py min-of-N on each slowdown so noise and real
+regressions are separated the same way every round instead of on
+verdict demand. Improvement movers are listed but not isolated — a
+large unexplained speedup sometimes signals a broken or
+short-circuited plan, so the list exists to be eyeballed.
 
 Verdict rule encoded here (BENCH_NOTES §round-6 reconciliation):
 a mover is NOISE if its isolated min is at or below the older sweep
@@ -49,17 +52,27 @@ def main() -> int:
     args = ap.parse_args()
 
     old, new = load_queries(args.old), load_queries(args.new)
-    movers = []
-    for q in sorted(set(old) & set(new)):
+    movers = []        # slowdowns: isolated + adjudicated
+    speedups = []      # improvements: listed (a big one can mean a
+    for q in sorted(set(old) & set(new)):  # broken/short-circuited plan)
         if old[q] <= 0:
             continue
         delta = (new[q] - old[q]) / old[q]
-        if abs(delta) >= args.threshold and new[q] > old[q]:
+        if delta >= args.threshold:
             movers.append((q, old[q], new[q], delta))
+        elif -delta >= args.threshold:
+            speedups.append((q, old[q], new[q], delta))
+    if speedups:
+        print(f"{len(speedups)} improvement mover(s) beyond "
+              f"-{args.threshold:.0%} (not isolated — eyeball for "
+              "short-circuited plans):")
+        for q, o, n, d in speedups:
+            print(f"  {q}: {o:.3f} -> {n:.3f} ({d:+.0%})")
     if not movers:
-        print(f"no movers beyond +{args.threshold:.0%} — nothing to reconcile")
+        print(f"no slowdown movers beyond +{args.threshold:.0%} — "
+              "nothing to reconcile")
         return 0
-    print(f"{len(movers)} mover(s) beyond +{args.threshold:.0%}:")
+    print(f"{len(movers)} slowdown mover(s) beyond +{args.threshold:.0%}:")
     for q, o, n, d in movers:
         print(f"  {q}: {o:.3f} -> {n:.3f} ({d:+.0%})")
     if args.no_isolate:

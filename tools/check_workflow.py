@@ -74,9 +74,12 @@ def check_workflow(path: Path) -> list[str]:
     if not isinstance(jobs, dict) or not jobs:
         return errors + [f"{path.name}: missing/empty jobs"]
 
-    pyspark_pin = None
-    kafka_artifact = None
+    # (pin, artifact) are tracked PER JOB: a last-write-wins file-global
+    # pair would compare one job's pyspark pin against another job's
+    # kafka artifact and mask a genuine mismatch in an earlier job.
     for job_name, job in jobs.items():
+        pyspark_pin = None
+        kafka_artifact = None
         if not isinstance(job, dict):
             _err(errors, path, f"job {job_name}: not a mapping")
             continue
@@ -126,12 +129,13 @@ def check_workflow(path: Path) -> list[str]:
                             f"job {job_name} step {i}: references missing "
                             f"repo path {ref}",
                         )
-    if pyspark_pin and kafka_artifact and pyspark_pin != kafka_artifact:
-        _err(
-            errors, path,
-            f"pyspark pin {pyspark_pin} != spark-sql-kafka artifact "
-            f"version {kafka_artifact} (classpath mismatch at session start)",
-        )
+        if pyspark_pin and kafka_artifact and pyspark_pin != kafka_artifact:
+            _err(
+                errors, path,
+                f"job {job_name}: pyspark pin {pyspark_pin} != "
+                f"spark-sql-kafka artifact version {kafka_artifact} "
+                f"(classpath mismatch at session start)",
+            )
     return errors
 
 
