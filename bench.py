@@ -147,11 +147,17 @@ def _reconcile(record: dict) -> None:
     every >10% slowdown mover (min-of-8, fresh JVM), and append the
     verdict table to BENCH_NOTES.md (r7 verdict item 2)."""
     import glob
+    import re
     import subprocess
     import tempfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(glob.glob(os.path.join(repo, "BENCH_r0*.json")))
+    # BENCH_r*.json (not r0*: that glob goes blind at round 10) sorted by
+    # the PARSED round number — lexicographic order puts r10 before r2.
+    prior = sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", os.path.basename(p)).group(1)),
+    )
     if not prior:
         print("# --reconcile: no committed BENCH_r*.json to diff against",
               file=sys.stderr)
@@ -166,6 +172,13 @@ def _reconcile(record: dict) -> None:
              prior[-1], tmp, "--sf-dir", SF_DIR],
             capture_output=True, text=True, cwd=repo,
         )
+        if out.returncode != 0:
+            # Don't let a crashed reconciler masquerade as "no movers":
+            # surface stderr and skip the BENCH_NOTES.md append entirely.
+            print(f"# --reconcile FAILED (exit {out.returncode}); "
+                  "BENCH_NOTES.md not updated", file=sys.stderr)
+            print(out.stderr.strip(), file=sys.stderr)
+            return
         report = out.stdout.strip()
         print(report, file=sys.stderr)
         stamp = time.strftime("%Y-%m-%d %H:%M", time.gmtime())

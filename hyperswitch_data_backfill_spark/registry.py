@@ -51,97 +51,77 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # tests/test_registry.py::test_driver_window_covers_every_unproven_key,
 # extended to rows-only keys in round 5 per the r4 verdict).
 #
-# ROUND-7 WINDOW (executing the rotation recorded in round 6; evidence
-# ages computed from shipped CORRECTNESS_r01–r06 by tools/rotation.py):
-#   1. round-7 additions first (17 keys) — the error-envelope twins
-#      that convert every rows-only sketch/approx claim into a
-#      driver-hashed one (r6 verdict item 5): agg_approx_percentile_err,
-#      agg_approx_distinct_err, agg_hll_merge_err,
-#      dedup_minhash_precision, dedup_minhash_recall_pairs,
-#      dedup_simhash_crosscheck, decontam_bloom_fn, the four
-#      *_recall_floor ANN envelopes, emb_pq_quantize_err — plus the new
-#      operators join_skew_split (hot/cold split-union skew join),
-#      dedup_incremental_exact / dedup_incremental_jaccard (batch-vs-
-#      history curation), sample_temperature_mix (training-mix
-#      rebalancer), and dedup_span_removal (boilerplate-span rewrite);
-#      udf_decrypt also gained an in-place oracle. All
-#      swept green locally at sf0.01 + sf0.1 + sf1 before shipping;
-#   2. win_session + win_sliding — the only r3-vintage keys left
-#      (r6 verdict item 1);
-#   3. the r4-vintage cohort, oldest-first alphabetical, with
-#      udf_decrypt (rows-only r4) promoted over the alphabet tail,
-#      filling the 50 slots. Rolled to round 8 (will be 3 rounds old —
-#      unavoidable: 168 keys / 50-slot window is a >3-round cycle):
-#      join_full_outer, json_variant_extract, layout_zorder,
-#      money_convert_asof,
-#      multimodal_png_roundtrip,
-#      multimodal_wav_roundtrip, scd2_apply, seq_pattern_funnel,
-#      seq_pattern_funnel_sessioned, text_bm25, text_collapse_runs,
-#      text_inverted_index, text_unigram_logprob, text_vocab_oov,
-#      tpch_q3_topk, ts_gapfill, win_ntile.
-_DRIVER_WINDOW: list[str] = [
-    "agg_approx_percentile_err",
-    "agg_approx_distinct_err",
-    "agg_hll_merge_err",
-    "dedup_minhash_precision",
-    "dedup_minhash_recall_pairs",
-    "dedup_simhash_crosscheck",
-    "dedup_incremental_exact",
-    "dedup_incremental_jaccard",
-    "dedup_span_removal",
-    "decontam_bloom_fn",
-    "sample_temperature_mix",
-    "sim_topk_recall_floor",
-    "join_skew_split",
-    "sim_ivf_recall_floor",
-    "sim_ivf_trained_recall_floor",
-    "sim_ivfpq_recall_floor",
-    "emb_pq_quantize_err",
-    "win_session",
-    "win_sliding",
-    "agg_countmin",
-    "agg_equidepth_histogram",
-    "agg_heavy_hitters",
-    "agg_incremental_merge",
-    "agg_percentile",
-    "agg_salted_skew",
-    "attr_last_touch",
-    "cdc_apply_changes",
-    "cdc_snapshot_diff",
-    "compact_bin_pack",
-    "decontam_bloom",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_clusters",
-    "dedup_span_ngrams",
-    "dq_referential_integrity",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "join_asof",
-    "join_asof_tolerance",
-    "join_broadcast",
-    "join_skew_salted",
-    "join_smj",
-    "layout_zonemap",
-    "pipeline_corpus_build",
-    "pipeline_settlement_report",
-    "sim_ivf",
-    "sim_ivf_trained",
-    "sim_topk",
-    "udf_decrypt",
-]
+# The window below is MECHANICALLY DERIVED, not hand-curated (r8 verdict
+# item 2 — the r7/r8 hand-listed windows let an executed-looking
+# rotation go stale). It is the verbatim output of
+#   tools/rotation.suggested_window(50, prepend=_WINDOW_PREPEND)
+# and tests/test_registry.py::test_driver_window_matches_rotation_output
+# fails the suite whenever the committed copy drifts from what the
+# shipped CORRECTNESS files say it should be. To regenerate after new
+# driver artifacts land: `python tools/rotation.py` and paste.
+#
+# Prepend hook: evidence files cannot detect a key whose IMPLEMENTATION
+# changed since its latest green — list those here by hand and they go
+# first, ahead of the age-ranked tail. (New keys need no entry: a key
+# with no driver record anywhere ranks first automatically.)
+_WINDOW_PREPEND: tuple[str, ...] = ()
 
-# ROUND-8 ROTATION PLAN: after CORRECTNESS_r07 lands, the oldest
-# evidence is the 16-key r4-vintage tail rolled above (listed at the
-# end of the window comment), then the r5-vintage cohort. Round 8's
-# window: any r8 additions/changes first, then that tail, then
-# r5-vintage keys oldest-first to fill 50.
-# `python tools/rotation.py` computes this from the shipped
-# CORRECTNESS files (it cannot detect changed implementations —
-# prepend those by hand).
-# The hygiene test continues to enforce that no key (oracle-backed or
-# rows-only) is ever outside window ∪ recorded-driver-evidence.
+# ROUND-9 WINDOW = rotation output: kafka_wire_roundtrip (new, no
+# evidence), the 18-key r4-vintage cohort (the two-rounds-overdue
+# rotation the r8 verdict made item 1), then r5-vintage oldest-first
+# (rows-only keys included) to fill 50.
+_DRIVER_WINDOW: list[str] = [
+    "kafka_wire_roundtrip",
+    "join_full_outer",
+    "json_variant_extract",
+    "layout_zorder",
+    "money_convert_asof",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    "scd2_apply",
+    "seq_pattern_funnel",
+    "seq_pattern_funnel_sessioned",
+    "text_bm25",
+    "text_collapse_runs",
+    "text_inverted_index",
+    "text_unigram_logprob",
+    "text_vocab_oov",
+    "tpch_q3_topk",
+    "ts_gapfill",
+    "win_ntile",
+    "win_time_weighted_avg",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_cube",
+    "agg_distinct",
+    "agg_group_count",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_hll_merge",
+    "agg_mode",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "anomaly_zscore",
+    "count_filtered",
+    "dedup_minhash",
+    "dedup_simhash",
+    "emb_pq_quantize",
+    "exists_subquery",
+    "filter_between",
+    "filter_conj",
+    "filter_eq",
+    "join_anti",
+    "join_asof_forward",
+    "join_left",
+    "join_range",
+    "join_semi",
+    "limit_k",
+    "paginate_window",
+    "project_subset",
+    "remap_columns",
+    "sample_stable_split",
+]
 
 
 def _ordered_names() -> list[str]:
@@ -189,6 +169,7 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.functions.money  # noqa: F401
     import hyperswitch_data_backfill_spark.functions.arrays  # noqa: F401
     import hyperswitch_data_backfill_spark.sinks.kafka  # noqa: F401
+    import hyperswitch_data_backfill_spark.sinks.kafka_wire  # noqa: F401
     import hyperswitch_data_backfill_spark.plans.spec  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.text  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.corpus  # noqa: F401

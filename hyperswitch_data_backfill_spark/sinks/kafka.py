@@ -115,16 +115,22 @@ def write_kafka_stream(
     return writer.trigger(availableNow=True).start()
 
 
-def _intent_payload_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _intent_payload_frame(
+    spark: SparkSession, sf_dir: str, where: str | None = None
+) -> DataFrame:
     """orders ≙ payment_intent: the flagship event projection.
 
     Timestamps are pre-formatted and money is emitted as integer minor
     units so the JSON bytes are engine-neutral (engines disagree on
     double/decimal trailing-zero formatting; integers and strings they
     agree on). Minor-unit amounts are also the Hyperswitch convention
-    [dep] (SURVEY §1.2).
+    [dep] (SURVEY §1.2). ``where`` (a SQL predicate string) lets callers
+    carve a deterministic subset — used by ``kafka_wire_roundtrip`` to
+    bound what goes through the loopback socket.
     """
     orders = load_table(spark, sf_dir, "orders")
+    if where is not None:
+        orders = orders.where(where)
     payload = [
         F.col("o_orderkey"),
         F.col("o_custkey"),

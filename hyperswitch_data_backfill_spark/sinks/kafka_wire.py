@@ -13,7 +13,13 @@ spec implementation of the **Kafka Produce v0 request/response** (the
 oldest, stable, magic-0 message-set encoding — Kafka protocol guide,
 kafka.apache.org/protocol) plus an executor-side ``foreachPartition``
 producer and an in-process TCP broker double that *parses the real
-protocol bytes*. What the tests then prove end-to-end:
+protocol bytes*. Executed proof lives in two places:
+``tests/test_kafka_wire.py`` (codec round-trip + CRC corruption, a real
+multi-partition ``foreachPartition`` produce, the transient-error retry
+path, and the exhausted-retries failure path) and the driver-hashed
+fixture key ``kafka_wire_roundtrip`` below (wire-produced bytes decoded
+back off the broker double and value-hash-compared against the DuckDB
+oracle's JSON). Together they prove end-to-end:
 
 - executor tasks (plural, in parallel) open real TCP connections and
   produce partition-batched records — no driver loop, no collect;
@@ -45,7 +51,10 @@ import threading
 import zlib
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+from hyperswitch_data_backfill_spark.registry import register
+from hyperswitch_data_backfill_spark.sinks.kafka import _intent_payload_frame
 
 _API_PRODUCE = 0
 
@@ -348,10 +357,13 @@ class WireBroker:
     connections, parses real Produce v0 frames (CRC-verified), appends
     to per-topic logs, answers with real v0 responses.
 
-    ``fail_first_request_per_connection`` makes the double answer the
-    first Produce of every NEW connection with error_code 2
-    (CorruptMessage — retriable in the real protocol) so tests can prove
-    the producer's reconnect-retry path delivers at-least-once.
+    ``fail_requests=N`` makes the double answer the first N Produce
+    requests of its LIFETIME (not per connection — a per-connection
+    failure would be re-triggered by every reconnect and could never be
+    recovered from) with error_code 2 (CorruptMessage — retriable in the
+    real protocol) and then drop the connection, rdkafka-style. The
+    N+1th request onward succeeds, so tests can prove the producer's
+    reconnect-retry path delivers exactly one surviving copy.
 
     Use as a context manager; ``broker.records(topic)`` returns the
     decoded (key, value) list, ``broker.connections`` the number of
@@ -359,8 +371,8 @@ class WireBroker:
     produced).
     """
 
-    def __init__(self, *, fail_first_request_per_connection: bool = False):
-        self._fail_first = fail_first_request_per_connection
+    def __init__(self, *, fail_requests: int = 0):
+        self._fail_budget = fail_requests
         self._logs: dict[tuple[str, int], _TopicLog] = {}
         self._lock = threading.Lock()
         self.connections = 0
@@ -414,7 +426,6 @@ class WireBroker:
             self._threads.append(t)
 
     def _serve(self, conn: socket.socket) -> None:
-        first = True
         try:
             while not self._stop.is_set():
                 try:
@@ -423,8 +434,11 @@ class WireBroker:
                     return
                 req = parse_produce_request_v0(frame)
                 offsets: dict[str, dict[int, tuple[int, int]]] = {}
-                if self._fail_first and first:
-                    first = False
+                with self._lock:
+                    inject_failure = self._fail_budget > 0
+                    if inject_failure:
+                        self._fail_budget -= 1
+                if inject_failure:
                     for topic, parts in req.records.items():
                         for partition in parts:
                             offsets.setdefault(topic, {})[partition] = (2, -1)
@@ -445,3 +459,53 @@ class WireBroker:
                 conn.close()
             except OSError:
                 pass
+
+
+# --------------------------------------------------------- fixture query
+
+@register(
+    "kafka_wire_roundtrip",
+    oracle="""
+    SELECT CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR) AS key,
+           to_json(struct_pack(
+               o_orderkey := o_orderkey,
+               o_custkey := o_custkey,
+               o_orderstatus := o_orderstatus,
+               amount_minor := CAST(ROUND(o_totalprice * 100) AS BIGINT),
+               created_at := strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+               tenant_id := 'default'
+           )) AS value,
+           'orders-events' AS topic
+    FROM orders
+    WHERE o_orderkey % 400 = 0
+    """,
+    doc="S4 wire leg, driver-hashed: a deterministic orders subset is "
+        "produced over real TCP as Kafka Produce v0 frames (CRC32-"
+        "verified by the broker double), decoded back off the broker "
+        "log, and value-hash-compared against the oracle's JSON — the "
+        "same byte-level oracle as kafka_payload_shape, now proven "
+        "through the socket path instead of around it "
+        "(main.rs:146-153 → payment_intent.rs:102-105).",
+)
+def kafka_wire_roundtrip(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """Round-trip the flagship event projection through the wire leg.
+
+    4 input partitions → 4 executor tasks, each opening its own TCP
+    connection (asserted ≥1; exact task-level assertions live in
+    tests/test_kafka_wire.py). The decoded-records createDataFrame is
+    driver-side BY DESIGN: this is the verification fixture for a test
+    double, bounded by the ``o_orderkey % 400`` carve (~0.25% of
+    orders); the production 100 TB path is ``write_kafka`` (connector
+    jar), which never touches the driver.
+    """
+    frame = _intent_payload_frame(spark, sf_dir, where="o_orderkey % 400 = 0")
+    with WireBroker() as broker:
+        write_kafka_wire(
+            frame.repartition(4), "127.0.0.1", broker.port, batch_size=256
+        )
+        decoded = [
+            (key.decode("utf-8"), value.decode("utf-8"), topic)
+            for topic in broker.topics()
+            for key, value in broker.records(topic)
+        ]
+    return spark.createDataFrame(decoded, "key string, value string, topic string")

@@ -78,7 +78,13 @@ def test_driver_window_covers_every_unproven_key():
     registry._load_all_operator_modules()
     repo = Path(__file__).resolve().parent.parent
     proven: set[str] = set()
-    for f in sorted(repo.glob("CORRECTNESS_r0*.json")):
+    # r*, not r0*: the r0* glob goes blind at round 10 and would strand
+    # every key whose only record is in CORRECTNESS_r10+.json.
+    files = sorted(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda f: int(f.stem[len("CORRECTNESS_r"):]),
+    )
+    for f in files:
         for key, row in json.loads(f.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
                 proven.add(key)  # oracle-backed green
@@ -88,6 +94,31 @@ def test_driver_window_covers_every_unproven_key():
     assert not uncovered, (
         f"keys with no driver record AND no window slot: "
         f"{sorted(uncovered)} — add them to _DRIVER_WINDOW"
+    )
+
+
+def test_driver_window_matches_rotation_output():
+    """The committed _DRIVER_WINDOW must BE the mechanical rotation
+    (r8 verdict item 2: the r7→r8 hand-listed window let a written-down
+    rotation go unexecuted for two rounds — CORRECTNESS_r08 re-swept
+    r07's exact key set while the r4-vintage tail aged). The window is
+    now pinned to tools/rotation.suggested_window(50, _WINDOW_PREPEND):
+    whenever a new CORRECTNESS file lands or a key is added, this test
+    fails until the committed list is regenerated
+    (`python tools/rotation.py` and paste)."""
+    import importlib.util
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent.parent / "tools" / "rotation.py"
+    spec = importlib.util.spec_from_file_location("rotation_under_test", p)
+    rotation = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rotation)
+
+    expected = rotation.suggested_window(50, prepend=registry._WINDOW_PREPEND)
+    assert registry._DRIVER_WINDOW == expected, (
+        "committed _DRIVER_WINDOW has drifted from the rotation output — "
+        "run `python tools/rotation.py` and paste the suggested window "
+        "(prepend hook: registry._WINDOW_PREPEND)"
     )
 
 

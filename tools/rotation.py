@@ -34,7 +34,14 @@ def evidence_ages() -> dict[str, tuple[int, str]]:
     regressed key ranks as RED/ERR (front of the window) instead of
     riding its stale green."""
     latest: dict[str, tuple[int, str]] = {}
-    for f in sorted(_REPO_ROOT.glob("CORRECTNESS_r0*.json")):
+    # CORRECTNESS_r*.json (not r0*: that glob goes blind at round 10),
+    # ordered by the PARSED round number so r10 sorts after r9, not
+    # between r1 and r2.
+    files = sorted(
+        _REPO_ROOT.glob("CORRECTNESS_r*.json"),
+        key=lambda f: int(f.stem[len("CORRECTNESS_r"):]),
+    )
+    for f in files:
         rnd = int(f.stem[len("CORRECTNESS_r"):])
         for key, row in json.loads(f.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
@@ -48,13 +55,18 @@ def evidence_ages() -> dict[str, tuple[int, str]]:
     return latest
 
 
-def main() -> None:
-    size = 50
-    if "--window-size" in sys.argv:
-        size = int(sys.argv[sys.argv.index("--window-size") + 1])
+def ordered_keys(prepend: tuple[str, ...] = ()) -> list[str]:
+    """Every registered key ranked for the next window: ``prepend``
+    (keys whose IMPLEMENTATION changed since their latest driver record
+    — the one thing evidence files can't detect) first in the given
+    order, then never-swept, then latest-record-RED/ERR, then
+    green/rows-only oldest-round-first (alphabetical within a round)."""
     registry._load_all_operator_modules()
     ages = evidence_ages()
     keys = list(registry.REGISTRY)
+    unknown = [k for k in prepend if k not in registry.REGISTRY]
+    if unknown:
+        raise KeyError(f"prepend names unregistered keys: {unknown}")
 
     def rank(k: str) -> tuple[int, int]:
         rec = ages.get(k)
@@ -67,7 +79,28 @@ def main() -> None:
             return (-1, rnd)         # latest record errored: next
         return (rnd, 0)              # then oldest-evidence-first
 
-    ordered = sorted(keys, key=lambda k: (rank(k), k))
+    ranked = sorted(
+        (k for k in keys if k not in set(prepend)),
+        key=lambda k: (rank(k), k),
+    )
+    return list(prepend) + ranked
+
+
+def suggested_window(size: int = 50, prepend: tuple[str, ...] = ()) -> list[str]:
+    """The next ``_DRIVER_WINDOW``: first ``size`` of ``ordered_keys``.
+    registry.py commits this list verbatim and
+    tests/test_registry.py asserts the committed copy matches, so the
+    rotation can never again be written down but not executed (r8
+    verdict item 2)."""
+    return ordered_keys(prepend)[:size]
+
+
+def main() -> None:
+    size = 50
+    if "--window-size" in sys.argv:
+        size = int(sys.argv[sys.argv.index("--window-size") + 1])
+    ages = evidence_ages()
+    ordered = ordered_keys()
     for k in ordered:
         rec = ages.get(k)
         print(f"{rec[0] if rec else '-':>2} {rec[1] if rec else 'NEVER':<9} {k}")
