@@ -98,7 +98,13 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_distinct",
     oracle=None,  # approximate by construction → rows-only check
     doc="A3c: HyperLogLog++ distinct estimate (rsd=0.01). The 100 TB default: "
-        "constant memory per group vs the unbounded hash set of exact distinct.",
+        "constant memory per group vs the unbounded hash set of exact distinct. "
+        "Envelope gap: the driver-hashed twin (agg_approx_distinct_err, rel "
+        "err ≤ 0.05) catches wiring breaks — wrong column, wrong grouping, a "
+        "garbage sketch — but NOT a precision drift inside the 5x slack "
+        "(rsd quietly degrading 0.01→0.03 stays green); catching that would "
+        "take re-tightening the bound to the rsd itself, which would flake "
+        "on unlucky groups.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -243,7 +249,13 @@ def sample_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "memory per group, one map-side-combined shuffle. The 100 TB "
         "replacement for exact percentiles: error is bounded by the "
         "accuracy knob (10000 ≈ 0.01% rank error), state is O(sketch), "
-        "not O(rows).",
+        "not O(rows). Envelope gap: the driver-hashed twin "
+        "(agg_approx_percentile_err, rel ≤ 0.005 vs exact) catches a "
+        "broken sketch or a rank-error blow-up, NOT a within-bound "
+        "accuracy regression (accuracy 10000→1000 can stay under 0.5% "
+        "on this distribution); the pytest guard brackets each returned "
+        "quantile between neighboring exact ranks "
+        "(test_quality_guards.py), which would.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -705,7 +717,11 @@ HLL_MERGE_BUCKETS = 8
         "target-type estimator can differ by a few counts — see "
         "agg_hll_merge_err), exact distinct, and relative error. The "
         "sketch column is the thing a real rollup table stores next to "
-        "its counts.",
+        "its counts. Envelope gap: the driver-hashed twin only asserts "
+        "≤ 5% relative agreement on both legs, so a few-count dense-mode "
+        "estimator regression stays green; the merged ≡ direct EXACT "
+        "equality (sparse mode) is pinned only in pytest at sf0.001 "
+        "(test_quality_guards.py).",
 )
 def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

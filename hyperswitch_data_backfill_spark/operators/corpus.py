@@ -447,7 +447,11 @@ def might_contain(bloom_col: Column, g: Column) -> Column:
         "string set. Zero false negatives by construction; false "
         "positives only ever drop extra CLEAN docs. Probe side is pure "
         "codegen bit arithmetic on a single-row broadcast array — the "
-        "n-gram stream never shuffles.",
+        "n-gram stream never shuffles. Envelope gap: the driver-hashed "
+        "twin (decontam_bloom_fn) proves zero FALSE NEGATIVES per doc; "
+        "it cannot see a false-positive blow-up (over-dropping clean "
+        "docs) — the FP budget (extra drops ≤ max(2, n/50), probe FP "
+        "rate ≤ 1%) lives only in pytest (test_quality_guards.py).",
 )
 def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

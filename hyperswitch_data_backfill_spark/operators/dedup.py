@@ -352,7 +352,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         "by (band, band-hash) and pair WITHIN each bucket — one scan of the "
         "signatures, one shuffle, no self-join, never O(n²) pairs. Bucket "
         "skew (a viral shingle set) is bounded because identical band "
-        "signatures imply near-identical docs.",
+        "signatures imply near-identical docs. Envelope gap: the driver "
+        "twins pin the extremes — precision at est ≥ 0.75 "
+        "(dedup_minhash_precision) and full recall of the jac ≥ 0.9 band "
+        "(dedup_minhash_recall_pairs) — but NOT gradual recall decay in "
+        "the probabilistic 0.5–0.9 band, where only the pytest coverage "
+        "floor (≥ 0.4 of strong exact pairs, test_quality_guards.py) "
+        "trips.",
 )
 def dedup_minhash(
     spark: SparkSession, sf_dir: str, max_bucket_members: int | None = None
@@ -433,7 +439,13 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         "at least one full band, so banding finds ALL such pairs while "
         "only ever pairing within a (band, bits) bucket — one shuffle, "
         "no self-join, never O(n²). Candidates are then exact-filtered "
-        "by bit_count(xor) ≤ 3 (pure codegen).",
+        "by bit_count(xor) ≤ 3 (pure codegen). Envelope gap: "
+        "dedup_simhash_crosscheck proves banding COMPLETENESS at every "
+        "driver sf (two independent pigeonhole partitions must emit the "
+        "same pair set), but a degenerate fingerprint (bit voting gone "
+        "wrong) passes both bandings identically; the brute-force "
+        "all-pairs Hamming comparison that would catch it lives only in "
+        "pytest at small sf (test_quality_guards.py).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -174,7 +174,11 @@ _UDF_CACHE: dict[str, object] = {}
         "6 bits, OR-amplified) — explode to (table,bucket), bucket-equi "
         "join, exact re-rank of candidates, per-query top-k. The 100 TB "
         "path: candidates are bucket-colocated (repartition by bucket), "
-        "never a cross join; recall tuned by (tables, bits).",
+        "never a cross join; recall tuned by (tables, bits). Envelope "
+        "gap: sim_topk_recall_floor's in-plan floor (0.25) catches "
+        "wiring breaks, NOT gradual recall decay — measured 0.287 vs "
+        "pytest floor 0.27 (test_quality_guards.py): a drift to 0.26 "
+        "stays driver-green but fails pytest.",
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spread the single-file scan across cores before the vector math
@@ -255,7 +259,11 @@ def ivf_cells_udf(emb_col, nprobe: int = 1):
         "repartition corpus BY CELL at ingest so a probe touches nprobe/k "
         "of the data and the candidate join is cell-colocated; recall "
         "tuned by nprobe. Complements sim_topk's LSH (hash buckets) with "
-        "the codebook-partition strategy real vector stores use.",
+        "the codebook-partition strategy real vector stores use. "
+        "Envelope gap: sim_ivf_recall_floor's in-plan floor (0.25) "
+        "catches a broken cell assignment, NOT gradual decay — measured "
+        "0.325 vs pytest floor 0.30 (test_quality_guards.py): a drift "
+        "to 0.28 stays driver-green but fails pytest.",
 )
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").repartition(
@@ -470,7 +478,14 @@ def cells_for_codebook(centroids: np.ndarray, nprobe: int):
         "assign → probe → exact-re-rank dataflow. Trained cells track the "
         "data distribution, so probes touch balanced cells (a fixed "
         "codebook leaves hot cells on clustered data — the skew surface). "
-        "Recall floor vs the exact oracle is pytest-guarded.",
+        "Recall floor vs the exact oracle is pytest-guarded. Envelope "
+        "gap: sim_ivf_trained_recall_floor's in-plan floor (0.35) proves "
+        "the training leg is wired in (seeded centroids measure 0.363 "
+        "vs trained 0.487) but tolerates parallelism-induced codebook "
+        "shifts; the tighter 0.5 floor and the exact-cosine re-rank "
+        "equality check are pinned to the fixed test config in pytest "
+        "(test_quality_guards.py — trained-IVF recall is parallelism-"
+        "sensitive, so an absolute tight floor would flake).",
 )
 def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").repartition(
@@ -567,7 +582,11 @@ def pq_encode_udf(emb_col):
         "contract: the 8 four-bit codes pack exactly into one BIGINT "
         "(acc*16+c fold) so the result is hashable by the rows-only "
         "canonicalizer; `emb_pq_quantize_arrays` keeps the array form "
-        "for API users.",
+        "for API users. Envelope gap: emb_pq_quantize_err's per-vector "
+        "bound (MSE ≤ 0.1, ~2x the worst measured point 0.0515) catches "
+        "a codebook/argmin break, NOT a within-bound reconstruction-"
+        "quality regression; encode idempotence and strictly-beats-the-"
+        "rank-0-quantizer live only in pytest (test_quality_guards.py).",
 )
 def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = emb_pq_quantize_arrays(spark, sf_dir)
@@ -643,7 +662,12 @@ def pq_dtab_udf(emb_col):
         "At 100 TB the corpus side stores ONLY (cell, codes) — the "
         "full vectors live in a separate store touched for "
         "shortlist-sized lookups, here modeled by re-ranking from the "
-        "same frame. Recall floor + shortlist-bound pytest-guarded.",
+        "same frame. Recall floor + shortlist-bound pytest-guarded. "
+        "Envelope gap: sim_ivfpq_recall_floor's in-plan floor (0.15) "
+        "catches wiring breaks, NOT gradual recall decay — measured "
+        "0.275 vs pytest floor 0.25 (test_quality_guards.py): a PQ-"
+        "table regression costing 0.1 recall stays driver-green but "
+        "fails pytest.",
 )
 def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").repartition(
