@@ -154,10 +154,18 @@ def _reconcile(record: dict) -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     # BENCH_r*.json (not r0*: that glob goes blind at round 10) sorted by
     # the PARSED round number — lexicographic order puts r10 before r2.
-    prior = sorted(
-        glob.glob(os.path.join(repo, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", os.path.basename(p)).group(1)),
-    )
+    # fullmatch + skip: a BENCH_rerun.json-style stray must not crash the
+    # reconciler with AttributeError (round-9 ADVICE).
+    pat = re.compile(r"BENCH_r(\d+)\.json")
+    matched = []
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = pat.fullmatch(os.path.basename(p))
+        if m is None:
+            print(f"# --reconcile: skipping non-artifact file "
+                  f"{os.path.basename(p)}", file=sys.stderr)
+            continue
+        matched.append((int(m.group(1)), p))
+    prior = [p for _rnd, p in sorted(matched)]
     if not prior:
         print("# --reconcile: no committed BENCH_r*.json to diff against",
               file=sys.stderr)

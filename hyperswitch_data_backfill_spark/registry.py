@@ -47,80 +47,94 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # driver-green AND its implementation is unchanged, it may drop out of
 # the window to make room for unswept or changed keys; every key —
 # oracle-backed AND rows-only — must be either in the window or have a
-# driver record in a shipped CORRECTNESS_r0*.json (enforced by
+# driver record in a shipped CORRECTNESS_r*.json (enforced by
 # tests/test_registry.py::test_driver_window_covers_every_unproven_key,
 # extended to rows-only keys in round 5 per the r4 verdict).
 #
 # The window below is MECHANICALLY DERIVED, not hand-curated (r8 verdict
 # item 2 — the r7/r8 hand-listed windows let an executed-looking
 # rotation go stale). It is the verbatim output of
-#   tools/rotation.suggested_window(50, prepend=_WINDOW_PREPEND)
+#   tools/rotation.suggested_window(50, prepend=_WINDOW_PREPEND,
+#                                   max_round=_WINDOW_EVIDENCE_ROUND)
 # and tests/test_registry.py::test_driver_window_matches_rotation_output
 # fails the suite whenever the committed copy drifts from what the
 # shipped CORRECTNESS files say it should be. To regenerate after new
-# driver artifacts land: `python tools/rotation.py` and paste.
+# driver artifacts land: `python tools/rotation.py`, paste, and bump
+# _WINDOW_EVIDENCE_ROUND to the newest shipped round.
 #
 # Prepend hook: evidence files cannot detect a key whose IMPLEMENTATION
 # changed since its latest green — list those here by hand and they go
 # first, ahead of the age-ranked tail. (New keys need no entry: a key
 # with no driver record anywhere ranks first automatically.)
-_WINDOW_PREPEND: tuple[str, ...] = ()
+# Round 10: kafka_wire_roundtrip's implementation changed after its r9
+# green (decoded-tuple dedup for task-retry safety + malformed-frame
+# handling), so it re-enters the window ahead of the age-ranked tail.
+_WINDOW_PREPEND: tuple[str, ...] = ("kafka_wire_roundtrip",)
 
-# ROUND-9 WINDOW = rotation output: kafka_wire_roundtrip (new, no
-# evidence), the 18-key r4-vintage cohort (the two-rounds-overdue
-# rotation the r8 verdict made item 1), then r5-vintage oldest-first
-# (rows-only keys included) to fill 50.
+# The newest CORRECTNESS_r*.json round the committed window reflects.
+# The rotation tripwire recomputes the suggestion from evidence rounds
+# <= this pin (r9 verdict item 2): the driver dropping a NEW artifact
+# post-snapshot no longer flips the test red, while a window left
+# unrotated for a full round fails the >=2-rounds-behind staleness
+# guard in test_registry.py.
+_WINDOW_EVIDENCE_ROUND: int = 9
+
+# ROUND-10 WINDOW = rotation output at evidence pin r9:
+# kafka_wire_roundtrip (prepend: implementation changed post-r9-green),
+# kafka_wire_routed_roundtrip (new, no evidence), the 19 r5-vintage keys
+# (scan/sort/window/setop/stream cohort flagged in the r9 verdict), then
+# r6-vintage oldest-first fill.
 _DRIVER_WINDOW: list[str] = [
     "kafka_wire_roundtrip",
-    "join_full_outer",
-    "json_variant_extract",
-    "layout_zorder",
-    "money_convert_asof",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
-    "scd2_apply",
-    "seq_pattern_funnel",
-    "seq_pattern_funnel_sessioned",
-    "text_bm25",
-    "text_collapse_runs",
-    "text_inverted_index",
-    "text_unigram_logprob",
-    "text_vocab_oov",
-    "tpch_q3_topk",
-    "ts_gapfill",
-    "win_ntile",
-    "win_time_weighted_avg",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_cube",
-    "agg_distinct",
-    "agg_group_count",
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_hll_merge",
-    "agg_mode",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "anomaly_zscore",
-    "count_filtered",
-    "dedup_minhash",
-    "dedup_simhash",
-    "emb_pq_quantize",
-    "exists_subquery",
-    "filter_between",
-    "filter_conj",
-    "filter_eq",
-    "join_anti",
-    "join_asof_forward",
-    "join_left",
-    "join_range",
-    "join_semi",
-    "limit_k",
-    "paginate_window",
-    "project_subset",
-    "remap_columns",
-    "sample_stable_split",
+    "kafka_wire_routed_roundtrip",
+    "sample_stratified_fixed",
+    "scalar_subquery_avg",
+    "scan_customer_page",
+    "scan_orders",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sim_ivfpq",
+    "sort_by_key",
+    "stream_attribution_replay",
+    "stream_cdc_maintainer_batch",
+    "topk_per_group",
+    "validate_ids",
+    "win_lag",
+    "win_range_frame",
+    "win_rank_stats",
+    "win_rownum",
+    "win_running_sum",
+    "win_tumbling",
+    "agg_corr_moments",
+    "agg_unpivot",
+    "array_ops",
+    "compact_latest",
+    "date_trunc_bucket",
+    "decontam_ngram",
+    "dedup_clusters",
+    "dedup_exact_hashkey",
+    "dedup_survivors",
+    "emb_centroid_per_label",
+    "emb_quantize_int8",
+    "emb_random_projection",
+    "funnel_steps",
+    "json_extract",
+    "json_extract_agg",
+    "json_serialize",
+    "kafka_payload_shape",
+    "map_props_stats",
+    "math_money",
+    "merge_upsert",
+    "multimodal_audio_rms",
+    "multimodal_frame_sample",
+    "multimodal_resize_mean",
+    "neardup_cosine",
+    "neardup_levenshtein",
+    "pack_sequences",
+    "parse_datetime_multi",
+    "pipeline_backfill_job",
+    "pipeline_clean_corpus",
 ]
 
 

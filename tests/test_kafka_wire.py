@@ -14,12 +14,22 @@ from pyspark.sql import functions as F
 
 from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
     WireBroker,
+    WireCluster,
     encode_message_v0,
+    encode_metadata_request_v0,
+    encode_metadata_response_v0,
     encode_produce_request_v0,
     kafka_wire_roundtrip,
+    kafka_wire_routed_roundtrip,
+    murmur2,
+    parse_metadata_request_v0,
+    parse_metadata_response_v0,
     parse_produce_request_v0,
+    partition_for_key,
     produce_rows,
+    produce_rows_routed,
     write_kafka_wire,
+    write_kafka_wire_routed,
 )
 from tests.conftest import SF_DIR, assert_oracle_match
 
@@ -51,6 +61,47 @@ def test_message_v0_crc_is_crc32_of_body():
     crc = int.from_bytes(msg[:4], "big")
     assert crc == zlib.crc32(msg[4:]) & 0xFFFFFFFF
     assert msg[4] == 0  # magic 0
+
+
+def test_murmur2_matches_published_kafka_vectors():
+    """Bit-for-bit parity with org.apache.kafka.common.utils.Utils.murmur2
+    — the exact vectors from Apache Kafka's UtilsTest#testMurmur2. If
+    this holds, partition_for_key routes records to the SAME partitions a
+    real Java/rdkafka default-partitioner client would."""
+    def signed(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+
+    vectors = {
+        b"21": -973932308,
+        b"foobar": -790332482,
+        b"a-little-bit-long-string": -985981536,
+        b"a-little-bit-longer-string": -1486304829,
+        b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8": -58897971,
+        b"": 275646681,
+    }
+    for key, want in vectors.items():
+        assert signed(murmur2(key)) == want, key
+
+
+def test_partition_for_key_positive_mask_and_null_fallback():
+    for n in (1, 3, 4, 7):
+        for i in range(50):
+            assert 0 <= partition_for_key(f"k{i}".encode(), n) < n
+    assert partition_for_key(None, 4, fallback=2) == 2
+
+
+def test_metadata_codec_roundtrip():
+    req = encode_metadata_request_v0(42, ["orders-events", "t2"])
+    corr, client_id, topics = parse_metadata_request_v0(req[4:])
+    assert (corr, topics) == (42, ["orders-events", "t2"])
+    assert client_id == "spark-backfill-wire"
+
+    brokers = {0: ("127.0.0.1", 9092), 1: ("127.0.0.1", 9093)}
+    leaders = {"orders-events": {0: 0, 1: 1, 2: 0, 3: 1}, "t2": {0: 1}}
+    resp = encode_metadata_response_v0(42, brokers, leaders)
+    got_brokers, got_leaders = parse_metadata_response_v0(resp[4:])
+    assert got_brokers == brokers
+    assert got_leaders == leaders
 
 
 # --------------------------------------------- Spark foreachPartition leg
@@ -110,6 +161,33 @@ def test_transient_error_retries_to_exactly_one_copy():
     assert connections == 2  # failed-and-dropped + successful retry
 
 
+def test_malformed_frame_recorded_and_connection_closed():
+    """A frame that length-prefixes garbage must not kill the handler
+    thread with an unraised traceback: the broker records the parse
+    error on broker.errors and closes the connection deliberately
+    (round-9 ADVICE), so a producer-side encoding bug surfaces as an
+    inspectable error instead of a bare client timeout."""
+    import socket
+    import struct
+    import time
+
+    with WireBroker() as broker:
+        s = socket.create_connection(("127.0.0.1", broker.port), timeout=5)
+        garbage = b"\x00\x00notakafkaframe"
+        s.sendall(struct.pack(">i", len(garbage)) + garbage)
+        # Broker closes the connection after recording the error.
+        s.settimeout(5)
+        assert s.recv(1024) == b""
+        s.close()
+        deadline = time.monotonic() + 5
+        while not broker.errors and time.monotonic() < deadline:
+            time.sleep(0.01)
+        errors = list(broker.errors)
+        topics = broker.topics()
+    assert len(errors) == 1, errors
+    assert topics == []  # nothing appended to any log
+
+
 def test_exhausted_retries_raise():
     """More injected failures than retry budget → produce_rows raises
     (Spark would then retry the task: at-least-once, never silent loss)."""
@@ -117,6 +195,108 @@ def test_exhausted_retries_raise():
         with pytest.raises(IOError, match="failed after 3 attempts"):
             produce_rows(iter(_rows()), "127.0.0.1", broker.port, max_retries=2)
         assert broker.records("retry-topic") == []
+
+
+# ----------------------------------------------- leader routing (cluster)
+
+def test_routed_produce_lands_every_record_on_its_murmur2_leader():
+    """2 brokers, 4 partitions striped p%2: after a routed produce,
+    (a) each broker's log holds ONLY partitions it leads, (b) every
+    record sits in exactly the partition murmur2 says, (c) the union is
+    the exact input multiset."""
+    rows = [
+        {"key": f"k{i}", "value": f"v{i}", "topic": "routed-t"}
+        for i in range(100)
+    ]
+    with WireCluster(n_brokers=2, topics={"routed-t": 4}) as cluster:
+        host, port = cluster.bootstrap
+        sent = produce_rows_routed(iter(rows), host, port, batch_size=16)
+        placed = cluster.all_records()
+    assert sent == 100
+    assert len(placed) == 100
+    got = set()
+    for topic, partition, node, key, value in placed:
+        assert topic == "routed-t"
+        assert node == partition % 2, "record on a broker that doesn't lead it"
+        assert partition == partition_for_key(key, 4)
+        got.add((key, value))
+    assert got == {(f"k{i}".encode(), f"v{i}".encode()) for i in range(100)}
+
+
+def test_unrouted_produce_to_non_leader_is_refused():
+    """The cluster's teeth: a leader-direct v0 produce (produce_rows,
+    no routing) aimed at one node of a striped topic gets
+    NOT_LEADER_FOR_PARTITION for the partitions that node doesn't lead
+    and raises — proving a hash-green routed roundtrip can't come from a
+    producer that ignores metadata."""
+    with WireCluster(n_brokers=2, topics={"strict-t": 1}) as cluster:
+        # partition 0 of strict-t leads on node 0; aim at node 1
+        wrong = cluster.brokers[1]
+        with pytest.raises(IOError, match="failed after"):
+            produce_rows(
+                iter([{"key": "k", "value": "v", "topic": "strict-t"}]),
+                "127.0.0.1", wrong.port, max_retries=1,
+            )
+        assert cluster.records("strict-t", 0) == []
+
+
+def test_routed_produce_survives_mid_stream_reassignment():
+    """Stale-metadata recovery: leadership flips AFTER the producer
+    cached its routing map (first flush done); the next flush is refused
+    with error 6, the producer refreshes metadata, re-routes, and every
+    record still lands exactly once on the NEW leader."""
+    flipped = {"done": False}
+
+    def rows(cluster):
+        for i in range(40):
+            if i == 20 and not flipped["done"]:
+                # between flushes (batch_size=20): move both partitions
+                # to the other node
+                cluster.reassign("flip-t", 0, 1)
+                cluster.reassign("flip-t", 1, 0)
+                flipped["done"] = True
+            yield {"key": f"k{i}", "value": f"v{i}", "topic": "flip-t"}
+
+    with WireCluster(n_brokers=2, topics={"flip-t": 2}) as cluster:
+        host, port = cluster.bootstrap
+        sent = produce_rows_routed(iter(rows(cluster)), host, port, batch_size=20)
+        placed = cluster.all_records()
+    assert sent == 40
+    assert flipped["done"]
+    keys = [key for _t, _p, _n, key, _v in placed]
+    assert len(keys) == len(set(keys)) == 40, "lost or duplicated records"
+    # second-half records must sit on the post-flip leader
+    for topic, partition, node, key, _value in placed:
+        assert partition == partition_for_key(key, 2)
+        idx = int(key.decode()[1:])
+        expected_node = (partition + 1) % 2 if idx >= 20 else partition % 2
+        assert node == expected_node, (key, partition, node)
+
+
+def test_write_kafka_wire_routed_from_spark_tasks(spark):
+    """4 executor tasks × 2 brokers: each task runs its own metadata
+    bootstrap + routed produce; union equals input exactly."""
+    df = (
+        spark.range(0, 120)
+        .select(
+            F.concat(F.lit("rk-"), F.col("id")).alias("key"),
+            F.concat(F.lit("rv-"), F.col("id")).alias("value"),
+            F.lit("spark-routed-t").alias("topic"),
+        )
+        .repartition(4)
+    )
+    with WireCluster(n_brokers=2, topics={"spark-routed-t": 4}) as cluster:
+        host, port = cluster.bootstrap
+        write_kafka_wire_routed(df, host, port, batch_size=32)
+        placed = cluster.all_records()
+    assert len(placed) == 120
+    for _topic, partition, node, key, _value in placed:
+        assert node == partition % 2
+        assert partition == partition_for_key(key, 4)
+    got = {(k, v) for _t, _p, _n, k, v in placed}
+    assert got == {
+        (f"rk-{i}".encode(), f"rv-{i}".encode()) for i in range(120)
+    }
 
 
 # ------------------------------------------------------ fixture key oracle
@@ -131,3 +311,16 @@ def test_kafka_wire_roundtrip_matches_oracle(spark, duck):
     df = kafka_wire_roundtrip(spark, SF_DIR)
     assert df.count() > 0
     assert_oracle_match(df, duck, q.oracle, name="kafka_wire_roundtrip")
+
+
+def test_kafka_wire_routed_roundtrip_matches_oracle(spark, duck):
+    """The routed driver-hashed fixture: bytes produced through metadata
+    bootstrap + murmur2 routing against a 2-broker cluster must
+    byte-match the same DuckDB JSON oracle shape."""
+    from hyperswitch_data_backfill_spark.registry import REGISTRY, _load_all_operator_modules
+
+    _load_all_operator_modules()
+    q = REGISTRY["kafka_wire_routed_roundtrip"]
+    df = kafka_wire_routed_roundtrip(spark, SF_DIR)
+    assert df.count() > 0
+    assert_oracle_match(df, duck, q.oracle, name="kafka_wire_routed_roundtrip")

@@ -73,18 +73,10 @@ def test_driver_window_covers_every_unproven_key():
     verification (sim_ivfpq/agg_hll_merge slipped through the
     oracle-only version of this test in round 4)."""
     import json
-    from pathlib import Path
 
     registry._load_all_operator_modules()
-    repo = Path(__file__).resolve().parent.parent
     proven: set[str] = set()
-    # r*, not r0*: the r0* glob goes blind at round 10 and would strand
-    # every key whose only record is in CORRECTNESS_r10+.json.
-    files = sorted(
-        repo.glob("CORRECTNESS_r*.json"),
-        key=lambda f: int(f.stem[len("CORRECTNESS_r"):]),
-    )
-    for f in files:
+    for _rnd, f in _rotation().correctness_files():
         for key, row in json.loads(f.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
                 proven.add(key)  # oracle-backed green
@@ -97,15 +89,8 @@ def test_driver_window_covers_every_unproven_key():
     )
 
 
-def test_driver_window_matches_rotation_output():
-    """The committed _DRIVER_WINDOW must BE the mechanical rotation
-    (r8 verdict item 2: the r7→r8 hand-listed window let a written-down
-    rotation go unexecuted for two rounds — CORRECTNESS_r08 re-swept
-    r07's exact key set while the r4-vintage tail aged). The window is
-    now pinned to tools/rotation.suggested_window(50, _WINDOW_PREPEND):
-    whenever a new CORRECTNESS file lands or a key is added, this test
-    fails until the committed list is regenerated
-    (`python tools/rotation.py` and paste)."""
+def _rotation():
+    """Load tools/rotation.py as a module (tools/ is not a package)."""
     import importlib.util
     from pathlib import Path
 
@@ -113,13 +98,99 @@ def test_driver_window_matches_rotation_output():
     spec = importlib.util.spec_from_file_location("rotation_under_test", p)
     rotation = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rotation)
+    return rotation
 
-    expected = rotation.suggested_window(50, prepend=registry._WINDOW_PREPEND)
-    assert registry._DRIVER_WINDOW == expected, (
-        "committed _DRIVER_WINDOW has drifted from the rotation output — "
-        "run `python tools/rotation.py` and paste the suggested window "
-        "(prepend hook: registry._WINDOW_PREPEND)"
+
+def test_driver_window_matches_rotation_output():
+    """The committed _DRIVER_WINDOW must BE the mechanical rotation
+    (r8 verdict item 2: the r7→r8 hand-listed window let a written-down
+    rotation go unexecuted for two rounds — CORRECTNESS_r08 re-swept
+    r07's exact key set while the r4-vintage tail aged). The window is
+    pinned to tools/rotation.suggested_window(50, _WINDOW_PREPEND,
+    max_round=_WINDOW_EVIDENCE_ROUND): recomputing at the committed
+    evidence pin means the driver dropping CORRECTNESS_r{N+1}.json after
+    the builder's snapshot does NOT flip this test red (r9 verdict
+    item 1 — the r9 tripwire conflated 'builder forgot to rotate' with
+    'driver evidence landed post-snapshot'); a forgotten rotation is
+    caught instead by test_window_evidence_pin_not_stale."""
+    rotation = _rotation()
+    expected = rotation.suggested_window(
+        50,
+        prepend=registry._WINDOW_PREPEND,
+        max_round=registry._WINDOW_EVIDENCE_ROUND,
     )
+    assert registry._DRIVER_WINDOW == expected, (
+        "committed _DRIVER_WINDOW has drifted from the rotation output at "
+        f"its own evidence pin (r{registry._WINDOW_EVIDENCE_ROUND}) — run "
+        "`python tools/rotation.py`, paste the suggested window, and bump "
+        "_WINDOW_EVIDENCE_ROUND (prepend hook: registry._WINDOW_PREPEND)"
+    )
+
+
+def test_window_evidence_pin_not_stale():
+    """Staleness guard completing the tripwire: the committed evidence
+    pin may trail the newest shipped CORRECTNESS file by at most ONE
+    round (the inevitable post-snapshot driver drop). A gap of >=2 means
+    a full builder round went by without executing the rotation — the
+    exact failure mode the r8 verdict flagged. Also pins that the
+    committed round actually exists as a shipped artifact."""
+    rotation = _rotation()
+    rounds = [rnd for rnd, _f in rotation.correctness_files()]
+    assert rounds, "no CORRECTNESS_r*.json artifacts found"
+    newest = max(rounds)
+    pin = registry._WINDOW_EVIDENCE_ROUND
+    assert pin in rounds, (
+        f"_WINDOW_EVIDENCE_ROUND={pin} names a round with no shipped "
+        f"CORRECTNESS_r{pin}.json artifact"
+    )
+    assert newest - pin <= 1, (
+        f"window evidence pin r{pin} is {newest - pin} rounds behind the "
+        f"newest shipped artifact r{newest} — the rotation was not "
+        "executed last round; run `python tools/rotation.py`, paste, and "
+        "bump _WINDOW_EVIDENCE_ROUND"
+    )
+
+
+def test_rotation_detects_genuinely_stale_window():
+    """Regression case demanded by the r9 verdict: the hardened tripwire
+    must still FAIL on a window that is genuinely stale. Recomputing the
+    suggestion at an older evidence pin (r8 — before the r9 sweep
+    re-greened the r4-vintage cohort) must yield a different window than
+    the committed r9-pinned one, i.e. a builder who pasted the r8-era
+    suggestion but claimed the r9 pin would be caught by
+    test_driver_window_matches_rotation_output."""
+    rotation = _rotation()
+    stale_pin = registry._WINDOW_EVIDENCE_ROUND - 1
+    stale = rotation.suggested_window(
+        50, prepend=registry._WINDOW_PREPEND, max_round=stale_pin
+    )
+    assert stale != registry._DRIVER_WINDOW, (
+        "rotation output at the previous evidence pin equals the committed "
+        "window — the staleness tripwire has lost its teeth (did the "
+        "driver sweep change nothing last round?)"
+    )
+
+
+def test_rotation_skips_non_artifact_files(tmp_path, monkeypatch):
+    """correctness_files must skip (not crash on) names like
+    CORRECTNESS_r09_backup.json and must order r10 after r9 numerically
+    (round-9 ADVICE: int(f.stem[...]) raised ValueError on non-matching
+    names and a lexical sort put r10 between r1 and r2)."""
+    import json as _json
+
+    rotation = _rotation()
+    for name, payload in [
+        ("CORRECTNESS_r2.json", {}),
+        ("CORRECTNESS_r9.json", {}),
+        ("CORRECTNESS_r10.json", {}),
+        ("CORRECTNESS_r09_backup.json", {}),
+        ("CORRECTNESS_rerun.json", {}),
+    ]:
+        (tmp_path / name).write_text(_json.dumps(payload))
+    monkeypatch.setattr(rotation, "_REPO_ROOT", tmp_path)
+    got = rotation.correctness_files()
+    assert [rnd for rnd, _f in got] == [2, 9, 10]
+    assert [rnd for rnd, _f in rotation.correctness_files(max_round=9)] == [2, 9]
 
 
 def test_queries_yield_window_first_then_all():

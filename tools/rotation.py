@@ -16,6 +16,7 @@ suggested window as a Python list ready to paste into registry.py.
 from __future__ import annotations
 
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -24,8 +25,30 @@ sys.path.insert(0, str(_REPO_ROOT))
 
 from hyperswitch_data_backfill_spark import registry  # noqa: E402
 
+_CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json")
 
-def evidence_ages() -> dict[str, tuple[int, str]]:
+
+def correctness_files(max_round: int | None = None) -> list[tuple[int, Path]]:
+    """Shipped driver artifacts as (round, path), ascending by the PARSED
+    round number (so r10 sorts after r9, not between r1 and r2).
+    Non-matching names (e.g. CORRECTNESS_r09_backup.json) are skipped
+    with a warning instead of crashing the rotation (round-9 ADVICE).
+    ``max_round`` drops artifacts newer than the given round — the
+    tripwire uses it to recompute the suggestion the builder saw at
+    rotation time, before the driver's post-snapshot drop."""
+    out: list[tuple[int, Path]] = []
+    for f in _REPO_ROOT.glob("CORRECTNESS_*.json"):
+        m = _CORRECTNESS_RE.fullmatch(f.name)
+        if m is None:
+            print(f"rotation: skipping non-artifact file {f.name}", file=sys.stderr)
+            continue
+        rnd = int(m.group(1))
+        if max_round is None or rnd <= max_round:
+            out.append((rnd, f))
+    return sorted(out)
+
+
+def evidence_ages(max_round: int | None = None) -> dict[str, tuple[int, str]]:
     """key -> (latest round with a driver record, kind).
 
     Files are walked in round order, so each key's entry reflects its
@@ -34,15 +57,7 @@ def evidence_ages() -> dict[str, tuple[int, str]]:
     regressed key ranks as RED/ERR (front of the window) instead of
     riding its stale green."""
     latest: dict[str, tuple[int, str]] = {}
-    # CORRECTNESS_r*.json (not r0*: that glob goes blind at round 10),
-    # ordered by the PARSED round number so r10 sorts after r9, not
-    # between r1 and r2.
-    files = sorted(
-        _REPO_ROOT.glob("CORRECTNESS_r*.json"),
-        key=lambda f: int(f.stem[len("CORRECTNESS_r"):]),
-    )
-    for f in files:
-        rnd = int(f.stem[len("CORRECTNESS_r"):])
+    for rnd, f in correctness_files(max_round):
         for key, row in json.loads(f.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
                 latest[key] = (rnd, "green")
@@ -55,14 +70,16 @@ def evidence_ages() -> dict[str, tuple[int, str]]:
     return latest
 
 
-def ordered_keys(prepend: tuple[str, ...] = ()) -> list[str]:
+def ordered_keys(
+    prepend: tuple[str, ...] = (), max_round: int | None = None
+) -> list[str]:
     """Every registered key ranked for the next window: ``prepend``
     (keys whose IMPLEMENTATION changed since their latest driver record
     — the one thing evidence files can't detect) first in the given
     order, then never-swept, then latest-record-RED/ERR, then
     green/rows-only oldest-round-first (alphabetical within a round)."""
     registry._load_all_operator_modules()
-    ages = evidence_ages()
+    ages = evidence_ages(max_round)
     keys = list(registry.REGISTRY)
     unknown = [k for k in prepend if k not in registry.REGISTRY]
     if unknown:
@@ -86,13 +103,20 @@ def ordered_keys(prepend: tuple[str, ...] = ()) -> list[str]:
     return list(prepend) + ranked
 
 
-def suggested_window(size: int = 50, prepend: tuple[str, ...] = ()) -> list[str]:
+def suggested_window(
+    size: int = 50,
+    prepend: tuple[str, ...] = (),
+    max_round: int | None = None,
+) -> list[str]:
     """The next ``_DRIVER_WINDOW``: first ``size`` of ``ordered_keys``.
-    registry.py commits this list verbatim and
-    tests/test_registry.py asserts the committed copy matches, so the
+    registry.py commits this list verbatim (plus the evidence-round pin
+    ``_WINDOW_EVIDENCE_ROUND``) and tests/test_registry.py asserts the
+    committed copy matches the suggestion recomputed at that pin, so the
     rotation can never again be written down but not executed (r8
-    verdict item 2)."""
-    return ordered_keys(prepend)[:size]
+    verdict item 2) — while a driver artifact landing after the
+    builder's snapshot no longer flips the tripwire red (r9 verdict
+    item 2)."""
+    return ordered_keys(prepend, max_round)[:size]
 
 
 def main() -> None:
