@@ -43,9 +43,18 @@ proof: ``tests/test_kafka_wire.py`` (codec round-trip, routing-vs-hash
 agreement, leadership refusal, mid-produce reassignment recovery) and
 the driver-hashed fixture ``kafka_wire_routed_roundtrip``.
 
-Remaining UNEXECUTED delta vs the real e2e job, by design: ApiVersions
-negotiation (v0 requests are pre-negotiation by definition) and the
-docker compose glue.
+Round 10 also closed the ApiVersions half: both producers now run the
+**KIP-35 handshake** (ApiVersions v0, api_key 18) once per connection —
+exactly like a real client — and refuse a broker whose advertised
+[min, max] ranges don't cover Produce v0 / Metadata v0
+(:class:`UnsupportedApiVersionError`, deliberately outside the
+reconnect-retry exception set: retrying can't fix a version mismatch).
+The broker double advertises configurable ranges so the refusal path is
+testable.
+
+Remaining UNEXECUTED delta vs the real e2e job, by design: the docker
+compose glue and the ``write_kafka`` connector-jar path (no broker/jar
+in this sandbox).
 
 This is a TEST DOUBLE for the wire leg, not a production sink: at 100 TB
 you use ``write_kafka`` (connector jar) so the JVM batches, compresses,
@@ -70,11 +79,30 @@ from hyperswitch_data_backfill_spark.sinks.kafka import _intent_payload_frame
 
 _API_PRODUCE = 0
 _API_METADATA = 3
+_API_API_VERSIONS = 18
 
 # Kafka protocol error codes used by the double (protocol guide,
 # kafka.apache.org/protocol#protocol_error_codes).
 _ERR_CORRUPT_MESSAGE = 2
 _ERR_NOT_LEADER = 6
+
+# The version ranges a default broker double advertises: exactly the v0
+# dialect this module speaks. Tests narrow it to prove the client-side
+# refusal path.
+_DEFAULT_API_VERSIONS: dict[int, tuple[int, int]] = {
+    _API_PRODUCE: (0, 0),
+    _API_METADATA: (0, 0),
+    _API_API_VERSIONS: (0, 0),
+}
+
+
+class UnsupportedApiVersionError(RuntimeError):
+    """The broker's advertised version range for a required API does not
+    include the version this client speaks. Deliberately NOT an
+    OSError/ConnectionError subclass: reconnect-retry loops must let it
+    propagate — a version mismatch is a configuration error, and
+    retrying (or failing over to another broker of the same cluster)
+    cannot fix it."""
 
 
 def murmur2(data: bytes) -> int:
@@ -288,6 +316,90 @@ def parse_metadata_response_v0(
     return brokers, topics
 
 
+def encode_api_versions_request_v0(
+    correlation_id: int,
+    *,
+    client_id: str = "spark-backfill-wire",
+) -> bytes:
+    """Size-prefixed ApiVersions v0 request (api_key 18, KIP-35): just
+    the common request header, empty body — the first thing a real
+    client sends on every new connection."""
+    body = struct.pack(">hhi", _API_API_VERSIONS, 0, correlation_id)
+    body += _kstring(client_id)
+    return struct.pack(">i", len(body)) + body
+
+
+def parse_api_versions_request_v0(frame: bytes) -> tuple[int, str | None]:
+    """(correlation_id, client_id) from a size-stripped ApiVersions v0
+    request."""
+    r = _Reader(frame)
+    api_key, api_version = r.i16(), r.i16()
+    if api_key != _API_API_VERSIONS or api_version != 0:
+        raise ValueError(
+            f"not an ApiVersions v0 request: key={api_key} v={api_version}")
+    return r.i32(), r.string()
+
+
+def encode_api_versions_response_v0(
+    correlation_id: int,
+    versions: dict[int, tuple[int, int]],
+    *,
+    error_code: int = 0,
+) -> bytes:
+    """Size-prefixed ApiVersions v0 response: error_code then
+    [(api_key, min_version, max_version)]."""
+    body = io.BytesIO()
+    body.write(struct.pack(">ih", correlation_id, error_code))
+    body.write(struct.pack(">i", len(versions)))
+    for api_key, (lo, hi) in sorted(versions.items()):
+        body.write(struct.pack(">hhh", api_key, lo, hi))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_api_versions_response_v0(
+    frame: bytes,
+) -> tuple[int, dict[int, tuple[int, int]]]:
+    """(error_code, api_key → (min_version, max_version)) from a
+    size-stripped ApiVersions v0 response."""
+    r = _Reader(frame)
+    r.i32()                                                # correlation_id
+    error_code = r.i16()
+    versions: dict[int, tuple[int, int]] = {}
+    for _ in range(r.i32()):
+        api_key, lo, hi = r.i16(), r.i16(), r.i16()
+        versions[api_key] = (lo, hi)
+    return error_code, versions
+
+
+def negotiate_api_versions(
+    sock: "socket.socket",
+    correlation_id: int,
+    *,
+    required: dict[int, int],
+    client_id: str = "spark-backfill-wire",
+) -> dict[int, tuple[int, int]]:
+    """Run the KIP-35 handshake on a fresh connection: send ApiVersions
+    v0, check every ``required`` (api_key → version this client will
+    speak) falls inside the broker's advertised [min, max]. Returns the
+    advertised map; raises :class:`UnsupportedApiVersionError` on any
+    gap so callers fail fast instead of producing frames the broker
+    can't parse."""
+    sock.sendall(
+        encode_api_versions_request_v0(correlation_id, client_id=client_id))
+    error_code, versions = parse_api_versions_response_v0(_recv_frame(sock))
+    if error_code != 0:
+        raise UnsupportedApiVersionError(
+            f"broker rejected ApiVersions request: error {error_code}")
+    for api_key, want in required.items():
+        lo, hi = versions.get(api_key, (None, None))
+        if lo is None or not (lo <= want <= hi):
+            raise UnsupportedApiVersionError(
+                f"broker does not support api_key={api_key} v{want} "
+                f"(advertises {versions.get(api_key)})")
+    return versions
+
+
 # ----------------------------------------------------------------- parse
 # (server-double side: decode what the producer put on the wire)
 
@@ -435,8 +547,15 @@ def produce_rows(
     corr = 0
 
     def connect() -> socket.socket:
+        nonlocal corr
         s = socket.create_connection((host, port), timeout=timeout)
         s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        # KIP-35 handshake, once per connection like a real client: the
+        # broker must advertise Produce v0 or we fail fast (an
+        # UnsupportedApiVersionError escapes the reconnect-retry loop by
+        # design — retrying can't fix a version mismatch).
+        corr += 1
+        negotiate_api_versions(s, corr, required={_API_PRODUCE: 0})
         return s
 
     def flush() -> None:
@@ -547,10 +666,18 @@ def produce_rows_routed(
     leaders: dict[str, dict[int, int]] = {}
 
     def connect(node: int) -> socket.socket:
+        nonlocal corr
         s = conns.get(node)
         if s is None:
             s = socket.create_connection(brokers[node], timeout=timeout)
             s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            # KIP-35 handshake per (task, node) connection: this pool
+            # talks Metadata v0 and Produce v0 to every node it routes
+            # to; an UnsupportedApiVersionError propagates past the
+            # OSError/ConnectionError failover handlers by design.
+            corr += 1
+            negotiate_api_versions(
+                s, corr, required={_API_PRODUCE: 0, _API_METADATA: 0})
             conns[node] = s
         return s
 
@@ -574,6 +701,15 @@ def produce_rows_routed(
                 got_brokers, got_leaders = parse_metadata_response_v0(_recv_frame(s))
                 brokers.update(got_brokers)
                 leaders.update(got_leaders)
+                # The seed broker is always one of the discovered nodes:
+                # once metadata names it, alias the bootstrap connection
+                # (node -1) to its real node id instead of opening a
+                # duplicate socket to the same address.
+                if -1 in conns:
+                    for node_id, addr in got_brokers.items():
+                        if addr == brokers[-1] and node_id not in conns:
+                            conns[node_id] = conns.pop(-1)
+                            break
                 return
             except (OSError, ConnectionError) as e:
                 last_err = e
@@ -720,12 +856,19 @@ class WireBroker:
         fail_requests: int = 0,
         node_id: int = 0,
         meta: _ClusterMeta | None = None,
+        api_versions: dict[int, tuple[int, int]] | None = None,
     ):
         self._fail_budget = fail_requests
         self._logs: dict[tuple[str, int], _TopicLog] = {}
         self._lock = threading.Lock()
         self.connections = 0
         self.errors: list[str] = []  # parse failures recorded by _serve
+        # KIP-35: the ranges this node advertises. Default = exactly the
+        # v0 dialect the double speaks; tests narrow it (e.g. Produce
+        # min 2) to prove the client-side refusal path.
+        self.api_versions = dict(
+            _DEFAULT_API_VERSIONS if api_versions is None else api_versions)
+        self.api_versions_requests = 0  # handshakes observed
         self.node_id = node_id
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -797,6 +940,16 @@ class WireBroker:
             topics[t] = leaders.get(t, {0: self.node_id})
         conn.sendall(encode_metadata_response_v0(corr, brokers, topics))
 
+    def _handle_api_versions(self, conn: socket.socket, frame: bytes) -> None:
+        """Answer the KIP-35 handshake with this node's advertised
+        ranges (configurable so tests can advertise an incompatible
+        broker and assert the producer refuses it)."""
+        corr, _client = parse_api_versions_request_v0(frame)
+        with self._lock:
+            self.api_versions_requests += 1
+            versions = dict(self.api_versions)
+        conn.sendall(encode_api_versions_response_v0(corr, versions))
+
     def _serve(self, conn: socket.socket) -> None:
         try:
             while not self._stop.is_set():
@@ -805,7 +958,12 @@ class WireBroker:
                 except (ConnectionError, OSError):
                     return
                 try:
-                    if len(frame) >= 2 and struct.unpack(">h", frame[:2])[0] == _API_METADATA:
+                    api_key = (struct.unpack(">h", frame[:2])[0]
+                               if len(frame) >= 2 else -1)
+                    if api_key == _API_API_VERSIONS:
+                        self._handle_api_versions(conn, frame)
+                        continue
+                    if api_key == _API_METADATA:
                         self._handle_metadata(conn, frame)
                         continue
                     req = parse_produce_request_v0(frame)

@@ -13,8 +13,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+    UnsupportedApiVersionError,
     WireBroker,
     WireCluster,
+    encode_api_versions_request_v0,
+    encode_api_versions_response_v0,
     encode_message_v0,
     encode_metadata_request_v0,
     encode_metadata_response_v0,
@@ -22,6 +25,9 @@ from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
     kafka_wire_roundtrip,
     kafka_wire_routed_roundtrip,
     murmur2,
+    negotiate_api_versions,
+    parse_api_versions_request_v0,
+    parse_api_versions_response_v0,
     parse_metadata_request_v0,
     parse_metadata_response_v0,
     parse_produce_request_v0,
@@ -195,6 +201,59 @@ def test_exhausted_retries_raise():
         with pytest.raises(IOError, match="failed after 3 attempts"):
             produce_rows(iter(_rows()), "127.0.0.1", broker.port, max_retries=2)
         assert broker.records("retry-topic") == []
+
+
+# ------------------------------------------------- ApiVersions (KIP-35)
+
+def test_api_versions_codec_roundtrip():
+    frame = encode_api_versions_request_v0(11, client_id="t-client")
+    corr, client = parse_api_versions_request_v0(frame[4:])
+    assert (corr, client) == (11, "t-client")
+    resp = encode_api_versions_response_v0(11, {0: (0, 9), 18: (0, 3)})
+    err, versions = parse_api_versions_response_v0(resp[4:])
+    assert err == 0
+    assert versions == {0: (0, 9), 18: (0, 3)}
+
+
+def test_negotiation_against_live_broker():
+    """A raw-socket KIP-35 handshake against the double: the default
+    broker advertises exactly the v0 dialect and counts the exchange."""
+    import socket
+
+    with WireBroker() as broker:
+        s = socket.create_connection(("127.0.0.1", broker.port), timeout=5)
+        versions = negotiate_api_versions(s, 1, required={0: 0, 3: 0, 18: 0})
+        s.close()
+        handshakes = broker.api_versions_requests
+    assert versions == {0: (0, 0), 3: (0, 0), 18: (0, 0)}
+    assert handshakes == 1
+
+
+def test_producer_refuses_incompatible_broker():
+    """A broker advertising Produce min v2 (a cluster too new for a v0
+    client) is refused at connect: UnsupportedApiVersionError escapes
+    the reconnect-retry loop — retrying can't fix a version mismatch —
+    and nothing reaches any log."""
+    narrowed = {0: (2, 9), 3: (0, 12), 18: (0, 3)}
+    with WireBroker(api_versions=narrowed) as broker:
+        with pytest.raises(UnsupportedApiVersionError, match="api_key=0 v0"):
+            produce_rows(iter(_rows()), "127.0.0.1", broker.port,
+                         max_retries=2)
+        assert broker.topics() == []
+        assert broker.api_versions_requests == 1  # no blind retry spam
+
+
+def test_routed_producer_negotiates_once_per_node_connection():
+    """The routed producer runs the handshake on each (task, node)
+    connection it opens — both cluster nodes see exactly one exchange
+    for a single-task produce that touches all partitions."""
+    with WireCluster(n_brokers=2, topics={"nego-t": 4}) as cluster:
+        host, port = cluster.bootstrap
+        sent = produce_rows_routed(
+            iter(_rows(n=50, topic="nego-t")), host, port, batch_size=16)
+        counts = [b.api_versions_requests for b in cluster.brokers]
+    assert sent == 50
+    assert counts == [1, 1]
 
 
 # ----------------------------------------------- leader routing (cluster)
