@@ -18,8 +18,17 @@ original) and schema (DuckDB reads/writes the same parquet types):
 - embeddings: vec_id shifted, replicas jittered (+-0.3 uniform noise
   per component) so ANN sees new points near the manifold.
 
-Usage: python tools/make_bigsf.py [src_dir] [dst_dir] [factor]
+Usage: python tools/make_bigsf.py [src_dir] [dst_dir] [factor] [row_group_size]
 Default: /root/testdata/sf0.1 -> /root/repo/.benchdata/sf1 x10
+
+row_group_size (default: DuckDB's 122880) controls parquet row-group
+width — Spark's indivisible split unit. The driver fixtures are one
+row group per table, which serializes every scan stage regardless of
+core count (measured in BENCH_NOTES "Round-10: cores-scaling row");
+pass e.g. 16384 to produce a fixture with real split structure, which
+models the many-files/many-row-groups layout a 100 TB table actually
+has and lets the cores axis measure the PLANS instead of the fixture.
+
 Then:    SPARK_GRAFT_SF_DIR=/root/repo/.benchdata/sf1 python bench.py
 """
 
@@ -48,13 +57,15 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    row_group_size = int(sys.argv[4]) if len(sys.argv) > 4 else 122880
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW reps AS SELECT unnest(generate_series(0, {n - 1})) AS rep")
 
     def emit(table: str, select: str) -> None:
         con.execute(
-            f"COPY ({select}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+            f"COPY ({select}) TO '{dst}/{table}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {row_group_size})"
         )
         rows = con.sql(f"SELECT COUNT(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
         print(f"{table}: {rows} rows")
