@@ -1,0 +1,387 @@
+"""Generic DataFrame→DataFrame operator API.
+
+The registry's fixture operators (operators/*.py) pin every engine
+capability to the driver's parquet tables and DuckDB oracles. This
+module exposes the reusable kernels behind them GENERICALLY — caller-
+supplied DataFrames and key/order/value columns — so the engine works
+as a *library* on arbitrary tables, not only the fixture schema. A
+user of the reference tool (a fixed 4-pipeline ETL binary,
+reference main.rs:190-313) gets the same operations parameterized the
+way `pandas.merge_asof` / `MERGE INTO` / `ANALYZE` users expect.
+
+Every kernel here is the SAME plan shape as its oracle-verified
+fixture twin, and tests/test_api.py pins that two ways:
+
+- equivalence: re-expressing the registered fixture op through the
+  generic kernel reproduces the driver-hashed result row-for-row
+  (so the generic path inherits the DuckDB-oracle evidence); and
+- hypothesis laws: algebraic contracts (as-of match is the nearest
+  earlier build row; SCD-2 apply(delta) ≡ rebuild(full); upsert
+  idempotence; session gap bounds; diff-then-apply reconstructs the
+  new snapshot) on adversarial generated inputs — duplicate
+  timestamps, empty sides, single keys.
+
+Scale notes (the same discipline as the fixture ops):
+- `asof_join` is the union+window formulation — ONE shuffle on the
+  `by` key, no range join, no per-row Python;
+- `scd2_apply` touches O(affected keys), not O(history): semi/anti
+  probes on the (broadcastable) delta key set, re-window only the
+  touched slice;
+- `merge_upsert`/`snapshot_diff` are single keyed joins — bucketed-
+  by-key storage makes them Exchange-free;
+- nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "asof_join",
+    "first_row_per_group",
+    "topk_per_group",
+    "merge_upsert",
+    "scd2_build",
+    "scd2_apply",
+    "sessionize",
+    "snapshot_diff",
+    "histogram_equidepth",
+]
+
+
+def _names(cols: str | Iterable[str]) -> list[str]:
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/joins.py join_asof / join_asof_forward /
+# join_asof_tolerance generalized; reference replays event-time state the
+# same way when rebuilding payment timelines)
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str | Sequence[str],
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    allow_exact_matches: bool = False,
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """pandas.merge_asof semantics, Spark-first: for every left row,
+    attach the nearest right row at-or-before (``backward``) or
+    at-or-after (``forward``) its ``on`` timestamp within the same
+    ``by`` group.
+
+    Formulation: union both sides with a tag column, ONE window over
+    (by, on, tag) carrying the last-seen right values — a single keyed
+    shuffle, linear in rows, regardless of how many left rows share one
+    right match. The naive alternative (range join + per-left max) is
+    quadratic in hot keys; this never is.
+
+    - ``allow_exact_matches=False`` (default): strict inequality — a
+      same-instant right row is NOT visible (the fixture ops' contract:
+      joins.py join_asof "at equal ts the probe sorts FIRST").
+    - ``tolerance_us``: match is nulled out when the |time gap| in
+      MICROSECONDS exceeds it (``on`` must be castable to timestamp).
+    - ``tiebreak``: optional column present in BOTH frames that makes
+      ordering among equal-``on`` right rows deterministic (the fixture
+      uses event_id). Without it, which of several equal-ts right rows
+      wins is plan-dependent (documented nondeterminism, as in pandas).
+    - output: every left column, plus ``{on}{suffix}`` (the matched
+      right timestamp) and ``{c}{suffix}`` for each value column.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by_cols = _names(by)
+    if tiebreak is not None and tiebreak not in right.columns:
+        raise ValueError(f"tiebreak column {tiebreak!r} must exist in `right`")
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns
+            if c not in by_cols and c != on and c != tiebreak
+        ]
+    # tag 0 = probe (left), tag 1 = build (right). With exact matches
+    # DISALLOWED the probe must sort before a same-instant build row
+    # (tag asc); allowing them sorts the build first (tag desc).
+    probe = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols],
+    )
+    if tiebreak is not None and tiebreak not in left.columns:
+        # probe rows never win a build-row tie; a NULL placeholder keeps
+        # the union schema aligned (nulls sort first = harmless: the
+        # probe already sorts by __tag relative to same-instant builds)
+        probe = probe.withColumn(
+            tiebreak, F.lit(None).cast(right.schema[tiebreak].dataType)
+        )
+    build = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by_cols and c != on and c != tiebreak],
+        *[F.col(c) for c in by_cols],
+        F.col(on),
+        *([F.col(tiebreak)] if tiebreak is not None else []),
+        F.lit(1).alias("__tag"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    ).select(*probe.columns)  # align column order for unionByName
+
+    ts = F.col(on) if direction == "backward" else F.col(on).desc()
+    tag = F.col("__tag").desc() if allow_exact_matches else F.col("__tag").asc()
+    order = [ts, tag]
+    if tiebreak:
+        order.append(
+            F.col(tiebreak) if direction == "backward" else F.col(tiebreak).desc()
+        )
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_build = F.col("__tag") == 1
+    carried = probe.unionByName(build).select(
+        "*",
+        F.last(F.when(is_build, F.col(on)), ignorenulls=True).over(w)
+        .alias(f"{on}{suffix}"),
+        *[
+            F.last(F.when(is_build, F.col(f"__v_{c}")), ignorenulls=True).over(w)
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__tag") == 0)
+    matched = F.col(f"{on}{suffix}")
+    if tolerance_us is not None:
+        gap = F.unix_micros(F.col(on).cast("timestamp")) - F.unix_micros(
+            matched.cast("timestamp")
+        )
+        if direction == "forward":
+            gap = -gap
+        fresh = matched.isNotNull() & (gap <= F.lit(tolerance_us))
+        out = out.select(
+            *[c for c in out.columns if not c.endswith(suffix)],
+            F.when(fresh, matched).alias(f"{on}{suffix}"),
+            *[
+                F.when(fresh, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
+    keep = [c for c in left.columns] + [f"{on}{suffix}"] + [
+        f"{c}{suffix}" for c in value_cols
+    ]
+    return out.select(*keep)
+
+
+# ---------------------------------------------------------------------------
+# per-group selection (operators/compaction.py compact_latest,
+# operators/ordering.py topk_per_group, operators/dedup.py exact tier)
+# ---------------------------------------------------------------------------
+
+def first_row_per_group(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_cols: Sequence[Column | str],
+) -> DataFrame:
+    """Keep exactly the first row per key under the given ordering —
+    the kernel behind latest-row compaction (order desc), exact dedup
+    keep-first (order asc), and SCD-1 collapse. One keyed window, no
+    second shuffle; ties beyond ``order_cols`` are broken arbitrarily
+    but the row count contract (exactly one per key) always holds."""
+    w = Window.partitionBy(*_names(key_cols)).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_cols: Sequence[Column | str],
+    k: int,
+    *,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-k rows per key under the ordering (ordering.py:152 made
+    generic). row_number (not rank) so the k bound is exact; pass
+    ``rank_col`` to keep the 1..k position in the output."""
+    w = Window.partitionBy(*_names(key_cols)).orderBy(*order_cols)
+    out = df.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    return out.withColumnRenamed("__rk", rank_col) if rank_col else out.drop("__rk")
+
+
+# ---------------------------------------------------------------------------
+# upsert / SCD-2 / diff (operators/compaction.py generalized)
+# ---------------------------------------------------------------------------
+
+def merge_upsert(
+    base: DataFrame, delta: DataFrame, key_cols: str | Sequence[str]
+) -> DataFrame:
+    """MERGE WHEN MATCHED THEN UPDATE, ELSE INSERT, without a table
+    format: delta ∪ (base ⟕anti delta-keys). Columns must align
+    (unionByName). Both legs shuffle on the same key; a small delta's
+    key set broadcasts into the anti join."""
+    keys = _names(key_cols)
+    survivors = base.join(delta.select(*keys).distinct(), keys, "left_anti")
+    return delta.unionByName(survivors)
+
+
+def scd2_build(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """SCD-2 history from a version log: every row becomes a validity
+    interval closed by the key's next version (open current → NULL).
+    Preserves every input column; adds ``valid_from`` (= ts_col) and
+    ``valid_to`` (= lead). One keyed window (compaction.py:130 made
+    generic)."""
+    w = Window.partitionBy(*_names(key_cols)).orderBy(ts_col, *tiebreak_cols)
+    return df.select(
+        "*",
+        F.col(ts_col).alias(from_col),
+        F.lead(ts_col).over(w).alias(to_col),
+    )
+
+
+def scd2_apply(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Incrementally maintain a ``scd2_build`` snapshot: re-window ONLY
+    the keys present in the delta, pass every untouched key through an
+    anti join unchanged. Contract (hypothesis-pinned in test_api.py):
+    ``scd2_apply(scd2_build(base), delta) ≡ scd2_build(base ∪ delta)``.
+    Cost is O(affected keys), not O(history) — the delta key set is
+    distinct-ed and broadcast for both probes (compaction.py:167 made
+    generic)."""
+    keys = _names(key_cols)
+    delta_keys = delta.select(*keys).distinct()
+    touched = snapshot.join(F.broadcast(delta_keys), keys, "left_semi")
+    untouched = snapshot.join(F.broadcast(delta_keys), keys, "left_anti")
+    reopened = touched.drop(from_col, to_col)
+    rebuilt = scd2_build(
+        reopened.unionByName(delta.select(*reopened.columns)),
+        keys, ts_col, tiebreak_cols, from_col=from_col, to_col=to_col,
+    )
+    return untouched.unionByName(rebuilt)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Derive a CDC changelog (op + before/after images) from two full
+    snapshots with no change-tracking metadata (compaction.py:239 made
+    generic). One full-outer keyed join; unchanged rows are dropped
+    before any downstream work. Output: key cols, ``op`` in
+    insert|update|delete, ``old_<c>``/``new_<c>`` images."""
+    keys = _names(key_cols)
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    # side membership is decided by marker columns, not value
+    # nullability — an all-NULL attribute row is still "present"
+    o = old.select(
+        *keys, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("__old", F.lit(True))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("__new", F.lit(True))
+    joined = o.join(n, keys, "full_outer")
+    op = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    return (
+        joined.select(
+            *keys,
+            op.alias("op"),
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+            F.col("__old").isNull().alias("__ins"),
+            F.col("__new").isNull().alias("__del"),
+            changed.alias("__chg"),
+        )
+        .filter(F.col("__ins") | F.col("__del") | F.col("__chg"))
+        .drop("__ins", "__del", "__chg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization / statistics (operators/windows.py win_session,
+# operators/aggregates.py agg_equidepth_histogram generalized)
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    gap_us: int,
+    tiebreak_cols: Sequence[str] = (),
+    *,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign 1-based session ids per key: a new session starts when the
+    gap to the previous event exceeds ``gap_us`` microseconds
+    (windows.py:135 made generic; the batch twin of the streaming
+    sessionizer). One keyed window; rows pass through unchanged plus
+    the session id column."""
+    w = Window.partitionBy(*_names(key_cols)).orderBy(ts_col, *tiebreak_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    return df.select(
+        "*",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias(session_col),
+    )
+
+
+def histogram_equidepth(
+    df: DataFrame,
+    col: str,
+    buckets: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Equi-depth histogram: NTILE over a total ordering, so bucket row
+    counts differ by at most one and bounds are deterministic given the
+    tiebreak (aggregates.py:685 made generic). Output: bucket, n, lo,
+    hi. The fixture path is the exact single-ordering NTILE; the 100 TB
+    path is the mergeable approx-percentile twin, as documented on the
+    fixture op."""
+    w = Window.orderBy(col, *tiebreak_cols)
+    return (
+        df.select(F.col(col), F.ntile(buckets).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        )
+    )

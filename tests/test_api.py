@@ -1,0 +1,521 @@
+"""Contract tests for the generic operator API (api.py).
+
+Two layers, per the module's docstring:
+
+1. EQUIVALENCE — re-expressing each registered fixture op through the
+   generic kernel reproduces the driver-hashed/oracle-verified result
+   row-for-row on the fixture tables, so the generic path inherits the
+   DuckDB-oracle evidence without registering duplicate keys.
+2. LAWS — hypothesis properties on adversarial generated inputs
+   (duplicate timestamps, empty sides, single keys): the algebraic
+   contracts each kernel's docstring promises.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hyperswitch_data_backfill_spark import api
+from hyperswitch_data_backfill_spark.catalog import load_table
+
+from .conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# equivalence vs registered fixture ops
+# ---------------------------------------------------------------------------
+
+def _events_split(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("p_val")
+    )
+    return ev, left, right
+
+
+def test_asof_backward_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.joins import join_asof
+
+    _, left, right = _events_split(spark)
+    got = api.asof_join(
+        left, right, on="ts", by="user_id",
+        value_cols=["p_val"], tiebreak="event_id",
+    )
+    cols = ["event_id", "user_id", "ts", "ts_asof", "p_val_asof"]
+    want = join_asof(spark, SF_DIR)  # event_id user_id ts p_ts p_value
+    assert _rows(got, cols) == _rows(
+        want.withColumnsRenamed({"p_ts": "ts_asof", "p_value": "p_val_asof"}), cols
+    )
+
+
+def test_asof_forward_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.joins import join_asof_forward
+
+    _, left, right = _events_split(spark)
+    got = api.asof_join(
+        left, right, on="ts", by="user_id",
+        value_cols=["p_val"], direction="forward", tiebreak="event_id",
+    )
+    cols = ["event_id", "user_id", "ts", "ts_asof", "p_val_asof"]
+    want = join_asof_forward(spark, SF_DIR)  # … n_ts n_value
+    assert _rows(got, cols) == _rows(
+        want.withColumnsRenamed({"n_ts": "ts_asof", "n_value": "p_val_asof"}), cols
+    )
+
+
+def test_asof_tolerance_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.joins import (
+        ASOF_TOLERANCE_US,
+        join_asof_tolerance,
+    )
+
+    _, left, right = _events_split(spark)
+    got = api.asof_join(
+        left, right, on="ts", by="user_id",
+        value_cols=["p_val"], tolerance_us=ASOF_TOLERANCE_US, tiebreak="event_id",
+    )
+    cols = ["event_id", "user_id", "ts", "ts_asof", "p_val_asof"]
+    want = join_asof_tolerance(spark, SF_DIR)
+    assert _rows(got, cols) == _rows(
+        want.withColumnsRenamed({"p_ts": "ts_asof", "p_value": "p_val_asof"}), cols
+    )
+
+
+def test_first_row_per_group_equiv_compact_latest(spark):
+    from hyperswitch_data_backfill_spark.operators.compaction import compact_latest
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    got = api.first_row_per_group(
+        ev, "user_id", [F.col("ts_us").desc(), F.col("event_id").desc()]
+    )
+    cols = ["user_id", "event_id", "ts_us", "event_type", "value"]
+    assert _rows(got, cols) == _rows(compact_latest(spark, SF_DIR), cols)
+
+
+def test_topk_per_group_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.ordering import topk_per_group
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    got = api.topk_per_group(
+        orders, "o_custkey",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3, rank_col="rk",
+    )
+    cols = ["o_custkey", "o_orderkey", "o_totalprice", "rk"]
+    assert _rows(got, cols) == _rows(topk_per_group(spark, SF_DIR), cols)
+
+
+def test_merge_upsert_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.compaction import (
+        _MERGE_COLS,
+        _MERGE_CUTOFF,
+        merge_upsert,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    base = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(*_MERGE_COLS).withColumn("src", F.lit("base"))
+    )
+    delta = (
+        orders.filter(F.col("o_orderdate") >= F.lit(_MERGE_CUTOFF).cast("timestamp"))
+        .select(*_MERGE_COLS).withColumn("src", F.lit("delta"))
+    )
+    got = api.merge_upsert(base, delta, "o_orderkey")
+    cols = list(_MERGE_COLS) + ["src"]
+    assert _rows(got, cols) == _rows(merge_upsert(spark, SF_DIR), cols)
+
+
+def _versioned_events(spark):
+    return (
+        load_table(spark, SF_DIR, "events")
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("user_id", "event_id", "event_type", "us")
+    )
+
+
+def test_scd2_build_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.compaction import scd2_intervals
+
+    got = api.scd2_build(
+        _versioned_events(spark), "user_id", "us", ["event_id"],
+        from_col="valid_from_us", to_col="valid_to_us",
+    )
+    cols = ["user_id", "event_id", "event_type", "valid_from_us", "valid_to_us"]
+    assert _rows(got, cols) == _rows(scd2_intervals(spark, SF_DIR), cols)
+
+
+def test_scd2_apply_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.compaction import scd2_apply
+
+    versioned = _versioned_events(spark)
+    base = versioned.filter(F.col("event_id") % 2 == 0)
+    delta = versioned.filter(F.col("event_id") % 2 == 1)
+    snapshot = api.scd2_build(
+        base, "user_id", "us", ["event_id"],
+        from_col="valid_from_us", to_col="valid_to_us",
+    )
+    got = api.scd2_apply(
+        snapshot, delta, "user_id", "us", ["event_id"],
+        from_col="valid_from_us", to_col="valid_to_us",
+    )
+    cols = ["user_id", "event_id", "event_type", "valid_from_us", "valid_to_us"]
+    assert _rows(got, cols) == _rows(scd2_apply(spark, SF_DIR), cols)
+
+
+def test_sessionize_equiv_win_session(spark):
+    from hyperswitch_data_backfill_spark.operators.windows import (
+        SESSION_GAP_MIN,
+        win_session,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = (
+        api.sessionize(
+            ev, "user_id", "ts", SESSION_GAP_MIN * 60 * 1_000_000, ["event_id"]
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            .alias("total_value"),
+        )
+    )
+    cols = [
+        "user_id", "session_id", "session_start", "session_end",
+        "n_events", "total_value",
+    ]
+    assert _rows(got, cols) == _rows(win_session(spark, SF_DIR), cols)
+
+
+def test_snapshot_diff_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.compaction import cdc_snapshot_diff
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    got = api.snapshot_diff(old, new, "o_orderkey")
+    got = got.select(
+        "o_orderkey", "op",
+        F.col("new_o_orderstatus").alias("new_status"),
+        F.col("new_o_totalprice").alias("new_price"),
+        F.col("old_o_orderstatus").alias("old_status"),
+        F.col("old_o_totalprice").alias("old_price"),
+    )
+    cols = ["o_orderkey", "op", "new_status", "new_price", "old_status", "old_price"]
+    assert _rows(got, cols) == _rows(cdc_snapshot_diff(spark, SF_DIR), cols)
+
+
+def test_histogram_equidepth_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.aggregates import (
+        EQUIDEPTH_BUCKETS,
+        agg_equidepth_histogram,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    got = api.histogram_equidepth(orders, "cents", EQUIDEPTH_BUCKETS, ["o_orderkey"])
+    cols = ["bucket", "n", "lo", "hi"]
+    want = agg_equidepth_histogram(spark, SF_DIR).withColumnsRenamed(
+        {"lo_cents": "lo", "hi_cents": "hi"}
+    )
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis laws
+# ---------------------------------------------------------------------------
+
+_KEY = st.sampled_from(["a", "b"])
+
+
+def test_asof_law(spark):
+    """backward/forward match is the nearest earlier/later build row
+    (strict by default, inclusive with allow_exact_matches), per key."""
+    probe_s = st.lists(
+        st.tuples(_KEY, st.integers(0, 20)), min_size=1, max_size=10
+    )
+    build_s = st.lists(
+        st.tuples(_KEY, st.integers(0, 20), st.integers(0, 99)),
+        min_size=0, max_size=10,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(probe_s, build_s)
+    def run(probes, builds):
+        left = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(probes)],
+            "pid long, k string, ts long",
+        )
+        right = spark.createDataFrame(
+            [(1000 + i, k, t, v) for i, (k, t, v) in enumerate(builds)],
+            "event_id long, k string, ts long, val long",
+        )
+        for direction, exact in (
+            ("backward", False), ("backward", True), ("forward", False),
+        ):
+            got = api.asof_join(
+                left, right, on="ts", by="k", value_cols=["val"],
+                direction=direction, allow_exact_matches=exact,
+                tiebreak="event_id",
+            ).collect()
+            assert len(got) == len(probes)
+            for r in got:
+                if direction == "backward":
+                    # nearest earlier; equal-ts ties -> LARGEST tiebreak
+                    cand = [
+                        (t, i) for i, (k, t, _) in enumerate(builds)
+                        if k == r["k"] and (t <= r["ts"] if exact else t < r["ts"])
+                    ]
+                    best = max(cand) if cand else None
+                else:
+                    # nearest later; equal-ts ties -> SMALLEST tiebreak
+                    cand = [
+                        (t, i) for i, (k, t, _) in enumerate(builds)
+                        if k == r["k"] and t > r["ts"]
+                    ]
+                    best = min(cand) if cand else None
+                if best is None:
+                    assert r["ts_asof"] is None and r["val_asof"] is None
+                else:
+                    assert r["ts_asof"] == best[0]
+                    assert r["val_asof"] == builds[best[1]][2]
+
+    run()
+
+
+def test_scd2_apply_is_rebuild(spark):
+    """The incremental contract: apply(build(base), delta) must be
+    indistinguishable from build(base ∪ delta) — including duplicate
+    timestamps, keys only in the delta, and an empty base."""
+    rows_s = st.lists(
+        st.tuples(_KEY, st.integers(0, 10), st.integers(0, 99)),
+        min_size=1, max_size=12,
+    )
+    mask_s = st.lists(st.booleans(), min_size=12, max_size=12)
+
+    @settings(max_examples=6, deadline=None)
+    @given(rows_s, mask_s)
+    def run(rows, mask):
+        data = [(i, k, t, v) for i, (k, t, v) in enumerate(rows)]
+        schema = "rid long, k string, ts long, v long"
+        full = spark.createDataFrame(data, schema)
+        base = spark.createDataFrame(
+            [r for i, r in enumerate(data) if mask[i]] or [], schema
+        )
+        delta = spark.createDataFrame(
+            [r for i, r in enumerate(data) if not mask[i]] or [], schema
+        )
+        snapshot = api.scd2_build(base, "k", "ts", ["rid"])
+        applied = api.scd2_apply(snapshot, delta, "k", "ts", ["rid"])
+        rebuilt = api.scd2_build(full, "k", "ts", ["rid"])
+        cols = ["rid", "k", "ts", "v", "valid_from", "valid_to"]
+        assert _rows(applied, cols) == _rows(rebuilt, cols)
+
+    run()
+
+
+def test_scd2_intervals_chain(spark):
+    """Per key, intervals chain exactly: sorted by (ts, rid), each
+    valid_to equals the next valid_from and only the last is open."""
+    rows_s = st.lists(
+        st.tuples(_KEY, st.integers(0, 10)), min_size=1, max_size=12
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(rows_s)
+    def run(rows):
+        df = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(rows)], "rid long, k string, ts long"
+        )
+        got = api.scd2_build(df, "k", "ts", ["rid"]).collect()
+        assert len(got) == len(rows)
+        by_key: dict[str, list] = {}
+        for r in sorted(got, key=lambda r: (r["k"], r["ts"], r["rid"])):
+            by_key.setdefault(r["k"], []).append(r)
+        for chain in by_key.values():
+            for cur, nxt in zip(chain, chain[1:]):
+                assert cur["valid_to"] == nxt["valid_from"]
+            assert chain[-1]["valid_to"] is None
+            for r in chain:
+                assert r["valid_from"] == r["ts"]
+
+    run()
+
+
+def test_merge_upsert_laws(spark):
+    """Key set is the union; delta rows win verbatim; idempotent."""
+    side = st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 99)), min_size=0, max_size=8
+    ).map(lambda kv: list({k: (k, v) for k, v in kv}.values()))  # unique keys
+
+    @settings(max_examples=6, deadline=None)
+    @given(side, side)
+    def run(base_rows, delta_rows):
+        schema = "k long, v long"
+        base = spark.createDataFrame(base_rows or [], schema)
+        delta = spark.createDataFrame(delta_rows or [], schema)
+        once = api.merge_upsert(base, delta, "k")
+        got = {r["k"]: r["v"] for r in once.collect()}
+        want = {k: v for k, v in base_rows}
+        want.update({k: v for k, v in delta_rows})
+        assert got == want
+        twice = api.merge_upsert(once, delta, "k")
+        assert {r["k"]: r["v"] for r in twice.collect()} == want
+
+    run()
+
+
+def test_sessionize_gap_law(spark):
+    """Within a session consecutive gaps are <= gap; the first event of
+    every later session is > gap after the previous event; ids are
+    contiguous from 1 per key."""
+    rows_s = st.lists(
+        st.tuples(_KEY, st.integers(0, 1000)), min_size=1, max_size=14
+    )
+    gap_s = st.integers(1, 300)
+
+    @settings(max_examples=6, deadline=None)
+    @given(rows_s, gap_s)
+    def run(rows, gap):
+        df = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(rows)],
+            "rid long, k string, ts_raw long",
+        ).select(
+            "rid", "k", F.timestamp_micros(F.col("ts_raw")).alias("ts")
+        )
+        got = api.sessionize(df, "k", "ts", gap, ["rid"]).collect()
+        by_key: dict[str, list] = {}
+        for r in sorted(
+            got, key=lambda r: (r["k"], r["ts"], r["rid"])
+        ):
+            by_key.setdefault(r["k"], []).append(r)
+        for chain in by_key.values():
+            assert chain[0]["session_id"] == 1
+            for cur, nxt in zip(chain, chain[1:]):
+                delta_us = int(
+                    (nxt["ts"] - cur["ts"]).total_seconds() * 1_000_000
+                )
+                if delta_us > gap:
+                    assert nxt["session_id"] == cur["session_id"] + 1
+                else:
+                    assert nxt["session_id"] == cur["session_id"]
+
+    run()
+
+
+def test_snapshot_diff_reconstructs(spark):
+    """Applying the changelog to `old` reproduces `new` exactly, and op
+    classes are consistent with side membership."""
+    snap = st.lists(
+        st.tuples(st.integers(0, 6), st.one_of(st.none(), st.integers(0, 3))),
+        min_size=0, max_size=8,
+    ).map(lambda kv: list({k: (k, v) for k, v in kv}.values()))
+
+    @settings(max_examples=6, deadline=None)
+    @given(snap, snap)
+    def run(old_rows, new_rows):
+        schema = "k long, v long"
+        old = spark.createDataFrame(old_rows or [], schema)
+        new = spark.createDataFrame(new_rows or [], schema)
+        log = api.snapshot_diff(old, new, "k").collect()
+        old_d = dict(old_rows)
+        new_d = dict(new_rows)
+        applied = dict(old_d)
+        for r in log:
+            if r["op"] == "delete":
+                assert r["k"] in old_d and r["k"] not in new_d
+                applied.pop(r["k"])
+            elif r["op"] == "insert":
+                assert r["k"] not in old_d and r["k"] in new_d
+                applied[r["k"]] = r["new_v"]
+            else:
+                assert r["k"] in old_d and r["k"] in new_d
+                assert old_d[r["k"]] != new_d[r["k"]]  # no spurious updates
+                applied[r["k"]] = r["new_v"]
+        assert applied == new_d
+
+    run()
+
+
+def test_first_row_and_topk_laws(spark):
+    """first_row_per_group returns exactly one row per key — the
+    minimum under the (unique) ordering; topk returns the true top-k."""
+    rows_s = st.lists(
+        st.tuples(_KEY, st.integers(0, 50)), min_size=1, max_size=14
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(rows_s, st.integers(1, 4))
+    def run(rows, k):
+        df = spark.createDataFrame(
+            [(i, kk, v) for i, (kk, v) in enumerate(rows)],
+            "rid long, k string, v long",
+        )
+        first = api.first_row_per_group(df, "k", [F.col("v"), F.col("rid")])
+        want_first = {}
+        for i, (kk, v) in enumerate(rows):
+            if kk not in want_first or (v, i) < want_first[kk]:
+                want_first[kk] = (v, i)
+        assert {r["k"]: (r["v"], r["rid"]) for r in first.collect()} == want_first
+
+        top = api.topk_per_group(
+            df, "k", [F.col("v").desc(), F.col("rid")], k, rank_col="rk"
+        ).collect()
+        by_key: dict[str, list] = {}
+        for i, (kk, v) in enumerate(rows):
+            by_key.setdefault(kk, []).append((-v, i))
+        for kk, cand in by_key.items():
+            want = sorted(cand)[:k]
+            got = sorted(
+                (-r["v"], r["rid"]) for r in top if r["k"] == kk
+            )
+            assert got == want
+            ranks = sorted(r["rk"] for r in top if r["k"] == kk)
+            assert ranks == list(range(1, len(want) + 1))
+
+    run()
+
+
+def test_histogram_equidepth_law(spark):
+    """Bucket sizes differ by at most 1, cover every row, and bucket
+    value ranges are non-overlapping under a unique total ordering."""
+    vals_s = st.lists(st.integers(0, 30), min_size=1, max_size=25)
+
+    @settings(max_examples=6, deadline=None)
+    @given(vals_s, st.integers(1, 6))
+    def run(vals, buckets):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "rid long, v long"
+        )
+        got = api.histogram_equidepth(df, "v", buckets, ["rid"]).collect()
+        sizes = [r["n"] for r in got]
+        assert sum(sizes) == len(vals)
+        assert max(sizes) - min(sizes) <= 1
+        ordered = sorted(got, key=lambda r: r["bucket"])
+        # ranges may touch at equal values but not invert
+        for cur, nxt in zip(ordered, ordered[1:]):
+            assert cur["hi"] <= nxt["lo"]
+
+    run()
