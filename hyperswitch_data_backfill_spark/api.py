@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
+    "ann_topk",
     "asof_join",
     "first_row_per_group",
     "topk_per_group",
@@ -361,6 +362,85 @@ def sessionize(
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias(session_col),
     )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    method: str = "exact",
+    exclude_self: bool = True,
+    lsh_tables: int = 8,
+    lsh_bits: int = 6,
+) -> DataFrame:
+    """Top-k nearest neighbours by cosine for every query vector
+    (operators/similarity.py sim_exact_small / sim_topk made generic —
+    any embedding width, any id/vector column names).
+
+    - ``method="exact"``: brute force — norms folded ONCE per side
+      before the broadcast cross join pays only the dot product;
+      correct at any dimension, O(|corpus|·|queries|) scoring. The
+      oracle path; right whenever |queries| is small.
+    - ``method="lsh"``: multi-table random-hyperplane LSH — one Arrow
+      matmul per batch buckets both sides (plane matrix re-derived per
+      executor from seeds, batch-derived dim), candidates meet in a
+      bucket equi-join (never a cross join), multi-table collisions
+      collapse before the exact re-rank. Recall is tuned by
+      (lsh_tables, lsh_bits), the standard OR-amplification knob;
+      results are a recall<1 SUBSET of exact (the fixture pins a
+      measured floor, similarity.py sim_topk_recall_floor).
+
+    ``exclude_self`` drops id equality matches (corpus and queries
+    sharing an id namespace). Output columns: ``q_id``, ``{id_col}``,
+    ``cos_sim`` (rounded to 6dp), ``rk`` (1..k).
+    """
+    from .functions.arrays import dot, norm
+    from .operators.similarity import lsh_buckets_udf
+
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"method must be exact|lsh, got {method!r}")
+    qid = query_id_col or id_col
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__nrm")
+    )
+    q = queries.select(
+        F.col(qid).alias("q_id"),
+        F.col(vec_col).alias("__q_vec"),
+        norm(F.col(vec_col)).alias("__q_nrm"),
+    )
+    if method == "lsh":
+        c = c.select(
+            "*", F.posexplode(
+                lsh_buckets_udf(F.col(vec_col), lsh_tables, lsh_bits)
+            ).alias("__tbl", "__bucket"),
+        )
+        q = q.select(
+            "*", F.posexplode(
+                lsh_buckets_udf(F.col("__q_vec"), lsh_tables, lsh_bits)
+            ).alias("__tbl", "__bucket"),
+        )
+        cand = c.join(F.broadcast(q), ["__tbl", "__bucket"]).dropDuplicates(
+            ["q_id", id_col]
+        )
+    else:
+        cand = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("q_id"))
+    scored = cand.select(
+        "q_id",
+        id_col,
+        F.round(
+            dot(F.col("__q_vec"), F.col(vec_col))
+            / (F.col("__q_nrm") * F.col("__nrm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
 def histogram_equidepth(

@@ -152,7 +152,11 @@ def lsh_buckets_udf(emb_col, tables: int = LSH_TABLES, bits: int = LSH_BITS):
 
     def impl(emb: pd.Series) -> pd.Series:
         mat = np.stack(emb.to_numpy())  # (batch, dim)
-        proj = mat @ _all_planes(tables, bits).T  # (batch, tables·bits)
+        # dim derived from the batch itself: same seeds + same dim →
+        # identical planes (bit-for-bit with the DIM-constant fixture
+        # path at 64), and the kernel generalizes to any embedding
+        # width (api.ann_topk) without shipping plane matrices.
+        proj = mat @ _all_planes(tables, bits, dim=mat.shape[1]).T  # (batch, tables·bits)
         bitvals = (proj >= 0).astype(np.int64)
         weights = np.tile(1 << np.arange(bits), tables)
         buckets = (bitvals * weights).reshape(len(mat), tables, bits).sum(axis=2)

@@ -519,3 +519,101 @@ def test_histogram_equidepth_law(spark):
             assert cur["hi"] <= nxt["lo"]
 
     run()
+
+
+def test_ann_topk_exact_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        sim_exact_small,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = api.ann_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K, method="exact"
+    )
+    cols = ["q_id", "vec_id", "cos_sim", "rk"]
+    assert _rows(got, cols) == _rows(sim_exact_small(spark, SF_DIR), cols)
+
+
+def test_ann_topk_lsh_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        LSH_BITS,
+        LSH_TABLES,
+        N_QUERIES,
+        TOP_K,
+        sim_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = api.ann_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K,
+        method="lsh", lsh_tables=LSH_TABLES, lsh_bits=LSH_BITS,
+    )
+    cols = ["q_id", "vec_id", "cos_sim", "rk"]
+    assert _rows(got, cols) == _rows(sim_topk(spark, SF_DIR), cols)
+
+
+def test_ann_topk_laws(spark):
+    """exact == numpy brute force (same rounding, same tie rule); the
+    LSH subset carries correct scores, respects the k bound, and an
+    exact-duplicate vector is ALWAYS found (identical vectors share
+    every bucket in every table)."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    comp = st.integers(1, 5)
+    vecs_s = st.lists(
+        st.lists(comp, min_size=3, max_size=3), min_size=2, max_size=10
+    )
+
+    def cos6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        c = d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+        return float(Decimal(repr(c)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    @settings(max_examples=5, deadline=None)
+    @given(vecs_s, st.integers(1, 4))
+    def run(vecs, k):
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        # query 0 = an exact duplicate of corpus vector 0, fresh id
+        qvec = vecs[0]
+        queries = spark.createDataFrame(
+            [(1000, [float(x) for x in qvec])],
+            "vec_id long, embedding array<float>",
+        )
+        exact = api.ann_topk(corpus, queries, k=k, method="exact").collect()
+        # numpy/python brute force with the same rounding + tie rule
+        # (array<float> storage truncates to float32 first)
+        import numpy as np
+
+        q32 = np.asarray(qvec, dtype=np.float32).tolist()
+        scored = sorted(
+            ((-cos6(q32, np.asarray(v, dtype=np.float32).tolist()), i)
+             for i, v in enumerate(vecs)),
+        )[:k]
+        want = [(1000, i, -negc, rk + 1) for rk, (negc, i) in enumerate(scored)]
+        got = sorted(
+            ((r["q_id"], r["vec_id"], r["cos_sim"], r["rk"]) for r in exact),
+            key=lambda t: t[3],
+        )
+        assert [t[1:] for t in got] == [t[1:] for t in want]
+
+        lsh = api.ann_topk(
+            corpus, queries, k=k, method="lsh", lsh_tables=4, lsh_bits=4
+        ).collect()
+        assert len(lsh) <= k
+        by_cos = {i: cos6(q32, np.asarray(v, dtype=np.float32).tolist())
+                  for i, v in enumerate(vecs)}
+        for r in lsh:
+            assert r["cos_sim"] == by_cos[r["vec_id"]]
+        # the duplicate of the query (corpus id 0, cosine exactly 1.0)
+        # must always be a candidate, and the rank-1 row carries cos 1.0
+        top = [r for r in lsh if r["rk"] == 1]
+        assert len(top) == 1 and top[0]["cos_sim"] == 1.0
+        assert any(r["vec_id"] == 0 or by_cos[r["vec_id"]] == 1.0 for r in lsh)
+
+    run()
