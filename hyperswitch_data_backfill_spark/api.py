@@ -42,6 +42,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "ann_topk",
     "asof_join",
+    "neardup_pairs",
     "first_row_per_group",
     "topk_per_group",
     "merge_upsert",
@@ -441,6 +442,62 @@ def ann_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "jaccard",
+    threshold: float | None = None,
+    shingle_k: int | None = None,
+    max_bucket_members: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs over any (id, text) frame — the
+    L2 dedup tiers (operators/dedup.py) with caller-named columns.
+
+    - ``jaccard``: exact n-gram Jaccard via the shingle inverted index
+      (pairs: id_a, id_b, inter, n_a, n_b, jaccard). ``threshold`` is
+      the Jaccard floor (default: the module's 0.5), ``shingle_k`` the
+      shingle width (default 4).
+    - ``minhash``: MinHash+LSH banded candidates (id_a, id_b,
+      est_jaccard) — approximate, one signature scan, never O(n²);
+      ``threshold`` filters on the estimate if given.
+    - ``simhash``: banded Hamming-≤3 fingerprint pairs (id_a, id_b,
+      hamming); ``threshold`` (an int ≤ 3) tightens the Hamming cap.
+
+    All three run the bucket-local pair emission with the same skew
+    guards as the registered ops (``max_bucket_members`` = max-df /
+    bucket cap). Output ids carry the caller's values; id pairs are
+    emitted once with id_a < id_b (by the kernels' sort order).
+    """
+    from .operators import dedup as _d
+
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if method == "jaccard":
+        kw = {}
+        if threshold is not None:
+            kw["threshold"] = threshold
+        if shingle_k is not None:
+            kw["shingle_k"] = shingle_k
+        out = _d.jaccard_pairs(docs, max_bucket_members, **kw)
+    elif method == "minhash":
+        if shingle_k is not None:
+            raise ValueError("minhash signatures pin shingle_k at the module level")
+        out = _d.minhash_band_pairs(
+            _d.minhash_signatures(docs), max_bucket_members
+        )
+        if threshold is not None:
+            out = out.filter(F.col("est_jaccard") >= threshold)
+    elif method == "simhash":
+        out = _d.simhash_pairs(
+            _d.simhash_signatures(docs),
+            max_hamming=3 if threshold is None else int(threshold),
+        )
+    else:
+        raise ValueError(f"method must be jaccard|minhash|simhash, got {method!r}")
+    return out
 
 
 def histogram_equidepth(

@@ -253,12 +253,19 @@ def dedup_ngram_jaccard(
 
 
 def jaccard_pairs(
-    docs: DataFrame, max_bucket_members: int | None = None
+    docs: DataFrame,
+    max_bucket_members: int | None = None,
+    *,
+    threshold: float = JACCARD_THRESHOLD,
+    shingle_k: int = SHINGLE_K,
 ) -> DataFrame:
     """Core of dedup_ngram_jaccard over any documents-shaped frame —
-    split out so composed pipelines (corpus.pipeline_corpus_build) can
-    run the pair stage on an already-filtered corpus."""
-    sh = shingles_df(docs)
+    split out so composed pipelines (corpus.pipeline_corpus_build) and
+    the generic API (api.neardup_pairs) can run the pair stage on an
+    already-filtered corpus. Defaults reproduce the registered fixture
+    op exactly; ``threshold``/``shingle_k`` re-tune it for other
+    corpora without touching the plan shape."""
+    sh = shingles_df(docs, shingle_k)
     # Skew guard (the one skew surface here): a stopword-like shingle
     # shared by k docs makes a k-element posting array in ONE task and
     # k² pairs. ``max_bucket_members`` drops shingles whose document
@@ -316,7 +323,7 @@ def jaccard_pairs(
     return (
         pairs.select("id_a", "id_b", "inter", "n_a", "n_b")
         .withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= JACCARD_THRESHOLD)
+        .filter(jac >= threshold)
     )
 
 
@@ -364,7 +371,16 @@ def dedup_minhash(
     spark: SparkSession, sf_dir: str, max_bucket_members: int | None = None
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    return minhash_band_pairs(minhash_signatures(docs), max_bucket_members)
+
+
+def minhash_band_pairs(
+    sig: DataFrame, max_bucket_members: int | None = None
+) -> DataFrame:
+    """LSH banding + bucket-local pair emission over (doc_id, sig)
+    signatures — the pair stage of dedup_minhash, split out (same
+    pattern as jaccard_pairs) so the generic API can run it on
+    arbitrary corpora. Identical plan to the registered op."""
     bands = F.array(
         *[
             F.struct(
@@ -452,8 +468,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(simhash_signatures(docs))
 
 
-def simhash_pairs(sigs: DataFrame, rotate_bits: int = 0) -> DataFrame:
+def simhash_pairs(
+    sigs: DataFrame, rotate_bits: int = 0, *, max_hamming: int = 3
+) -> DataFrame:
     """Banded Hamming-≤3 pair generation over (doc_id, simhash).
+
+    ``max_hamming`` may only be TIGHTENED below 3: the 4-band×8-bit
+    pigeonhole guarantees completeness for ≤3 differing bits; a larger
+    value would return an incomplete pair set silently.
 
     Same bucket-then-pair shape as dedup_minhash: explode each doc to
     its 4 bands, one shuffle on (band, bits), pairs generated inside
@@ -463,6 +485,8 @@ def simhash_pairs(sigs: DataFrame, rotate_bits: int = 0) -> DataFrame:
     bits leave ≥1 of 4 bands intact) holds for ANY rotation — which is
     what lets dedup_simhash_crosscheck run a second, independent
     pigeonhole partition against the first."""
+    if max_hamming > 3:
+        raise ValueError("max_hamming > 3 voids the 4-band pigeonhole guarantee")
     fp = F.col("simhash")
     if rotate_bits:
         fp = (
@@ -505,7 +529,7 @@ def simhash_pairs(sigs: DataFrame, rotate_bits: int = 0) -> DataFrame:
         )
         .dropDuplicates(["id_a", "id_b"])  # collapse multi-band collisions
         .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
 

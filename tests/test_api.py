@@ -617,3 +617,66 @@ def test_ann_topk_laws(spark):
         assert any(r["vec_id"] == 0 or by_cos[r["vec_id"]] == 1.0 for r in lsh)
 
     run()
+
+
+def test_neardup_pairs_equiv(spark):
+    """All three near-dup tiers through the generic wrapper reproduce
+    the registered ops on renamed columns."""
+    from hyperswitch_data_backfill_spark.operators.dedup import (
+        dedup_minhash,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").alias("my_id"), F.col("text").alias("body")
+    )
+    jac = api.neardup_pairs(docs, id_col="my_id", text_col="body")
+    cols = ["id_a", "id_b", "inter", "n_a", "n_b", "jaccard"]
+    assert _rows(jac, cols) == _rows(dedup_ngram_jaccard(spark, SF_DIR), cols)
+
+    mh = api.neardup_pairs(docs, id_col="my_id", text_col="body", method="minhash")
+    cols = ["id_a", "id_b", "est_jaccard"]
+    assert _rows(mh, cols) == _rows(dedup_minhash(spark, SF_DIR), cols)
+
+    sh = api.neardup_pairs(docs, id_col="my_id", text_col="body", method="simhash")
+    cols = ["id_a", "id_b", "hamming"]
+    assert _rows(sh, cols) == _rows(dedup_simhash(spark, SF_DIR), cols)
+
+
+def test_neardup_pairs_tuning_law(spark):
+    """Tuning knobs behave monotonically: a lower Jaccard threshold is a
+    superset; a Hamming cap tightened to 0 returns only exact-fingerprint
+    pairs; thresholds filter correctly on generated corpora."""
+    token = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    doc = st.lists(token, min_size=4, max_size=12).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=6))
+    def run(texts):
+        texts = texts + [texts[0]]  # force one exact duplicate pair
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "k long, body string"
+        )
+        lo = api.neardup_pairs(
+            df, id_col="k", text_col="body", threshold=0.2
+        ).collect()
+        hi = api.neardup_pairs(
+            df, id_col="k", text_col="body", threshold=0.8
+        ).collect()
+        lo_pairs = {(r["id_a"], r["id_b"]) for r in lo}
+        hi_pairs = {(r["id_a"], r["id_b"]) for r in hi}
+        assert hi_pairs <= lo_pairs
+        assert all(r["jaccard"] >= 0.8 for r in hi)
+        # the forced duplicate (jaccard 1.0) survives any threshold
+        assert (0, len(texts) - 1) in hi_pairs
+
+        exact_fp = api.neardup_pairs(
+            df, id_col="k", text_col="body", method="simhash", threshold=0
+        ).collect()
+        assert all(r["hamming"] == 0 for r in exact_fp)
+        assert any(
+            {r["id_a"], r["id_b"]} == {0, len(texts) - 1} for r in exact_fp
+        )
+
+    run()
