@@ -42,7 +42,9 @@ from pyspark.sql.window import Window
 __all__ = [
     "ann_topk",
     "asof_join",
+    "cluster_pairs",
     "neardup_pairs",
+    "stable_split",
     "first_row_per_group",
     "topk_per_group",
     "merge_upsert",
@@ -498,6 +500,72 @@ def neardup_pairs(
     else:
         raise ValueError(f"method must be jaccard|minhash|simhash, got {method!r}")
     return out
+
+
+def stable_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    *,
+    buckets: int = 100,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, shuffle-free dataset splits (train/eval/test …)
+    by hashing the row id into ``buckets`` and slicing the bucket range
+    by the given weights, in dict order (aggregates.py
+    sample_stable_split made generic).
+
+    The split is a pure function of (id, salt): re-running, adding, or
+    removing OTHER rows never moves a row between splits — the property
+    that keeps eval sets uncontaminated as a corpus grows. Weights must
+    sum to 1 and each slice must be at least one bucket wide. ``salt``
+    derives an independent re-split without touching the id space.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("bigint") % buckets
+    )
+    expr = None
+    edge = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        edge += splits[name]
+        hi = round(edge * buckets)
+        if hi <= 0 or hi >= buckets:
+            raise ValueError(f"split {name!r} rounds to an empty bucket slice")
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    label = last if expr is None else expr.otherwise(last)
+    return df.select("*", label.alias(split_col))
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Connected components over any pair/edge frame → (node, label)
+    with label = the component's minimum id (dedup.propagate_min_labels
+    with caller-named columns). Distributed min-label propagation with
+    pointer doubling — O(log diameter) rounds, label state O(clustered
+    nodes), raises on non-convergence rather than returning a silent
+    split. Compose with ``neardup_pairs`` for near-dup clusters and
+    ``first_row_per_group`` for survivor selection."""
+    from .operators.dedup import propagate_min_labels
+
+    return propagate_min_labels(
+        pairs.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")),
+        max_rounds=max_rounds,
+    )
 
 
 def histogram_equidepth(

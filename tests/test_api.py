@@ -680,3 +680,94 @@ def test_neardup_pairs_tuning_law(spark):
         )
 
     run()
+
+
+def test_stable_split_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.aggregates import (
+        sample_stable_split,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = api.stable_split(
+        docs, "doc_id", {"train": 0.9, "eval": 0.1}
+    ).select("doc_id", "lang", "split")
+    cols = ["doc_id", "lang", "split"]
+    assert _rows(got, cols) == _rows(sample_stable_split(spark, SF_DIR), cols)
+
+
+def test_stable_split_laws(spark):
+    """A row's split is a pure function of (id, salt): invariant under
+    corpus membership changes; splits partition the frame; a different
+    salt re-deals; bad weights are rejected."""
+    ids_s = st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True)
+
+    @settings(max_examples=5, deadline=None)
+    @given(ids_s)
+    def run(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+        full = {r["id"]: r["split"] for r in api.stable_split(df, "id", splits).collect()}
+        assert set(full) == set(ids)
+        # contamination-proofness: splitting any subset gives identical labels
+        sub = df.filter(F.col("id") % 2 == 0)
+        sub_labels = {
+            r["id"]: r["split"] for r in api.stable_split(sub, "id", splits).collect()
+        }
+        assert all(full[i] == s for i, s in sub_labels.items())
+        # salt derives an independent deal (some id moves, given enough ids)
+        if len(ids) >= 20:
+            salted = {
+                r["id"]: r["split"]
+                for r in api.stable_split(df, "id", splits, salt="v2").collect()
+            }
+            assert salted != full
+
+    run()
+    with pytest.raises(ValueError):
+        api.stable_split(
+            spark.createDataFrame([(1,)], "id long"), "id", {"a": 0.5, "b": 0.4}
+        )
+    with pytest.raises(ValueError):
+        api.stable_split(
+            spark.createDataFrame([(1,)], "id long"), "id",
+            {"a": 0.001, "b": 0.999},
+        )
+
+
+def test_cluster_pairs_law(spark):
+    """cluster_pairs == python union-find: identical partition, label =
+    component minimum, on generated edge sets (self-loops, chains,
+    disjoint cliques all arise)."""
+    edges_s = st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=20,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(edges_s)
+    def run(edges):
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r["node"]: r["label"]
+            for r in api.cluster_pairs(df, id_a="a", id_b="b").collect()
+        }
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp: dict[int, list[int]] = {}
+        for n in parent:
+            comp.setdefault(find(n), []).append(n)
+        want = {n: min(members) for members in comp.values() for n in members}
+        assert got == want
+
+    run()
