@@ -90,6 +90,42 @@ def main() -> int:
     print(f"loaded : {cfg.replica_database.password}")
     print(f"redact : {cfg.redact()['replica_database']['password']}")
 
+    print("=== 7. The generic library API (your tables, your columns) ===")
+    # Everything above also composes on caller-supplied DataFrames via
+    # hyperswitch_data_backfill_spark.api — same kernels, any schema.
+    from hyperswitch_data_backfill_spark import api
+    from hyperswitch_data_backfill_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # near-dup pairs -> connected components -> survivor per cluster
+    pairs = api.neardup_pairs(docs, method="minhash")
+    clusters = api.cluster_pairs(pairs)
+    survivors = api.first_row_per_group(
+        docs.join(
+            clusters.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        ).withColumn("label", F.coalesce("label", "doc_id")),
+        "label",
+        [F.col("doc_id")],
+    )
+    print(
+        f"minhash pairs={pairs.count()}  "
+        f"clustered_docs={clusters.count()}  survivors={survivors.count()}"
+    )
+    # contamination-proof splits on the deduped corpus
+    api.stable_split(
+        survivors, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).groupBy("split").count().orderBy("split").show()
+    # as-of join: attach each user's latest purchase to every event
+    ev = load_table(spark, sf_dir, "events")
+    api.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+        ),
+        on="ts", by="user_id", value_cols=["purchase_value"],
+        tiebreak="event_id",
+    ).show(3)
+
     spark.stop()
     return 0
 

@@ -771,3 +771,67 @@ def test_cluster_pairs_law(spark):
         assert got == want
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# physical-plan guards for the generic kernels (same discipline as
+# test_plan_shape.py: the scale story is only real if plans keep shape)
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_asof_join_is_one_shuffle_no_join(spark):
+    """The union+window formulation must contain NO join operator and
+    exactly one Exchange (the by-key window shuffle): the whole point
+    over a range-join formulation at 100 TB."""
+    _, left, right = _events_split(spark)
+    p = _plan(
+        api.asof_join(
+            left, right, on="ts", by="user_id",
+            value_cols=["p_val"], tiebreak="event_id",
+        )
+    )
+    assert "Join" not in p, f"as-of degraded to a join:\n{p}"
+    import re
+
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n_exchange == 1, f"expected 1 keyed shuffle, saw {n_exchange}:\n{p}"
+
+
+def test_ann_lsh_has_no_cartesian(spark):
+    """LSH candidates meet in a bucket equi-join with the query side
+    broadcast; the exact path is the only one allowed a (broadcast)
+    cross join."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    p = _plan(
+        api.ann_topk(
+            emb, emb.filter(F.col("vec_id") < 4), k=5, method="lsh"
+        )
+    )
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, f"bucket join lost its broadcast:\n{p}"
+
+
+def test_scd2_apply_probes_broadcast(spark):
+    """The delta-key semi/anti probes must stay broadcast joins —
+    O(affected keys) shipped, never a history-sized shuffle."""
+    versioned = _versioned_events(spark)
+    snapshot = api.scd2_build(
+        versioned.filter(F.col("event_id") % 2 == 0), "user_id", "us", ["event_id"]
+    )
+    p = _plan(
+        api.scd2_apply(
+            snapshot, versioned.filter(F.col("event_id") % 2 == 1),
+            "user_id", "us", ["event_id"],
+        )
+    )
+    assert p.count("BroadcastHashJoin") >= 2, f"semi/anti probes not broadcast:\n{p}"
