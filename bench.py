@@ -180,13 +180,20 @@ def _reconcile(record: dict) -> None:
              prior[-1], tmp, "--sf-dir", SF_DIR],
             capture_output=True, text=True, cwd=repo,
         )
-        if out.returncode != 0:
-            # Don't let a crashed reconciler masquerade as "no movers":
-            # surface stderr and skip the BENCH_NOTES.md append entirely.
+        # Exit-code contract (tools/bench_reconcile.py): 0 = all movers
+        # cleared as noise, 1 = at least one CONFIRMED regression (the
+        # report is the valuable part — append it!), >=2 = the isolation
+        # harness itself failed. Treating 1 as a crash silently dropped
+        # exactly the reports that matter most (found in round 10 when a
+        # confirmed-regression verdict never reached BENCH_NOTES.md).
+        if out.returncode >= 2 or not out.stdout.strip():
             print(f"# --reconcile FAILED (exit {out.returncode}); "
                   "BENCH_NOTES.md not updated", file=sys.stderr)
             print(out.stderr.strip(), file=sys.stderr)
             return
+        if out.returncode == 1:
+            print("# --reconcile: CONFIRMED regression(s) — see the "
+                  "appended verdict table", file=sys.stderr)
         report = out.stdout.strip()
         print(report, file=sys.stderr)
         stamp = time.strftime("%Y-%m-%d %H:%M", time.gmtime())
