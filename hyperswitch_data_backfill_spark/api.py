@@ -43,6 +43,7 @@ __all__ = [
     "ann_topk",
     "asof_join",
     "cluster_pairs",
+    "dedup_incremental",
     "neardup_pairs",
     "stable_split",
     "first_row_per_group",
@@ -500,6 +501,55 @@ def neardup_pairs(
     else:
         raise ValueError(f"method must be jaccard|minhash|simhash, got {method!r}")
     return out
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    seen_fp: DataFrame | None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup — the daily-curation path
+    (operators/dedup.py dedup_incremental_exact made generic).
+
+    Returns ``(survivors, new_seen_fp)``:
+
+    - ``survivors``: batch rows that are first-of-their-content WITHIN
+      the batch (min ``id_col`` per text, deterministic) AND whose md5
+      fingerprint is absent from ``seen_fp`` (the stored fingerprint
+      table of everything already accepted; pass ``None`` on the first
+      batch). The batch never touches historical text — the history
+      side is a 16-byte-key anti-join, O(batch) per increment.
+    - ``new_seen_fp``: ``seen_fp`` ∪ the survivors' fingerprints — the
+      frame to persist (bucketed by ``fp_col``) for the next increment.
+
+    Law (hypothesis-pinned): folding any partition of a corpus through
+    this function accepts exactly one survivor per distinct text — the
+    same set a one-shot exact dedup of the concatenated corpus keeps,
+    batch boundaries notwithstanding (earlier batches win)."""
+    fp = F.md5(F.col(text_col)).alias(fp_col)
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    batch_first = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select("*", fp)
+    )
+    if seen_fp is not None:
+        # deliberately NOT broadcast: the fingerprint history grows with
+        # the corpus (billions of rows at 100 TB) — the anti-join
+        # shuffles on the 16-byte key, and bucketing the persisted
+        # table by fp_col makes it Exchange-free; Catalyst/AQE will
+        # still broadcast a genuinely small history on its own
+        survivors = batch_first.join(seen_fp.select(fp_col), fp_col, "left_anti")
+    else:
+        survivors = batch_first
+    new_fp = survivors.select(fp_col)
+    if seen_fp is not None:
+        new_fp = seen_fp.select(fp_col).unionByName(new_fp)
+    return survivors.drop(fp_col), new_fp.distinct()
 
 
 def stable_split(

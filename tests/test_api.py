@@ -835,3 +835,66 @@ def test_scd2_apply_probes_broadcast(spark):
         )
     )
     assert p.count("BroadcastHashJoin") >= 2, f"semi/anti probes not broadcast:\n{p}"
+
+
+def test_dedup_incremental_equiv(spark):
+    from hyperswitch_data_backfill_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        dedup_incremental_exact,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    batch = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    hist = docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    seen = hist.select(F.md5("text").alias("fp")).distinct()
+    survivors, _ = api.dedup_incremental(batch, seen)
+    cols = ["doc_id", "source", "n_chars"]
+    assert _rows(survivors.select(*cols), cols) == _rows(
+        dedup_incremental_exact(spark, SF_DIR), cols
+    )
+
+
+def test_dedup_incremental_fold_law(spark):
+    """Folding ANY batch partition of a corpus through dedup_incremental
+    accepts exactly one survivor per distinct text — the earliest-batch,
+    then min-id occurrence — i.e. the same acceptance set a one-shot
+    dedup of the whole corpus (processed in that batch order) keeps."""
+    token = st.sampled_from(["x", "y", "z"])
+    doc = st.lists(token, min_size=1, max_size=3).map(" ".join)
+    rows_s = st.lists(
+        st.tuples(doc, st.integers(0, 2)), min_size=1, max_size=12
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(rows_s)
+    def run(rows):
+        data = [(i, t, b) for i, (t, b) in enumerate(rows)]
+        schema = "doc_id long, text string, batch long"
+        seen = None
+        accepted = []
+        for b in range(3):
+            batch_rows = [r for r in data if r[2] == b]
+            batch = spark.createDataFrame(batch_rows or [], schema)
+            survivors, seen = api.dedup_incremental(batch, seen)
+            accepted += [
+                (r["doc_id"], r["text"]) for r in survivors.collect()
+            ]
+        # expected: first occurrence per text in (batch, doc_id) order
+        want = {}
+        for i, (t, b) in enumerate(rows):
+            key = t
+            cand = (b, i)
+            if key not in want or cand < want[key]:
+                want[key] = cand
+        assert sorted(accepted) == sorted(
+            (i, t) for t, (b, i) in want.items()
+        )
+        # idempotence: replaying any batch against the final state
+        # accepts nothing
+        replay = spark.createDataFrame(
+            [r for r in data if r[2] == 0] or [], schema
+        )
+        again, _ = api.dedup_incremental(replay, seen)
+        assert again.count() == 0
+
+    run()
