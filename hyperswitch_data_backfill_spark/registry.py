@@ -66,10 +66,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # changed since its latest green — list those here by hand and they go
 # first, ahead of the age-ranked tail. (New keys need no entry: a key
 # with no driver record anywhere ranks first automatically.)
-# Round 10: kafka_wire_roundtrip's implementation changed after its r9
-# green (decoded-tuple dedup for task-retry safety + malformed-frame
-# handling), so it re-enters the window ahead of the age-ranked tail.
-_WINDOW_PREPEND: tuple[str, ...] = ("kafka_wire_roundtrip",)
+# Round 11: kafka_wire_roundtrip's r10 record covers its current
+# implementation, so the r10 prepend is cleared.
+_WINDOW_PREPEND: tuple[str, ...] = ()
 
 # The newest CORRECTNESS_r*.json round the committed window reflects.
 # The rotation tripwire recomputes the suggestion from evidence rounds
@@ -77,64 +76,63 @@ _WINDOW_PREPEND: tuple[str, ...] = ("kafka_wire_roundtrip",)
 # post-snapshot no longer flips the test red, while a window left
 # unrotated for a full round fails the >=2-rounds-behind staleness
 # guard in test_registry.py.
-_WINDOW_EVIDENCE_ROUND: int = 9
+_WINDOW_EVIDENCE_ROUND: int = 10
 
-# ROUND-10 WINDOW = rotation output at evidence pin r9:
-# kafka_wire_roundtrip (prepend: implementation changed post-r9-green),
-# kafka_wire_routed_roundtrip (new, no evidence), the 19 r5-vintage keys
-# (scan/sort/window/setop/stream cohort flagged in the r9 verdict), then
-# r6-vintage oldest-first fill.
+# ROUND-11 WINDOW = rotation output at evidence pin r10: the 21
+# r6-vintage keys (text/profiling/window cohort — oldest evidence left),
+# then r8-vintage oldest-first fill (approx-agg error twins, CDC,
+# dedup family, graph). Re-pasted from `python tools/rotation.py`.
 _DRIVER_WINDOW: list[str] = [
-    "kafka_wire_roundtrip",
-    "kafka_wire_routed_roundtrip",
-    "sample_stratified_fixed",
-    "scalar_subquery_avg",
-    "scan_customer_page",
-    "scan_orders",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sim_ivfpq",
-    "sort_by_key",
-    "stream_attribution_replay",
-    "stream_cdc_maintainer_batch",
-    "topk_per_group",
-    "validate_ids",
-    "win_lag",
-    "win_range_frame",
-    "win_rank_stats",
-    "win_rownum",
-    "win_running_sum",
-    "win_tumbling",
-    "agg_corr_moments",
-    "agg_unpivot",
-    "array_ops",
-    "compact_latest",
-    "date_trunc_bucket",
-    "decontam_ngram",
-    "dedup_clusters",
-    "dedup_exact_hashkey",
-    "dedup_survivors",
-    "emb_centroid_per_label",
-    "emb_quantize_int8",
-    "emb_random_projection",
-    "funnel_steps",
-    "json_extract",
-    "json_extract_agg",
-    "json_serialize",
-    "kafka_payload_shape",
-    "map_props_stats",
-    "math_money",
-    "merge_upsert",
-    "multimodal_audio_rms",
-    "multimodal_frame_sample",
-    "multimodal_resize_mean",
-    "neardup_cosine",
-    "neardup_levenshtein",
-    "pack_sequences",
-    "parse_datetime_multi",
-    "pipeline_backfill_job",
-    "pipeline_clean_corpus",
+    "profile_columns",
+    "retention_cohort",
+    "sample_weighted_mix",
+    "scd2_intervals",
+    "set_intersect_all",
+    "sim_exact_small",
+    "stream_tumbling_replay",
+    "text_chunk_overlap",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_length_quantile_gate",
+    "text_ngram_freq",
+    "text_pii_redact",
+    "text_quality",
+    "text_repetition_gate",
+    "text_stats",
+    "text_tfidf",
+    "text_token_count_bpe",
+    "text_tokens",
+    "win_first_last",
+    "win_gap_islands",
+    "agg_approx_distinct_err",
+    "agg_approx_percentile_err",
+    "agg_countmin",
+    "agg_equidepth_histogram",
+    "agg_heavy_hitters",
+    "agg_hll_merge_err",
+    "agg_incremental_merge",
+    "agg_percentile",
+    "agg_salted_skew",
+    "attr_last_touch",
+    "cdc_apply_changes",
+    "cdc_snapshot_diff",
+    "compact_bin_pack",
+    "decontam_bloom",
+    "decontam_bloom_fn",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_incremental_exact",
+    "dedup_incremental_jaccard",
+    "dedup_minhash_precision",
+    "dedup_minhash_recall_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_simhash_crosscheck",
+    "dedup_span_ngrams",
+    "dedup_span_removal",
+    "dq_referential_integrity",
+    "emb_pq_quantize_err",
+    "graph_pagerank",
 ]
 
 
