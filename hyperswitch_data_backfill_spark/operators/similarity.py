@@ -171,6 +171,153 @@ def lsh_buckets_udf(emb_col, tables: int = LSH_TABLES, bits: int = LSH_BITS):
 _UDF_CACHE: dict[str, object] = {}
 
 
+# ---------------------------------------------------------------------------
+# Blocked cosine PAIR generation (the kernel under neardup_cosine,
+# neardup_cosine_lsh and dedup_semantic_clusters' pair stage).
+#
+# Two-phase discipline: an Arrow-batched BLAS matmul per block finds
+# CANDIDATE pairs at (threshold - slack) — all the quadratic FLOPs happen
+# inside one numpy call per block — then a Spark-side re-score with the
+# same codegen'd fold expressions (dot/norm/round) the oracle matches
+# produces the FINAL values. BLAS summation order differs from the
+# sequential fold by ~1e-14, so BLAS output is never emitted directly:
+# the slack guarantees no true pair is missed, and the exact re-score
+# guarantees bit-identical values/rounding. Re-score cost is
+# O(near-dup pairs), not O(block²).
+# ---------------------------------------------------------------------------
+
+# Candidate slack: covers BLAS-vs-sequential-fold drift (~1e-14) AND the
+# round-to-6dp boundary (a true cos of threshold-5e-7 rounds up to pass).
+_COS_BLAS_SLACK = 1e-5
+# Row-chunk for the per-block matmul: bounds peak memory at
+# chunk × block_rows × 8B (≤ 0.5 GB at the 64k block cap).
+_PAIR_CHUNK = 1024
+# Largest block the exact label-blocked path accepts: block² pair FLOPs
+# stay affordable (64k² × dim ≈ 275 GFLOP in BLAS) and the per-task
+# matmul fits one executor. Bigger blocks must go through the LSH path.
+MAX_COS_BLOCK = 65536
+# LSH pair-generation config: finer buckets than the top-k path (2^8 per
+# table vs 2^6) keep block sizes bounded, and more tables (24 vs 8) buy
+# the recall back — measured pair recall at cos>=0.4 (the fixture's
+# near-orthogonal HARD case): 0.80 sf0.01 / 0.59 sf0.1 / 0.62 sf1.
+LSH_PAIR_TABLES = 24
+LSH_PAIR_BITS = 8
+
+
+def blocked_pair_candidates(df: DataFrame, block_cols: list[str], threshold: float) -> DataFrame:
+    """Candidate (id_a, id_b) pairs with BLAS cosine >= threshold - slack,
+    generated independently per block (groupBy ``block_cols`` →
+    applyInPandas). Each block's all-pairs cosine matrix is computed in
+    row chunks of ``_PAIR_CHUNK`` so memory stays chunk × block, never
+    block². ``df`` needs (vec_id, embedding) plus the block columns;
+    pairs are emitted once per block with id_a < id_b (vec_id order) —
+    a pair colliding in several blocks (multi-table LSH) needs a
+    downstream dropDuplicates."""
+    cut = threshold - _COS_BLAS_SLACK
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": np.array([], dtype=np.int64), "id_b": np.array([], dtype=np.int64)}
+            )
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for lo in range(0, n, _PAIR_CHUNK):
+            hi = min(lo + _PAIR_CHUNK, n)
+            # rows lo..hi vs cols lo..n — the strictly-upper triangle of
+            # the full matrix, visited once.
+            sims = (mat[lo:hi] @ mat[lo:].T) / np.outer(nrm[lo:hi], nrm[lo:])
+            ii, jj = np.nonzero(sims >= cut)
+            keep = jj > ii  # global col = lo+jj, global row = lo+ii
+            gi, gj = ids[lo + ii[keep]], ids[lo + jj[keep]]
+            out_a.append(np.minimum(gi, gj))
+            out_b.append(np.maximum(gi, gj))
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return df.groupBy(*block_cols).applyInPandas(gen, "id_a bigint, id_b bigint")
+
+
+def rescore_pairs(
+    emb: DataFrame, cand: DataFrame, threshold: float, with_label: bool = False
+) -> DataFrame:
+    """Exact cosine for candidate pairs: two equi-joins on vec_id fetch
+    the vectors, then the SAME codegen'd dot/norm fold + round(6) the
+    oracle computes. At 100 TB this is the standard pair-table×vector-
+    store join — shuffle-partitioned by id, never quadratic."""
+    base = emb.withColumn("nrm", norm(F.col("embedding")))
+    a_cols = [
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    ]
+    if with_label:
+        a_cols.append(F.col("label"))
+    a = base.select(*a_cols)
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    out_cols = ["id_a", "id_b"] + (["label"] if with_label else [])
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            *out_cols,
+            F.round(
+                dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def oversized_block(df: DataFrame, block_cols: list[str], cap: int) -> bool:
+    """Bounded probe (same shape as joins.py's MAX_HOT_KEYS guard): one
+    aggregate job, limit(1) collect — True iff any block exceeds ``cap``
+    rows. The guard that keeps a blocked pair join from silently going
+    quadratic when a block is 100× what the plan was sized for."""
+    hit = (
+        df.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .limit(1)
+        .collect()
+    )
+    return bool(hit)
+
+
+def lsh_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = NEARDUP_COS,
+    tables: int = LSH_PAIR_TABLES,
+    bits: int = LSH_PAIR_BITS,
+) -> DataFrame:
+    """LSH-bucketed cosine pair graph — the 100 TB path: vectors explode
+    to (table, bucket) rows, candidate pairs form only WITHIN a bucket
+    (the pair join is bucket-equi, never label-blocked all-pairs), and
+    the exact re-score runs on the O(near-dups) candidate set. Bucket
+    count (2^bits per table) scales block sizes as n/2^bits; recall is
+    bought back with OR-amplification across ``tables``."""
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(lsh_buckets_udf(F.col("embedding"), tables, bits)).alias(
+            "tbl", "bucket"
+        ),
+    )
+    cand = blocked_pair_candidates(banded, ["tbl", "bucket"], threshold).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    return rescore_pairs(emb, cand, threshold)
+
+
 @register(
     "sim_topk",
     oracle=None,  # approximate (LSH recall < 1) → rows-only
@@ -324,26 +471,86 @@ _COS_PAIR_SQL = f"""
     oracle=_COS_PAIR_SQL + """
     SELECT id_a, id_b, label, cos_sim FROM cpairs
     """,
-    doc="L3c: embedding-cosine near-dup pairs with label blocking — the "
-        "blocked pair join (label-equi, so partitions pair only within a "
-        "block); at 100 TB the block key is an LSH bucket instead of label.",
+    doc="L3c: embedding-cosine near-dup pairs with label blocking — "
+        "exact semantics (the oracle's blocked pair join), executed as "
+        "per-block BLAS candidate generation + exact codegen re-score "
+        "(r10 verdict item 1: the per-pair fold expression made the "
+        "quadratic block pairing 40× slower than one matmul per block). "
+        f"A bounded probe raises if any label block exceeds "
+        f"{MAX_COS_BLOCK} rows — past that, block² work is a "
+        "scale-killer at any constant factor and the caller must use "
+        "neardup_cosine_lsh (bucket-blocked, recall-floored) instead.",
 )
 def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", norm(F.col("embedding"))
-    )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cs = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.label").alias("label"),
-            F.round(cs, 6).alias("cos_sim"),
+    emb = load_table(spark, sf_dir, "embeddings")
+    if oversized_block(emb, ["label"], MAX_COS_BLOCK):
+        raise ValueError(
+            f"a label block exceeds MAX_COS_BLOCK={MAX_COS_BLOCK} rows: "
+            "exact blocked pairing is quadratic per block — use "
+            "neardup_cosine_lsh (LSH-bucketed, recall-floored) at this scale"
         )
-        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    cand = blocked_pair_candidates(emb, ["label"], NEARDUP_COS)
+    return rescore_pairs(emb, cand, NEARDUP_COS, with_label=True)
+
+
+@register(
+    "neardup_cosine_lsh",
+    oracle=None,  # approximate (LSH pair recall < 1) → rows-only
+    doc="L3c-scale: embedding-cosine near-dup pairs blocked on "
+        f"random-hyperplane LSH buckets ({LSH_PAIR_TABLES} tables × "
+        f"{LSH_PAIR_BITS} bits, OR-amplified) instead of a data column — "
+        "the 100 TB path the label-blocked exact key cannot take: block "
+        "size is n/2^bits per table (tunable), never a whole label; the "
+        "quadratic stage is per-bucket BLAS on bounded blocks; the "
+        "exact re-score pays O(candidates). Approximate (a pair is seen "
+        "only if it collides in ≥1 table) → rows-only, flanked by the "
+        "driver-hashed neardup_cosine_recall_floor twin. Envelope gap: "
+        "the floor (0.40) catches wiring/banding breaks, not gradual "
+        "decay — measured 0.80/0.59/0.62 at sf0.01/0.1/1.",
+)
+def neardup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    return lsh_cosine_pairs(emb)
+
+
+# Measured LSH pair recall vs the exact label-blocked pair set (fixed
+# seeds, fixed fixtures → these are constants): 0.80 at sf0.01 (4/5
+# pairs), 0.593 at sf0.1 (51/86), 0.617 at sf1 (29.6k/48k). Floor sits
+# ≥32% under the worst point.
+NEARDUP_LSH_RECALL_FLOOR = 0.40
+
+
+@register(
+    "neardup_cosine_recall_floor",
+    oracle=_COS_PAIR_SQL + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
+    FROM cpairs
+    """,
+    doc="L3c-err: driver-hashed recall envelope for neardup_cosine_lsh — "
+        "the share of the EXACT label-blocked pair set (neardup_cosine's "
+        f"plan, whose count the oracle re-derives) found by the LSH path "
+        f"must clear {NEARDUP_LSH_RECALL_FLOOR}. Precision needs no twin: "
+        "every emitted pair is exact-re-scored against the same threshold, "
+        "so false positives are impossible by construction. A broken "
+        "banding (fewer effective tables, a dead signature bit) drops "
+        "recall below the floor → flag flips → hash red.",
+)
+def neardup_cosine_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = neardup_cosine(spark, sf_dir).select("id_a", "id_b")
+    lsh = neardup_cosine_lsh(spark, sf_dir).select("id_a", "id_b").withColumn(
+        "_hit", F.lit(1)
+    )
+    j = exact.join(lsh, ["id_a", "id_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_hit").alias("_hits")
+    ).select(
+        F.col("_n").cast("bigint").alias("n_exact_pairs"),
+        (
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("double") / F.col("_n")
+            >= NEARDUP_LSH_RECALL_FLOOR
+        ).alias("recall_ok"),
     )
 
 
@@ -365,8 +572,11 @@ def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "over the embedding-cosine near-dup pair graph (the fuzzy-dedup "
         "stage of an embedding-first curation pipeline, where paraphrase "
         "duplicates share no shingles but sit at cosine >= threshold). "
-        "Pairs come from the blocked cosine join (neardup_cosine: "
-        "label-equi blocking locally, LSH buckets at 100 TB); clustering "
+        "Pairs come from the blocked cosine kernel — exact label blocking "
+        "while every block clears the MAX_COS_BLOCK probe (fixtures and "
+        "sf1 do, keeping this key oracle-exact), switching to the "
+        "LSH-bucketed path (lsh_cosine_pairs, recall-floored) the moment "
+        "a block outgrows the quadratic budget; clustering "
         "reuses dedup.py's scale-adaptive machinery — driver union-find "
         "when the thresholded pair list is driver-sized (it is the "
         "near-dup EDGE set, not the corpus), else distributed min-label "
@@ -374,14 +584,27 @@ def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "either way; oracle is the recursive-CTE transitive closure over "
         "the identical pair SQL.",
 )
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_clusters(
+    spark: SparkSession, sf_dir: str, max_block: int = MAX_COS_BLOCK
+) -> DataFrame:
     from hyperswitch_data_backfill_spark.operators.dedup import (
         _EDGE_DRIVER_LIMIT,
         driver_union_find,
         propagate_min_labels,
     )
 
-    pairs = neardup_cosine(spark, sf_dir).select("id_a", "id_b")
+    emb = load_table(spark, sf_dir, "embeddings")
+    if oversized_block(emb, ["label"], max_block):
+        # Scale path: bucket-blocked candidates, exact re-score. Recall
+        # < 1 (envelope: neardup_cosine_recall_floor) — acceptable for
+        # dedup, where a missed edge means a kept near-duplicate, and
+        # the alternative is a block² join that cannot finish.
+        pairs = lsh_cosine_pairs(emb).select("id_a", "id_b")
+    else:
+        # neardup_cosine's exact pipeline, inlined so the block probe
+        # (already green above) is not re-run.
+        cand = blocked_pair_candidates(emb, ["label"], NEARDUP_COS)
+        pairs = rescore_pairs(emb, cand, NEARDUP_COS).select("id_a", "id_b")
     head = [(r.id_a, r.id_b) for r in pairs.limit(_EDGE_DRIVER_LIMIT + 1).collect()]
     if len(head) <= _EDGE_DRIVER_LIMIT:
         return spark.createDataFrame(

@@ -66,9 +66,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # changed since its latest green — list those here by hand and they go
 # first, ahead of the age-ranked tail. (New keys need no entry: a key
 # with no driver record anywhere ranks first automatically.)
-# Round 11: kafka_wire_roundtrip's r10 record covers its current
-# implementation, so the r10 prepend is cleared.
-_WINDOW_PREPEND: tuple[str, ...] = ()
+# Round 11: neardup_cosine (exact pipeline rebuilt on the blocked-BLAS
+# candidate kernel + re-score) and dedup_semantic_clusters (pair stage
+# routed through the same kernel with the LSH fallback probe) changed
+# implementation after their last green, so both re-enter the window
+# ahead of the age-ranked tail. kafka_wire_roundtrip's r10 prepend is
+# cleared (its r10 record covers the current implementation).
+_WINDOW_PREPEND: tuple[str, ...] = ("neardup_cosine", "dedup_semantic_clusters")
 
 # The newest CORRECTNESS_r*.json round the committed window reflects.
 # The rotation tripwire recomputes the suggestion from evidence rounds
@@ -78,61 +82,62 @@ _WINDOW_PREPEND: tuple[str, ...] = ()
 # guard in test_registry.py.
 _WINDOW_EVIDENCE_ROUND: int = 10
 
-# ROUND-11 WINDOW = rotation output at evidence pin r10: the 21
-# r6-vintage keys (text/profiling/window cohort — oldest evidence left),
-# then r8-vintage oldest-first fill (approx-agg error twins, CDC,
-# dedup family, graph). Re-pasted from `python tools/rotation.py`.
+# ROUND-11 WINDOW = rotation output at evidence pin r10 with the two
+# changed-implementation prepends: neardup_cosine + dedup_semantic_clusters
+# (rebuilt on the blocked-BLAS pair kernel this round), the two new LSH
+# pair keys (no evidence), then the r6-vintage text/profiling cohort and
+# r8-vintage oldest-first fill.
 _DRIVER_WINDOW: list[str] = [
-    "profile_columns",
-    "retention_cohort",
-    "sample_weighted_mix",
-    "scd2_intervals",
-    "set_intersect_all",
-    "sim_exact_small",
-    "stream_tumbling_replay",
-    "text_chunk_overlap",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_length_quantile_gate",
-    "text_ngram_freq",
-    "text_pii_redact",
-    "text_quality",
-    "text_repetition_gate",
-    "text_stats",
-    "text_tfidf",
-    "text_token_count_bpe",
-    "text_tokens",
-    "win_first_last",
-    "win_gap_islands",
-    "agg_approx_distinct_err",
-    "agg_approx_percentile_err",
-    "agg_countmin",
-    "agg_equidepth_histogram",
-    "agg_heavy_hitters",
-    "agg_hll_merge_err",
-    "agg_incremental_merge",
-    "agg_percentile",
-    "agg_salted_skew",
-    "attr_last_touch",
-    "cdc_apply_changes",
-    "cdc_snapshot_diff",
-    "compact_bin_pack",
-    "decontam_bloom",
-    "decontam_bloom_fn",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_incremental_exact",
-    "dedup_incremental_jaccard",
-    "dedup_minhash_precision",
-    "dedup_minhash_recall_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_clusters",
-    "dedup_simhash_crosscheck",
-    "dedup_span_ngrams",
-    "dedup_span_removal",
-    "dq_referential_integrity",
-    "emb_pq_quantize_err",
-    "graph_pagerank",
+    "neardup_cosine",  # green r10
+    "dedup_semantic_clusters",  # green r8
+    "neardup_cosine_lsh",  # no evidence
+    "neardup_cosine_recall_floor",  # no evidence
+    "profile_columns",  # green r6
+    "retention_cohort",  # green r6
+    "sample_weighted_mix",  # green r6
+    "scd2_intervals",  # green r6
+    "set_intersect_all",  # green r6
+    "sim_exact_small",  # green r6
+    "stream_tumbling_replay",  # green r6
+    "text_chunk_overlap",  # green r6
+    "text_fingerprint",  # green r6
+    "text_lang_id",  # green r6
+    "text_length_quantile_gate",  # green r6
+    "text_ngram_freq",  # green r6
+    "text_pii_redact",  # green r6
+    "text_quality",  # green r6
+    "text_repetition_gate",  # green r6
+    "text_stats",  # green r6
+    "text_tfidf",  # green r6
+    "text_token_count_bpe",  # green r6
+    "text_tokens",  # green r6
+    "win_first_last",  # green r6
+    "win_gap_islands",  # green r6
+    "agg_approx_distinct_err",  # green r8
+    "agg_approx_percentile_err",  # green r8
+    "agg_countmin",  # green r8
+    "agg_equidepth_histogram",  # green r8
+    "agg_heavy_hitters",  # green r8
+    "agg_hll_merge_err",  # green r8
+    "agg_incremental_merge",  # green r8
+    "agg_percentile",  # green r8
+    "agg_salted_skew",  # green r8
+    "attr_last_touch",  # green r8
+    "cdc_apply_changes",  # green r8
+    "cdc_snapshot_diff",  # green r8
+    "compact_bin_pack",  # green r8
+    "decontam_bloom",  # rows_only r8
+    "decontam_bloom_fn",  # green r8
+    "dedup_containment",  # green r8
+    "dedup_exact",  # green r8
+    "dedup_incremental_exact",  # green r8
+    "dedup_incremental_jaccard",  # green r8
+    "dedup_minhash_precision",  # green r8
+    "dedup_minhash_recall_pairs",  # green r8
+    "dedup_ngram_jaccard",  # green r8
+    "dedup_simhash_crosscheck",  # green r8
+    "dedup_span_ngrams",  # green r8
+    "dedup_span_removal",  # green r8
 ]
 
 

@@ -27,6 +27,9 @@ SANCTIONED_ROWS_ONLY = {
     "dedup_minhash",         # probabilistic signatures; recall-guarded
     "dedup_simhash",         # probabilistic fingerprints; recall-guarded
     "sim_topk",              # LSH ANN — recall floor vs exact baseline
+    "neardup_cosine_lsh",    # LSH-bucketed pair graph — recall floor vs
+    #   the exact label-blocked pair set (neardup_cosine_recall_floor);
+    #   precision is 1 by construction (exact re-score)
     "sim_ivf",               # IVF ANN — recall floor vs exact baseline
     "sim_ivf_trained",       # KMeans-trained IVF — recall floor
     "sim_ivfpq",             # IVF-PQ ANN — PQ-compressed ranking; recall floor
