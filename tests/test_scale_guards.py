@@ -1,0 +1,96 @@
+"""Executed scale guards (r10 verdict item 3): the posting-list valve and
+broadcast cap must TRIP on planted pathological corpora — raise-or-fall-
+back logic, not docstring promises. Planted corpora use monkeypatched
+caps so the tests stay fixture-sized; the production caps (4096 members,
+1M broadcast keys) never trip on the oracle'd fixtures (measured max
+shingle document-frequency: 6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperswitch_data_backfill_spark.operators import dedup
+from tests.conftest import SF_DIR
+
+
+def _hot_corpus(spark, n_docs=12):
+    """Documents-shaped frame where EVERY doc shares one 4-gram
+    ('common boiler plate text') — one shingle with df=n_docs."""
+    rows = [
+        (i, f"common boiler plate text unique{i} tail{i} word{i} end{i}")
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("t").alias("source"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+def test_jaccard_posting_valve_trips(spark, monkeypatch):
+    monkeypatch.setattr(dedup, "MAX_POSTING_LIST", 8)
+    with pytest.raises(ValueError, match="max_bucket_members"):
+        dedup.jaccard_pairs(_hot_corpus(spark)).count()
+
+
+def test_jaccard_cap_mode_survives_hot_shingle(spark, monkeypatch):
+    """With max_bucket_members set, the hot shingle is dropped (max-df)
+    and the pair stage completes — exact over the filtered space, so the
+    planted docs (similar ONLY through the hot shingle) emit no pairs."""
+    monkeypatch.setattr(dedup, "MAX_POSTING_LIST", 8)
+    out = dedup.jaccard_pairs(_hot_corpus(spark), max_bucket_members=8)
+    assert out.count() == 0
+
+
+def test_minhash_bucket_valve_trips(spark, monkeypatch):
+    """Identical docs land in identical band buckets — a bucket past the
+    valve must raise in uncapped mode, complete in capped mode."""
+    monkeypatch.setattr(dedup, "MAX_POSTING_LIST", 8)
+    dup_rows = [(i, "exactly the same boilerplate text for every doc") for i in range(12)]
+    docs = spark.createDataFrame(dup_rows, "doc_id bigint, text string")
+    sig = dedup.minhash_signatures(
+        docs.select("doc_id", "text", F.lit("en").alias("lang"),
+                    F.lit("t").alias("source"), F.length("text").cast("int").alias("n_chars"))
+    )
+    with pytest.raises(ValueError, match="MAX_POSTING_LIST"):
+        dedup.minhash_band_pairs(sig).count()
+    capped = dedup.minhash_band_pairs(sig, max_bucket_members=8)
+    assert capped.count() == 0  # over-full buckets dropped by the cap
+
+
+def test_incremental_jaccard_valve_trips(spark, monkeypatch, tmp_path):
+    monkeypatch.setattr(dedup, "MAX_POSTING_LIST", 8)
+    _hot_corpus(spark).write.parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(ValueError, match="max_bucket_members"):
+        dedup.dedup_incremental_jaccard(spark, str(tmp_path)).count()
+    # capped mode completes on the same corpus
+    dedup.dedup_incremental_jaccard(spark, str(tmp_path), max_bucket_members=8).count()
+
+
+def test_fixture_paths_clear_production_valves(spark):
+    """The production caps never trip on the oracle'd fixtures — the
+    guard protects the keys without changing them."""
+    assert dedup.dedup_ngram_jaccard(spark, SF_DIR).count() > 0
+    assert dedup.dedup_incremental_jaccard(spark, SF_DIR).count() >= 0
+
+
+def test_span_removal_broadcast_fallback_same_result(spark, monkeypatch):
+    """Past MAX_BROADCAST_KEYS the hot-span semi-join must fall back to
+    a shuffle join with IDENTICAL results."""
+    wide = dedup.dedup_span_removal(spark, SF_DIR).collect()
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_KEYS", 1)
+    narrow = dedup.dedup_span_removal(spark, SF_DIR).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, narrow))
+
+
+def test_bounded_broadcast_hint_logic(spark, monkeypatch):
+    """bounded_broadcast returns a hinted frame under the cap and the
+    raw frame past it (so Spark plans a shuffle join)."""
+    small = spark.range(5)
+    hinted = dedup.bounded_broadcast(small, cap=10)
+    assert "Hint broadcast" in hinted._jdf.queryExecution().logical().toString()
+    raw = dedup.bounded_broadcast(small, cap=2)
+    assert "Hint" not in raw._jdf.queryExecution().logical().toString()
