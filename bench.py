@@ -186,11 +186,20 @@ def _reconcile(record: dict) -> None:
         # harness itself failed. Treating 1 as a crash silently dropped
         # exactly the reports that matter most (found in round 10 when a
         # confirmed-regression verdict never reached BENCH_NOTES.md).
-        if out.returncode >= 2 or not out.stdout.strip():
+        if not out.stdout.strip():
             print(f"# --reconcile FAILED (exit {out.returncode}); "
                   "BENCH_NOTES.md not updated", file=sys.stderr)
             print(out.stderr.strip(), file=sys.stderr)
             return
+        partial = ""
+        if out.returncode >= 2:
+            # Isolation-harness errors with NO confirmed regression:
+            # still append whatever the sweep established (movers,
+            # noise verdicts, ERROR rows), flagged as partial — dropping
+            # the table threw away the non-erroring rows too.
+            partial = " — PARTIAL (isolation harness errors, exit 2)"
+            print("# --reconcile: isolation errors — appending partial "
+                  "report", file=sys.stderr)
         if out.returncode == 1:
             print("# --reconcile: CONFIRMED regression(s) — see the "
                   "appended verdict table", file=sys.stderr)
@@ -201,7 +210,7 @@ def _reconcile(record: dict) -> None:
             notes.write(
                 f"\n## bench.py --reconcile vs {os.path.basename(prior[-1])}"
                 f" ({stamp} UTC, loadavg_start"
-                f" {record['loadavg_start'][0]:.2f})\n\n{report}\n"
+                f" {record['loadavg_start'][0]:.2f}){partial}\n\n{report}\n"
             )
         print(f"# --reconcile: verdicts appended to BENCH_NOTES.md "
               f"(vs {os.path.basename(prior[-1])})", file=sys.stderr)

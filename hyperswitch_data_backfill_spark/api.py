@@ -42,6 +42,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "ann_topk",
     "asof_join",
+    "clean_corpus",
     "cluster_pairs",
     "dedup_incremental",
     "neardup_pairs",
@@ -113,6 +114,21 @@ def asof_join(
             c for c in right.columns
             if c not in by_cols and c != on and c != tiebreak
         ]
+    # Output names must not collide with existing left columns: the
+    # tolerance branch rebuilds the frame by suffix-matching column
+    # names, and the final select would hit a duplicate name — fail
+    # loudly up front instead of dropping/ambiguating a caller column.
+    out_names = [f"{on}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
+    clash = sorted(set(out_names) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"left columns {clash} collide with as-of output names "
+            f"(suffix={suffix!r}) — rename them or pass a different suffix"
+        )
+    reserved = {"__tag", *(f"__v_{c}" for c in value_cols)}
+    bad = sorted(reserved & set(left.columns))
+    if bad:
+        raise ValueError(f"left columns {bad} collide with asof_join internals")
     # tag 0 = probe (left), tag 1 = build (right). With exact matches
     # DISALLOWED the probe must sort before a same-instant build row
     # (tag asc); allowing them sorts the build first (tag desc).
@@ -456,6 +472,7 @@ def neardup_pairs(
     threshold: float | None = None,
     shingle_k: int | None = None,
     max_bucket_members: int | None = None,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs over any (id, text) frame — the
     L2 dedup tiers (operators/dedup.py) with caller-named columns.
@@ -468,7 +485,10 @@ def neardup_pairs(
       est_jaccard) — approximate, one signature scan, never O(n²);
       ``threshold`` filters on the estimate if given.
     - ``simhash``: banded Hamming-≤3 fingerprint pairs (id_a, id_b,
-      hamming); ``threshold`` (an int ≤ 3) tightens the Hamming cap.
+      hamming); ``max_hamming`` (an int ≤ 3) tightens the Hamming cap.
+      ``threshold`` is a SIMILARITY floor and is rejected for simhash —
+      a caller passing threshold=0.9 used to get int(0.9)=0, i.e.
+      identical fingerprints only, silently.
 
     All three run the bucket-local pair emission with the same skew
     guards as the registered ops (``max_bucket_members`` = max-df /
@@ -477,6 +497,8 @@ def neardup_pairs(
     """
     from .operators import dedup as _d
 
+    if max_hamming is not None and method != "simhash":
+        raise ValueError("max_hamming applies only to method='simhash'")
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     if method == "jaccard":
         kw = {}
@@ -494,9 +516,14 @@ def neardup_pairs(
         if threshold is not None:
             out = out.filter(F.col("est_jaccard") >= threshold)
     elif method == "simhash":
+        if threshold is not None:
+            raise ValueError(
+                "simhash is thresholded by Hamming distance, not similarity — "
+                "pass max_hamming=<int in 0..3> instead of threshold"
+            )
         out = _d.simhash_pairs(
             _d.simhash_signatures(docs),
-            max_hamming=3 if threshold is None else int(threshold),
+            max_hamming=3 if max_hamming is None else max_hamming,
         )
     else:
         raise ValueError(f"method must be jaccard|minhash|simhash, got {method!r}")
@@ -546,10 +573,111 @@ def dedup_incremental(
         survivors = batch_first.join(seen_fp.select(fp_col), fp_col, "left_anti")
     else:
         survivors = batch_first
+    # No distinct over the union: the legs are provably disjoint
+    # (survivors are anti-joined against seen_fp) and each is unique on
+    # its own — batch_first keeps one row per text, and seen_fp is this
+    # function's own output (unique by induction; a caller-supplied
+    # history must be distinct on fp_col). A full-history distinct here
+    # forced an O(history) shuffle every increment, breaking the
+    # documented O(batch) discipline.
     new_fp = survivors.select(fp_col)
     if seen_fp is not None:
         new_fp = seen_fp.select(fp_col).unionByName(new_fp)
-    return survivors.drop(fp_col), new_fp.distinct()
+    return survivors.drop(fp_col), new_fp
+
+
+def clean_corpus(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 50,
+    max_chars: int = 10_000,
+    min_tokens: int = 10,
+    min_unique_ratio: float = 0.3,
+    decontam_n: int = 5,
+    splits: dict[str, float] | None = None,
+    split_salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """The curation funnel as ONE composable call: quality gate → exact
+    dedup (keep-first) → benchmark decontamination → deterministic
+    split — the stage order every LLM-corpus pipeline runs
+    (text.pipeline_clean_corpus + corpus.decontam_ngram + stable_split
+    made generic over caller-named columns).
+
+    - Gate: length in [min_chars, max_chars], ≥ min_tokens whitespace
+      tokens, unique-token ratio ≥ min_unique_ratio (all pure codegen —
+      one filter, no shuffle).
+    - Dedup: min-``id_col`` survivor per exact ``text_col`` (the only
+      corpus-sized shuffle in the funnel; at 100 TB key it on
+      md5(text) — 16-byte shuffle key).
+    - Decontam (only when ``benchmark`` is given — any frame with
+      ``text_col``): drop survivors sharing a ``decontam_n``-gram with
+      the benchmark. The benchmark n-gram set is distinct-aggregated
+      and broadcast while it provably fits (bounded_broadcast counts
+      first, falling back to a shuffle semi-join past the cap); the
+      corpus n-gram explode is map-only, flowing straight into the
+      probe without materializing.
+    - Split (only when ``splits`` is given): ``stable_split`` on
+      ``id_col`` — a pure function of (id, salt), so eval membership
+      never moves as the corpus grows.
+
+    Returns the surviving rows with all input columns (+ ``split_col``
+    when splitting). Laws pinned in tests/test_api.py: equivalence with
+    the registered pipeline_clean_corpus on the fixture corpus,
+    no-duplicate-text/min-id-survivor, zero shared n-grams with the
+    benchmark after decontamination, and gate monotonicity."""
+    from .operators.dedup import bounded_broadcast
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    gated = df.filter(
+        F.length(text_col).between(min_chars, max_chars)
+        & (n_tokens >= min_tokens)
+        & (uniq_ratio >= min_unique_ratio)
+    )
+    deduped = first_row_per_group(gated, text_col, [F.col(id_col)])
+    out = deduped
+    if benchmark is not None:
+        def grams(frame: DataFrame) -> DataFrame:
+            t = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            return (
+                frame.select(F.col(id_col).alias("__cid"), t.alias("__t"))
+                .where(F.size("__t") >= decontam_n)
+                .select(
+                    "__cid",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("__t") - (decontam_n - 1)),
+                            lambda i: F.concat_ws(
+                                " ",
+                                *[F.element_at(F.col("__t"), i + k)
+                                  for k in range(decontam_n)],
+                            ),
+                        )
+                    ).alias("__g"),
+                )
+            )
+
+        bench_grams = (
+            grams(benchmark.select(F.lit(0).alias(id_col), text_col))
+            .select("__g").distinct()
+        )
+        hit = (
+            grams(deduped)
+            .join(bounded_broadcast(bench_grams), "__g", "left_semi")
+            .select(F.col("__cid").alias(id_col))
+            .distinct()
+        )
+        out = deduped.join(bounded_broadcast(hit), id_col, "left_anti")
+    if splits is not None:
+        out = stable_split(
+            out, id_col, splits, salt=split_salt, split_col=split_col
+        )
+    return out
 
 
 def stable_split(
@@ -583,12 +711,19 @@ def stable_split(
     )
     expr = None
     edge = 0.0
+    prev_hi = 0
     names = list(splits)
     for name in names[:-1]:
         edge += splits[name]
         hi = round(edge * buckets)
-        if hi <= 0 or hi >= buckets:
+        # hi must strictly advance past the previous cumulative edge —
+        # checking only the 0/buckets ends let a MIDDLE slice whose own
+        # width rounds to zero (e.g. {train:.9, val:.004, test:.096} at
+        # 100 buckets → val hi == train hi == 90) pass and be silently
+        # empty.
+        if hi <= prev_hi or hi >= buckets:
             raise ValueError(f"split {name!r} rounds to an empty bucket slice")
+        prev_hi = hi
         cond = bucket < hi
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])

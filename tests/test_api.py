@@ -672,7 +672,7 @@ def test_neardup_pairs_tuning_law(spark):
         assert (0, len(texts) - 1) in hi_pairs
 
         exact_fp = api.neardup_pairs(
-            df, id_col="k", text_col="body", method="simhash", threshold=0
+            df, id_col="k", text_col="body", method="simhash", max_hamming=0
         ).collect()
         assert all(r["hamming"] == 0 for r in exact_fp)
         assert any(
@@ -896,5 +896,140 @@ def test_dedup_incremental_fold_law(spark):
         )
         again, _ = api.dedup_incremental(replay, seen)
         assert again.count() == 0
+
+    run()
+
+
+def test_advice_r10_guards(spark):
+    """Round-10 ADVICE regressions pinned: (1) a middle split slice whose
+    width rounds to zero buckets must raise, not be silently empty;
+    (2) simhash rejects a similarity threshold (int(0.9)=0 footgun) and
+    takes max_hamming instead; (3) asof_join refuses left columns that
+    collide with its suffixed output names; (4) dedup_incremental's
+    fingerprint union carries no full-history Deduplicate."""
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="empty bucket slice"):
+        api.stable_split(
+            docs, "doc_id", {"train": 0.9, "val": 0.004, "test": 0.096}
+        )
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        api.neardup_pairs(docs, method="simhash", threshold=0.9)
+    with pytest.raises(ValueError, match="simhash"):
+        api.neardup_pairs(docs, method="jaccard", max_hamming=2)
+
+    ev = load_table(spark, SF_DIR, "events")
+    left = ev.select("user_id", "ts", F.lit(1).alias("ts_asof"))
+    with pytest.raises(ValueError, match="collide"):
+        api.asof_join(left, ev.select("user_id", "ts", "event_id"),
+                      on="ts", by="user_id")
+
+    # seen stands in for the PERSISTED fingerprint table (already
+    # distinct on disk) — a plain scan-shaped frame, so any
+    # Deduplicate/Aggregate in the union plan would be the full-history
+    # distinct this fix removed.
+    seen = docs.select(F.md5("text").alias("fp"))
+    _, new_fp = api.dedup_incremental(docs.limit(10), seen)
+    plan = new_fp._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in plan and "Aggregate" not in plan, plan
+
+
+def test_clean_corpus_equiv_pipeline(spark):
+    """Funnel equivalence: clean_corpus with the fixture thresholds and
+    a 90/10 split reproduces the registered pipeline_clean_corpus
+    (driver-hashed) row-for-row — the gate, dedup survivor, and md5
+    bucket split are the same formulas."""
+    from hyperswitch_data_backfill_spark.operators.text import (
+        pipeline_clean_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = api.clean_corpus(
+        docs, splits={"train": 0.9, "eval": 0.1}
+    ).select("doc_id", "lang", "n_chars", "split")
+    cols = ["doc_id", "lang", "n_chars", "split"]
+    assert _rows(got, cols) == _rows(pipeline_clean_corpus(spark, SF_DIR), cols)
+
+
+def test_clean_corpus_decontam_equiv(spark):
+    """Decontam leg equivalence: with the gate/split off and the
+    fixture's stand-in benchmark slice, the funnel's survivor id set
+    matches registered decontam_ngram."""
+    from hyperswitch_data_backfill_spark.operators.corpus import (
+        DECONTAM_BENCH_MOD,
+        decontam_ngram,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    got = api.clean_corpus(
+        train, bench, min_chars=0, max_chars=10**9,
+        min_tokens=0, min_unique_ratio=0.0,
+    )
+    cols = ["doc_id", "source", "n_chars"]
+    assert _rows(got.select(*cols), cols) == _rows(
+        decontam_ngram(spark, SF_DIR), cols
+    )
+
+
+def test_clean_corpus_laws(spark):
+    """Funnel laws on generated corpora: (1) output texts are unique
+    with the min-id survivor; (2) after decontamination no output doc
+    shares an n-gram with the benchmark, and clean docs survive;
+    (3) a stricter gate keeps a subset; (4) splits partition the
+    output."""
+    token = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(token, min_size=3, max_size=10).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=3, max_size=10), st.integers(0, 2))
+    def run(texts, bench_idx):
+        texts = texts + [texts[0]]  # force a duplicate
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(0, texts[bench_idx % len(texts)])], "doc_id long, text string"
+        )
+        out = api.clean_corpus(
+            df, bench, min_chars=0, max_chars=10**9,
+            min_tokens=0, min_unique_ratio=0.0, decontam_n=3,
+            splits={"a": 0.5, "b": 0.5},
+        ).collect()
+
+        # (1) unique texts, min-id survivor among gated rows
+        seen_texts = [r["text"] for r in out]
+        assert len(seen_texts) == len(set(seen_texts))
+        first_of = {}
+        for i, t in enumerate(texts):
+            first_of.setdefault(t, i)
+        for r in out:
+            assert r["doc_id"] == first_of[r["text"]]
+
+        # (2) decontam: no 3-gram overlap with the benchmark text
+        def ngrams(t, n=3):
+            ws = t.split()
+            return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+        bg = ngrams(texts[bench_idx % len(texts)])
+        for r in out:
+            assert not (ngrams(r["text"]) & bg), r["text"]
+
+        # (4) split column partitions the output
+        assert all(r["split"] in ("a", "b") for r in out)
+
+        # (3) monotone gate: stricter min_tokens keeps a subset
+        loose = {r["doc_id"] for r in api.clean_corpus(
+            df, min_chars=0, max_chars=10**9, min_tokens=0,
+            min_unique_ratio=0.0,
+        ).collect()}
+        strict = {r["doc_id"] for r in api.clean_corpus(
+            df, min_chars=0, max_chars=10**9, min_tokens=5,
+            min_unique_ratio=0.0,
+        ).collect()}
+        assert strict <= loose
 
     run()

@@ -202,6 +202,52 @@ def test_bench_reconcile_lists_speedup_movers(tmp_path, capsys):
     assert "q_flat" not in out                    # inside threshold
 
 
+def test_bench_reconcile_mixed_run_keeps_exit_1(tmp_path, capsys, monkeypatch):
+    """r10 ADVICE: a mixed run (one CONFIRMED regression + one
+    isolate-harness failure) must exit 1 — not 2 — so bench.py keeps the
+    confirmed rows; a pure-failure run still exits 2."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import bench_reconcile as br
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {"q_bad": 1.0, "q_err": 1.0}}))
+    new.write_text(json.dumps({"queries": {"q_bad": 2.0, "q_err": 2.0}}))
+
+    class FakeProc:
+        def __init__(self, stdout):
+            self.stdout = stdout
+            self.stderr = ""
+
+    def fake_run(cmd, **kw):
+        q = cmd[2]
+        if q == "q_bad":  # isolated min far above old → confirmed
+            return FakeProc(json.dumps({"min_sec": 1.9}) + "\n")
+        return FakeProc("not json\n")  # harness failure for q_err
+
+    monkeypatch.setattr(br.subprocess, "run", fake_run)
+    argv = sys.argv
+    sys.argv = ["bench_reconcile.py", str(old), str(new), "--n", "1"]
+    try:
+        rc = br.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert rc == 1, out
+    assert "REGRESSION" in out and "isolate failed" in out
+    assert "partial" in out
+
+    # pure harness failure (no confirmed verdict) stays exit 2
+    old.write_text(json.dumps({"queries": {"q_err": 1.0}}))
+    new.write_text(json.dumps({"queries": {"q_err": 2.0}}))
+    sys.argv = ["bench_reconcile.py", str(old), str(new), "--n", "1"]
+    try:
+        rc = br.main()
+    finally:
+        sys.argv = argv
+    assert rc == 2
+
+
 def test_ci_dry_run_job_steps_locally(tmp_path, capsys):
     """Local mirror of e2e.yml's container-free dry-run job: generate
     the CI fixture, boot the engine through the CLI exactly as the

@@ -83,6 +83,7 @@ def main() -> int:
     rows = ["| query | old sweep | new sweep | isolated min "
             f"(n={args.n}) | verdict |", "|---|---|---|---|---|"]
     worst = 0
+    iso_failed = False
     for q, o, n, d in movers:
         out = subprocess.run(
             [sys.executable, str(_REPO / "tools" / "isolate_bench.py"),
@@ -94,7 +95,7 @@ def main() -> int:
             iso = rec["min_sec"]
         except Exception:
             rows.append(f"| {q} | {o:.3f} | {n:.3f} | ERROR | isolate failed |")
-            worst = 2
+            iso_failed = True
             continue
         jitter_floor = 0.05  # per-job scheduling jitter for tiny queries
         if iso <= o * 1.05 or (o < 0.2 and iso <= o + jitter_floor):
@@ -104,7 +105,18 @@ def main() -> int:
             worst = max(worst, 1)
         rows.append(f"| {q} | {o:.3f} | {n:.3f} | **{iso:.3f}** | {verdict} |")
     print("\n".join(rows))
-    return worst
+    # Exit contract: a CONFIRMED regression dominates — a mixed run
+    # (confirmed regression + an isolate-harness error) must exit 1, not
+    # 2, so bench.py keeps the confirmed rows (round-10 ADVICE: worst=2
+    # on any isolate error discarded exactly the report this tool
+    # exists to produce). Exit 2 is reserved for runs where the harness
+    # failed and produced NO confirmed verdict.
+    if worst == 1:
+        if iso_failed:
+            print("\n(partial: some movers could not be isolated — see "
+                  "ERROR rows above)")
+        return 1
+    return 2 if iso_failed else worst
 
 
 if __name__ == "__main__":
