@@ -202,29 +202,27 @@ MAX_POSTING_LIST = 4096
 MAX_BROADCAST_KEYS = 1_000_000
 
 
-def assert_posting_lists_bounded(
-    keyed: DataFrame, key_cols: list[str], op: str
-) -> None:
-    """Bounded probe (one aggregate job, limit(1) collect — the
-    MAX_HOT_KEYS guard shape from joins.py): raise if any posting list
-    exceeds MAX_POSTING_LIST members. Called only on the uncapped exact
-    paths; the capped paths are bounded by construction."""
-    hit = (
-        keyed.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > MAX_POSTING_LIST)
-        .limit(1)
-        .collect()
+def guard_posting_buckets(buckets: DataFrame, size_expr, op: str) -> DataFrame:
+    """In-plan posting-list valve: ``assert_true(size <= cap)`` fused
+    into the bucket stage, so the moment a bucket exceeds
+    MAX_POSTING_LIST members the TASK raises our message — before the
+    k² pair explosion runs, with zero extra jobs (a separate probe
+    would recompute the full signature/shingle pass; a checkpoint
+    would pay materialization + job round-trips — both measured
+    regressions on dedup_minhash). assert_true returns NULL on
+    success, so the isNull() filter keeps every legal row. Applied only
+    on the uncapped exact paths; capped paths are bounded by
+    construction."""
+    msg = (
+        f"{op}: a posting list exceeds MAX_POSTING_LIST="
+        f"{MAX_POSTING_LIST} members - bucket-local pairing would emit "
+        "O(n^2) pairs in one task. Pass max_bucket_members to drop "
+        "stopword-like keys (standard max-df practice; scores stay "
+        "exact over the filtered space)."
     )
-    if hit:
-        raise ValueError(
-            f"{op}: a posting list exceeds MAX_POSTING_LIST="
-            f"{MAX_POSTING_LIST} members (key={tuple(hit[0][c] for c in key_cols)}, "
-            f"n={hit[0]['n']}) — bucket-local pairing would emit O(n²) pairs in "
-            "one task. Pass max_bucket_members to drop stopword-like keys "
-            "(standard max-df practice; scores stay exact over the "
-            "filtered space)."
-        )
+    return buckets.filter(
+        F.assert_true(size_expr <= F.lit(MAX_POSTING_LIST), F.lit(msg)).isNull()
+    )
 
 
 def bounded_broadcast(df: DataFrame, cap: int = MAX_BROADCAST_KEYS) -> DataFrame:
@@ -337,11 +335,6 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(bounded_broadcast(hot), "shingle", "left_anti")
-    else:
-        # Uncapped exact mode: refuse rather than OOM on a hot shingle
-        # (r10 verdict item 3 — the guard must be executed logic, not a
-        # docstring promise).
-        assert_posting_lists_bounded(sh, ["shingle"], "jaccard_pairs")
     # Set size rides along as a window count over the exploded shingles —
     # one shuffle on doc_id instead of a separate aggregate + two
     # re-joins against the pair table (matters: the pair table is the
@@ -359,6 +352,13 @@ def jaccard_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("members"))
         .filter(F.size("members") > 1)
     )
+    if max_bucket_members is None:
+        # Uncapped exact mode: refuse rather than OOM on a hot shingle
+        # (r10 verdict item 3 — the guard must be executed logic, not a
+        # docstring promise).
+        buckets = guard_posting_buckets(
+            buckets, F.size("members"), "jaccard_pairs"
+        )
     pair_structs = F.expr(
         """
         flatten(transform(sequence(0, size(members) - 2), i ->
@@ -456,14 +456,16 @@ def minhash_band_pairs(
     # such a bucket are (near-)exact dups that dedup_exact already
     # collapses upstream in any real pipeline. Uncapped mode refuses a
     # bucket past the hard valve instead of OOMing the task.
-    if max_bucket_members is None:
-        assert_posting_lists_bounded(banded, ["band", "bh"], "minhash_band_pairs")
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
         .filter(F.size("members") > 1)
     )
-    if max_bucket_members is not None:
+    if max_bucket_members is None:
+        buckets = guard_posting_buckets(
+            buckets, F.size("members"), "minhash_band_pairs"
+        )
+    else:
         buckets = buckets.filter(F.size("members") <= max_bucket_members)
     pair_structs = F.expr(
         """
@@ -804,10 +806,12 @@ def neardup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(docs)
     # same bucket-local pair emission as dedup_ngram_jaccard, minus the
     # set-size window (jaccard not needed — inter count is the gate)
-    buckets = (
+    buckets = guard_posting_buckets(
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids") > 1),
+        F.size("ids"),
+        "neardup_levenshtein",
     )
     pair_structs = F.expr(
         """
@@ -860,10 +864,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles_df(docs)
     sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    buckets = (
+    buckets = guard_posting_buckets(
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("members"))
-        .filter(F.size("members") > 1)
+        .filter(F.size("members") > 1),
+        F.size("members"),
+        "dedup_containment",
     )
     pair_structs = F.expr(
         """
@@ -1146,8 +1152,6 @@ def dedup_incremental_jaccard(
             .select("shingle")
         )
         sh = sh.join(bounded_broadcast(hot), "shingle", "left_anti")
-    else:
-        assert_posting_lists_bounded(sh, ["shingle"], "dedup_incremental_jaccard")
     sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     sh = sh.withColumn("is_batch", F.col("doc_id") % INCR_BATCH_MOD == 0)
     # Per shingle: the two sides' posting lists, pairs emitted ONLY
@@ -1165,6 +1169,14 @@ def dedup_incremental_jaccard(
         )
         .filter((F.size("hist") > 0) & (F.size("batch") > 0))
     )
+    if max_bucket_members is None:
+        # hist×batch emission per bucket — the valve bounds the larger
+        # side (the product is <= n², same failure mode).
+        buckets = guard_posting_buckets(
+            buckets,
+            F.greatest(F.size("hist"), F.size("batch")),
+            "dedup_incremental_jaccard",
+        )
     pair_structs = F.expr(
         """
         flatten(transform(hist, h -> transform(batch, b ->

@@ -8,6 +8,7 @@ shingle document-frequency: 6)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.errors import SparkRuntimeException
 from pyspark.sql import functions as F
 
 from hyperswitch_data_backfill_spark.operators import dedup
@@ -32,7 +33,11 @@ def _hot_corpus(spark, n_docs=12):
 
 def test_jaccard_posting_valve_trips(spark, monkeypatch):
     monkeypatch.setattr(dedup, "MAX_POSTING_LIST", 8)
-    with pytest.raises(ValueError, match="max_bucket_members"):
+    # the valve is IN-PLAN (assert_true fused into the bucket stage), so
+    # it fires at action time as a task error carrying our message —
+    # zero extra jobs, and it cannot be skipped by a call path that
+    # forgets a probe
+    with pytest.raises(SparkRuntimeException, match="max_bucket_members"):
         dedup.jaccard_pairs(_hot_corpus(spark)).count()
 
 
@@ -55,7 +60,7 @@ def test_minhash_bucket_valve_trips(spark, monkeypatch):
         docs.select("doc_id", "text", F.lit("en").alias("lang"),
                     F.lit("t").alias("source"), F.length("text").cast("int").alias("n_chars"))
     )
-    with pytest.raises(ValueError, match="MAX_POSTING_LIST"):
+    with pytest.raises(SparkRuntimeException, match="MAX_POSTING_LIST"):
         dedup.minhash_band_pairs(sig).count()
     capped = dedup.minhash_band_pairs(sig, max_bucket_members=8)
     assert capped.count() == 0  # over-full buckets dropped by the cap
@@ -64,7 +69,7 @@ def test_minhash_bucket_valve_trips(spark, monkeypatch):
 def test_incremental_jaccard_valve_trips(spark, monkeypatch, tmp_path):
     monkeypatch.setattr(dedup, "MAX_POSTING_LIST", 8)
     _hot_corpus(spark).write.parquet(str(tmp_path / "documents.parquet"))
-    with pytest.raises(ValueError, match="max_bucket_members"):
+    with pytest.raises(SparkRuntimeException, match="max_bucket_members"):
         dedup.dedup_incremental_jaccard(spark, str(tmp_path)).count()
     # capped mode completes on the same corpus
     dedup.dedup_incremental_jaccard(spark, str(tmp_path), max_bucket_members=8).count()

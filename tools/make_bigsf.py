@@ -19,15 +19,23 @@ original) and schema (DuckDB reads/writes the same parquet types):
   per component) so ANN sees new points near the manifold.
 
 Usage: python tools/make_bigsf.py [src_dir] [dst_dir] [factor] [row_group_size]
-Default: /root/testdata/sf0.1 -> /root/repo/.benchdata/sf1 x10
+Default: /root/testdata/sf0.1 -> /root/repo/.benchdata/sf1, x10, auto
 
-row_group_size (default: DuckDB's 122880) controls parquet row-group
-width — Spark's indivisible split unit. The driver fixtures are one
-row group per table, which serializes every scan stage regardless of
-core count (measured in BENCH_NOTES "Round-10: cores-scaling row");
-pass e.g. 16384 to produce a fixture with real split structure, which
-models the many-files/many-row-groups layout a 100 TB table actually
-has and lets the cores axis measure the PLANS instead of the fixture.
+row_group_size controls parquet row-group width — Spark's indivisible
+split unit. The driver fixtures are one row group per table, which
+serializes every scan stage regardless of core count (measured in
+BENCH_NOTES "Round-10: cores-scaling row"); the round-10 addendum's
+4096-row fixture proved the opposite failure (micro-splits: footer and
+scheduling overhead per ~50 KB group bite the cheap full-scan queries).
+
+Default 'auto' (r10 verdict item 6) sizes groups PER TABLE between
+those failure modes, production-proportionally: at most TARGET_GROUPS
+(=64, 2x the 32-core box) groups per table, and at least ~1 MB of rows
+per group (footer amortized). On a real 100 TB table both constraints
+are inactive — groups are ~128 MB and counts are huge — so 'auto'
+models the production property that matters (a scan is many
+independent, non-trivial splits) at fixture byte sizes. An integer
+forces a uniform width (122880 reproduces the old DuckDB default).
 
 Then:    SPARK_GRAFT_SF_DIR=/root/repo/.benchdata/sf1 python bench.py
 """
@@ -53,22 +61,40 @@ OFF = {
 }
 
 
+TARGET_GROUPS = 64  # cap groups per table: 2x the 32-core box
+MIN_GROUP_BYTES = 1 << 20  # floor: ~1 MB of rows per group
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    row_group_size = int(sys.argv[4]) if len(sys.argv) > 4 else 122880
+    rg_arg = sys.argv[4] if len(sys.argv) > 4 else "auto"
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW reps AS SELECT unnest(generate_series(0, {n - 1})) AS rep")
 
+    def auto_width(table: str) -> int:
+        """Per-table group width: ≤ TARGET_GROUPS groups, each ≥ ~1 MB.
+        Bytes/row estimated from the SOURCE parquet (replication keeps
+        it roughly invariant)."""
+        rows_src = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{src}/{table}.parquet')"
+        ).fetchone()[0]
+        bytes_src = os.path.getsize(f"{src}/{table}.parquet")
+        reps = 1 if table in ("region", "nation") else n
+        rows_out = rows_src * reps
+        rows_per_mb = max(1, int(rows_src * MIN_GROUP_BYTES / max(bytes_src, 1)))
+        return max(rows_out // TARGET_GROUPS, rows_per_mb, 1)
+
     def emit(table: str, select: str) -> None:
+        width = auto_width(table) if rg_arg == "auto" else int(rg_arg)
         con.execute(
             f"COPY ({select}) TO '{dst}/{table}.parquet' "
-            f"(FORMAT PARQUET, ROW_GROUP_SIZE {row_group_size})"
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {width})"
         )
         rows = con.sql(f"SELECT COUNT(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
-        print(f"{table}: {rows} rows")
+        print(f"{table}: {rows} rows (row_group_size {width})")
 
     def t(table: str) -> str:
         return f"read_parquet('{src}/{table}.parquet')"
