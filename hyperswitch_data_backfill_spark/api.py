@@ -50,6 +50,7 @@ __all__ = [
     "first_row_per_group",
     "topk_per_group",
     "merge_upsert",
+    "neardup_embeddings",
     "scd2_build",
     "scd2_apply",
     "sessionize",
@@ -528,6 +529,85 @@ def neardup_pairs(
     else:
         raise ValueError(f"method must be jaccard|minhash|simhash, got {method!r}")
     return out
+
+
+def neardup_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    method: str = "lsh",
+    block_col: str | None = None,
+    lsh_tables: int | None = None,
+    lsh_bits: int | None = None,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over any (id, vector)
+    frame — the round-11 blocked-BLAS pair kernel
+    (operators/similarity.py) with caller-named columns.
+
+    - ``method="lsh"`` (default — the 100 TB path): pair blocking on
+      random-hyperplane LSH buckets; block sizes are n/2^bits per
+      table, OR-amplified recall across ``lsh_tables``. Approximate:
+      a pair is seen only if it collides in ≥1 table (fixture-measured
+      recall envelope on the registered twin); every EMITTED pair is
+      exact-re-scored, so precision is 1 by construction.
+    - ``method="block"``: exact pairing within caller-chosen blocks
+      (``block_col`` — a language/shard/cluster key). Refuses blocks
+      past ``max_block`` (default similarity.MAX_COS_BLOCK): block²
+      work is a scale-killer at any constant factor; callers with
+      oversized blocks should switch to ``method="lsh"``.
+
+    Both run the same two-phase kernel: one chunked numpy matmul per
+    block finds candidates at threshold−slack, then the exact
+    codegen dot/norm/round re-score produces the final values — the
+    quadratic FLOPs never leave BLAS, and the candidate set is the
+    only thing that pays joins. Output: id_a, id_b (id_a < id_b),
+    cos_sim (6dp)."""
+    from .operators.similarity import (
+        LSH_PAIR_BITS,
+        LSH_PAIR_TABLES,
+        MAX_COS_BLOCK,
+        blocked_pair_candidates,
+        lsh_cosine_pairs,
+        oversized_block,
+        rescore_pairs,
+    )
+
+    emb = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if method == "lsh":
+        if block_col is not None:
+            raise ValueError("block_col applies only to method='block'")
+        return lsh_cosine_pairs(
+            emb,
+            threshold,
+            tables=LSH_PAIR_TABLES if lsh_tables is None else lsh_tables,
+            bits=LSH_PAIR_BITS if lsh_bits is None else lsh_bits,
+        )
+    if method == "block":
+        if block_col is None:
+            raise ValueError(
+                "method='block' needs block_col (a language/shard/cluster "
+                "key) — whole-corpus exact pairing is O(n²) by definition; "
+                "use method='lsh' instead"
+            )
+        if lsh_tables is not None or lsh_bits is not None:
+            raise ValueError("lsh_tables/lsh_bits apply only to method='lsh'")
+        cap = MAX_COS_BLOCK if max_block is None else max_block
+        blocked = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.col(block_col).alias("__blk"),
+        )
+        if oversized_block(blocked, ["__blk"], cap):
+            raise ValueError(
+                f"a {block_col!r} block exceeds max_block={cap} rows: exact "
+                "blocked pairing is quadratic per block — use method='lsh'"
+            )
+        cand = blocked_pair_candidates(blocked, ["__blk"], threshold)
+        return rescore_pairs(emb, cand, threshold)
+    raise ValueError(f"method must be lsh|block, got {method!r}")
 
 
 def dedup_incremental(

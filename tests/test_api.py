@@ -1033,3 +1033,65 @@ def test_clean_corpus_laws(spark):
         assert strict <= loose
 
     run()
+
+
+def test_neardup_embeddings_equiv(spark):
+    """Both methods through the generic wrapper reproduce the
+    registered cosine pair ops on renamed columns."""
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        neardup_cosine,
+        neardup_cosine_lsh,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("my_id"),
+        F.col("embedding").alias("vec"),
+        "label",
+    )
+    cols = ["id_a", "id_b", "cos_sim"]
+    got = api.neardup_embeddings(
+        emb, id_col="my_id", vec_col="vec", method="block", block_col="label"
+    )
+    assert _rows(got, cols) == _rows(neardup_cosine(spark, SF_DIR), cols)
+
+    got_lsh = api.neardup_embeddings(emb, id_col="my_id", vec_col="vec")
+    assert _rows(got_lsh, cols) == _rows(neardup_cosine_lsh(spark, SF_DIR), cols)
+
+
+def test_neardup_embeddings_guards_and_laws(spark):
+    """Parameter validation; the block-size refusal; and the precision
+    law (every emitted pair truly clears the threshold) on generated
+    vectors of a non-fixture dimension."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="block_col"):
+        api.neardup_embeddings(emb, method="block")
+    with pytest.raises(ValueError, match="lsh"):
+        api.neardup_embeddings(emb, method="block", block_col="label", lsh_bits=4)
+    with pytest.raises(ValueError, match="block_col"):
+        api.neardup_embeddings(emb, method="lsh", block_col="label")
+    with pytest.raises(ValueError, match="max_block"):
+        api.neardup_embeddings(
+            emb, method="block", block_col="label", max_block=10
+        )
+
+    # dim-16 generated vectors: kernel generalizes beyond the fixture
+    # width; precision is exact by construction
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((10, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i % 10] + (i // 10) * 0.01], i % 2)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v array<float>, grp int")
+    out = api.neardup_embeddings(
+        df, id_col="id", vec_col="v", method="block", block_col="grp",
+        threshold=0.95,
+    ).collect()
+    assert out, "planted near-identical replicas must pair"
+    by_id = {i: np.asarray(v, dtype=np.float64) for i, v, _ in rows}
+    for r in out:
+        a, b = by_id[r["id_a"]], by_id[r["id_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.95 - 1e-6
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"] - r["id_b"]) % 10 == 0 or cos >= 0.95  # replicas pair

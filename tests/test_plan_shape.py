@@ -409,3 +409,42 @@ def test_countmin_shuffle_is_grid_sized(spark):
     p = _exec_plan(spark, "agg_countmin")
     assert "Window" not in p
     assert p.count("Exchange hashpartitioning") <= 4, p
+
+
+def test_cosine_pair_kernel_shape(spark):
+    """Round-11 pair kernel: the quadratic FLOPs live in ONE
+    FlatMapGroupsInPandas per block — no join may appear below it (a
+    join-based pairing is the O(block²)-rows plan this kernel
+    replaced), the exact re-score is two id-keyed joins above it, and
+    nothing is a cartesian product."""
+    for name in ("neardup_cosine", "neardup_cosine_lsh"):
+        p = _exec_plan(spark, name)
+        assert p.count("FlatMapGroupsInPandas") == 1, name
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, name
+        # exact re-score: exactly two equi-joins fetch the vectors,
+        # both ABOVE the kernel (text before the FlatMapGroupsInPandas
+        # node in the plan tree) — a join below it would mean pairing
+        # regressed to a join-based formulation
+        head, _, _below = p.partition("FlatMapGroupsInPandas")
+        assert head.count("Join") == 2, f"{name}: re-score must be 2 joins\n{head}"
+
+
+def test_posting_valve_is_in_plan(spark):
+    """The r11 posting-list valve must be part of the PLAN (assert_true
+    filter), not a separate probe job — uncapped jaccard/minhash plans
+    carry the raise expression; capped plans don't."""
+    from hyperswitch_data_backfill_spark.catalog import load_table
+    from hyperswitch_data_backfill_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (jaccard_pairs(docs),
+               minhash_band_pairs(minhash_signatures(docs))):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "assert_true" in plan or "raise_error" in plan, plan[:2000]
+    capped = jaccard_pairs(docs, max_bucket_members=1000)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "assert_true" not in plan and "raise_error" not in plan
