@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hyperswitch_data_backfill_spark.catalog import load_table
-from hyperswitch_data_backfill_spark.operators.text import tokens
+from hyperswitch_data_backfill_spark.operators.text import spread_docs, tokens
 from hyperswitch_data_backfill_spark.registry import register
 
 CHUNK_TOKENS = 64   # window size
@@ -168,7 +168,7 @@ def text_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ratio = F.col("top_bigram_n").cast("double") / F.col("total_bigrams")
     return (
-        docs.select("doc_id", toks.alias("toks"))
+        spread_docs(docs).select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= 2)
         .select("doc_id", F.explode(bigram(F.col("toks"))).alias("bigram"))
         .groupBy("doc_id", "bigram")
@@ -237,7 +237,7 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     exploded = (
-        docs.select("doc_id", toks.alias("toks"))
+        spread_docs(docs).select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= DECONTAM_NGRAM)
         .select("doc_id", F.explode(grams(F.col("toks"))).alias("g"))
     )
@@ -466,7 +466,7 @@ def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     exploded = (
-        docs.select("doc_id", toks.alias("toks"))
+        spread_docs(docs).select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= DECONTAM_NGRAM)
         .select("doc_id", F.explode(grams(F.col("toks"))).alias("g"))
     )
@@ -688,7 +688,7 @@ def decontam_bloom_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     exploded = (
-        docs.select("doc_id", toks.alias("toks"))
+        spread_docs(docs).select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= DECONTAM_NGRAM)
         .select("doc_id", F.explode(grams(F.col("toks"))).alias("g"))
     )

@@ -26,6 +26,20 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda x: x != "")
 
 
+def spread_docs(docs: DataFrame) -> DataFrame:
+    """Spread the documents scan across cores BEFORE a token fan-out
+    (shingles_df's rationale, applied to the ~200x explode sites here):
+    a small parquet table arrives as a handful of row groups, and
+    without the spread the whole explode serializes on those few scan
+    tasks — measured 1.40 s -> 0.45 s on text_tokens at sf1. At 100 TB
+    the input has thousands of splits and AQE coalesces this shuffle to
+    a no-op; locally it is what engages all cores. Row-wise ops without
+    fan-out deliberately do NOT spread (the r10 rebalance-after-scan
+    A/B: an extra full-text shuffle is strictly harmful there)."""
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(spread, "doc_id")
+
+
 @register(
     "text_tokens",
     oracle="""
@@ -41,7 +55,8 @@ def tokens(col: Column) -> Column:
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        spread_docs(docs)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("doc_id").alias("df"))
     )
@@ -289,7 +304,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar job on a metadata-countable scan, not data motion
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tok = spread_docs(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "token").select(
@@ -485,7 +500,7 @@ def text_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tok = spread_docs(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     # The stage table of this operator: both the LM (uni/total) branch
     # and the scoring probe consume tf. At 100 TB this is the frame
     # you'd land as a table; localCheckpoint is the in-session
@@ -549,7 +564,7 @@ VOCAB_TOP_K = 20  # fixture corpus has 31 distinct tokens; 20 leaves a real OOV 
 )
 def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tok = spread_docs(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     rk = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token"))
     vocab = (
@@ -624,7 +639,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tok = spread_docs(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     # tf feeds three branches (dl, df, scored) — checkpoint so Catalyst
     # doesn't re-derive the corpus scan per consumer (the
     # text_unigram_logprob lesson; production lands tf as a stage table)
@@ -710,7 +725,7 @@ INVIDX_POSTING_CAP = 20
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = spread_docs(docs).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     ).distinct()
     idx = tok.groupBy("token").agg(

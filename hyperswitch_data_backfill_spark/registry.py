@@ -69,10 +69,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Round 11: neardup_cosine (exact pipeline rebuilt on the blocked-BLAS
 # candidate kernel + re-score) and dedup_semantic_clusters (pair stage
 # routed through the same kernel with the LSH fallback probe) changed
-# implementation after their last green, so both re-enter the window
-# ahead of the age-ranked tail. kafka_wire_roundtrip's r10 prepend is
-# cleared (its r10 record covers the current implementation).
-_WINDOW_PREPEND: tuple[str, ...] = ("neardup_cosine", "dedup_semantic_clusters")
+# implementation after their last green, as did the four token-explode
+# text ops not already in the age-ranked window (spread_docs
+# pre-explode repartition); all re-enter ahead of the tail.
+# kafka_wire_roundtrip's r10 prepend is cleared (its r10 record covers
+# the current implementation).
+_WINDOW_PREPEND: tuple[str, ...] = (
+    "neardup_cosine",
+    "dedup_semantic_clusters",
+    "text_unigram_logprob",
+    "text_vocab_oov",
+    "text_bm25",
+    "text_inverted_index",
+)
 
 # The newest CORRECTNESS_r*.json round the committed window reflects.
 # The rotation tripwire recomputes the suggestion from evidence rounds
@@ -82,14 +91,18 @@ _WINDOW_PREPEND: tuple[str, ...] = ("neardup_cosine", "dedup_semantic_clusters")
 # guard in test_registry.py.
 _WINDOW_EVIDENCE_ROUND: int = 10
 
-# ROUND-11 WINDOW = rotation output at evidence pin r10 with the two
-# changed-implementation prepends: neardup_cosine + dedup_semantic_clusters
-# (rebuilt on the blocked-BLAS pair kernel this round), the two new LSH
-# pair keys (no evidence), then the r6-vintage text/profiling cohort and
+# ROUND-11 WINDOW = rotation output at evidence pin r10 with the six
+# changed-implementation prepends (blocked-BLAS cosine kernel rebuilds +
+# the four spread_docs token-explode text ops), the two new LSH pair
+# keys (no evidence), then the r6-vintage text/profiling cohort and
 # r8-vintage oldest-first fill.
 _DRIVER_WINDOW: list[str] = [
     "neardup_cosine",  # green r10
     "dedup_semantic_clusters",  # green r8
+    "text_unigram_logprob",  # green r9
+    "text_vocab_oov",  # green r9
+    "text_bm25",  # green r9
+    "text_inverted_index",  # green r9
     "neardup_cosine_lsh",  # no evidence
     "neardup_cosine_recall_floor",  # no evidence
     "profile_columns",  # green r6
@@ -134,10 +147,6 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_incremental_jaccard",  # green r8
     "dedup_minhash_precision",  # green r8
     "dedup_minhash_recall_pairs",  # green r8
-    "dedup_ngram_jaccard",  # green r8
-    "dedup_simhash_crosscheck",  # green r8
-    "dedup_span_ngrams",  # green r8
-    "dedup_span_removal",  # green r8
 ]
 
 
