@@ -142,6 +142,24 @@ def main() -> None:
         _reconcile(record)
 
 
+def reconcile_disposition(returncode: int, stdout: str) -> str:
+    """Classify a bench_reconcile run (exit contract 0/1/2, hardened
+    round 10/11): 'skip' = no stdout at all (hard failure before any
+    report); 'crash' = exit 1 WITHOUT a verdict table — exit 1 is also
+    Python's default crash code, and recording a crash as a confirmed
+    regression would plant a phantom verdict in BENCH_NOTES;
+    'confirmed' = exit 1 with the table; 'partial' = exit >=2 with
+    stdout (isolation-harness errors, report still worth keeping,
+    flagged); 'clean' = exit 0."""
+    if not stdout.strip():
+        return "skip"
+    if returncode == 1:
+        return "confirmed" if "| verdict |" in stdout else "crash"
+    if returncode >= 2:
+        return "partial"
+    return "clean"
+
+
 def _reconcile(record: dict) -> None:
     """Diff this run against the newest committed BENCH_r*.json, isolate
     every >10% slowdown mover (min-of-8, fresh JVM), and append the
@@ -186,13 +204,19 @@ def _reconcile(record: dict) -> None:
         # harness itself failed. Treating 1 as a crash silently dropped
         # exactly the reports that matter most (found in round 10 when a
         # confirmed-regression verdict never reached BENCH_NOTES.md).
-        if not out.stdout.strip():
+        disposition = reconcile_disposition(out.returncode, out.stdout)
+        if disposition == "skip":
             print(f"# --reconcile FAILED (exit {out.returncode}); "
                   "BENCH_NOTES.md not updated", file=sys.stderr)
             print(out.stderr.strip(), file=sys.stderr)
             return
+        if disposition == "crash":
+            print("# --reconcile CRASHED (exit 1, no verdict table); "
+                  "BENCH_NOTES.md not updated", file=sys.stderr)
+            print(out.stderr.strip(), file=sys.stderr)
+            return
         partial = ""
-        if out.returncode >= 2:
+        if disposition == "partial":
             # Isolation-harness errors with NO confirmed regression:
             # still append whatever the sweep established (movers,
             # noise verdicts, ERROR rows), flagged as partial — dropping
@@ -200,7 +224,7 @@ def _reconcile(record: dict) -> None:
             partial = " — PARTIAL (isolation harness errors, exit 2)"
             print("# --reconcile: isolation errors — appending partial "
                   "report", file=sys.stderr)
-        if out.returncode == 1:
+        if disposition == "confirmed":
             print("# --reconcile: CONFIRMED regression(s) — see the "
                   "appended verdict table", file=sys.stderr)
         report = out.stdout.strip()

@@ -525,6 +525,7 @@ def neardup_pairs(
         out = _d.simhash_pairs(
             _d.simhash_signatures(docs),
             max_hamming=3 if max_hamming is None else max_hamming,
+            max_bucket_members=max_bucket_members,
         )
     else:
         raise ValueError(f"method must be jaccard|minhash|simhash, got {method!r}")
@@ -575,10 +576,24 @@ def neardup_embeddings(
         rescore_pairs,
     )
 
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"id_col {id_col!r} must be an integral type (got {id_type}): "
+            "the pair kernel carries bigint ids — map string/float ids to "
+            "a surrogate key first (e.g. xxhash64 or monotonically_"
+            "increasing_id) or a float id would silently truncate"
+        )
     emb = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     if method == "lsh":
         if block_col is not None:
             raise ValueError("block_col applies only to method='block'")
+        if max_block is not None:
+            raise ValueError(
+                "max_block applies only to method='block' — LSH bucket "
+                "sizes are controlled by lsh_bits (blocks are n/2^bits "
+                "per table), not a refusal cap"
+            )
         return lsh_cosine_pairs(
             emb,
             threshold,
@@ -710,8 +725,9 @@ def clean_corpus(
     no-duplicate-text/min-id-survivor, zero shared n-grams with the
     benchmark after decontamination, and gate monotonicity."""
     from .operators.dedup import bounded_broadcast
+    from .operators.text import tokens as _tokens
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = _tokens(F.col(text_col))
     n_tokens = F.size(toks)
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
     gated = df.filter(
@@ -723,7 +739,7 @@ def clean_corpus(
     out = deduped
     if benchmark is not None:
         def grams(frame: DataFrame) -> DataFrame:
-            t = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            t = _tokens(F.col(text_col))
             return (
                 frame.select(F.col(id_col).alias("__cid"), t.alias("__t"))
                 .where(F.size("__t") >= decontam_n)
@@ -752,7 +768,12 @@ def clean_corpus(
             .select(F.col("__cid").alias(id_col))
             .distinct()
         )
-        out = deduped.join(bounded_broadcast(hit), id_col, "left_anti")
+        # hit is near-dup-sized (contaminated ids) — left UNHINTED like
+        # the registered decontam_ngram twin: AQE broadcasts a small id
+        # set on its own, and a bounded_broadcast count here would
+        # execute the whole corpus-side decontam pipeline a second time
+        # at plan-construction (measured double work).
+        out = deduped.join(hit, id_col, "left_anti")
     if splits is not None:
         out = stable_split(
             out, id_col, splits, salt=split_salt, split_col=split_col

@@ -202,26 +202,44 @@ MAX_POSTING_LIST = 4096
 MAX_BROADCAST_KEYS = 1_000_000
 
 
-def guard_posting_buckets(buckets: DataFrame, size_expr, op: str) -> DataFrame:
+def guard_posting_buckets(
+    buckets: DataFrame, size_expr, op: str, *, pair_budget: bool = False
+) -> DataFrame:
     """In-plan posting-list valve: ``assert_true(size <= cap)`` fused
-    into the bucket stage, so the moment a bucket exceeds
-    MAX_POSTING_LIST members the TASK raises our message — before the
-    k² pair explosion runs, with zero extra jobs (a separate probe
-    would recompute the full signature/shingle pass; a checkpoint
-    would pay materialization + job round-trips — both measured
-    regressions on dedup_minhash). assert_true returns NULL on
-    success, so the isNull() filter keeps every legal row. Applied only
-    on the uncapped exact paths; capped paths are bounded by
-    construction."""
-    msg = (
-        f"{op}: a posting list exceeds MAX_POSTING_LIST="
-        f"{MAX_POSTING_LIST} members - bucket-local pairing would emit "
-        "O(n^2) pairs in one task. Pass max_bucket_members to drop "
-        "stopword-like keys (standard max-df practice; scores stay "
-        "exact over the filtered space)."
-    )
+    into the bucket stage, so the moment a bucket exceeds the budget
+    the TASK raises our message — before the k² pair explosion runs,
+    with zero extra jobs (a separate probe would recompute the full
+    signature/shingle pass; a checkpoint would pay materialization +
+    job round-trips — both measured regressions on dedup_minhash).
+    assert_true returns NULL on success, so the isNull() filter keeps
+    every legal row. Applied only on the uncapped exact paths; capped
+    paths are bounded by construction.
+
+    ``pair_budget=True`` compares ``size_expr`` (a per-bucket PAIR
+    count, e.g. hist×batch) against MAX_POSTING_LIST²/2 — the same
+    single-task burst the member-count valve allows its k(k-1)/2
+    emission, so cross-side emitters can't sneak a 2× burst past a
+    per-side cap."""
+    if pair_budget:
+        bound = MAX_POSTING_LIST * MAX_POSTING_LIST // 2
+        msg = (
+            f"{op}: a single bucket would emit more than {bound} pairs "
+            f"(the MAX_POSTING_LIST={MAX_POSTING_LIST} single-task "
+            "budget) in one task. Pass max_bucket_members to drop "
+            "stopword-like keys (standard max-df practice; scores stay "
+            "exact over the filtered space)."
+        )
+    else:
+        bound = MAX_POSTING_LIST
+        msg = (
+            f"{op}: a posting list exceeds MAX_POSTING_LIST="
+            f"{MAX_POSTING_LIST} members - bucket-local pairing would emit "
+            "O(n^2) pairs in one task. Pass max_bucket_members to drop "
+            "stopword-like keys (standard max-df practice; scores stay "
+            "exact over the filtered space)."
+        )
     return buckets.filter(
-        F.assert_true(size_expr <= F.lit(MAX_POSTING_LIST), F.lit(msg)).isNull()
+        F.assert_true(size_expr <= F.lit(bound), F.lit(msg)).isNull()
     )
 
 
@@ -531,13 +549,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_pairs(
-    sigs: DataFrame, rotate_bits: int = 0, *, max_hamming: int = 3
+    sigs: DataFrame,
+    rotate_bits: int = 0,
+    *,
+    max_hamming: int = 3,
+    max_bucket_members: int | None = None,
 ) -> DataFrame:
     """Banded Hamming-≤3 pair generation over (doc_id, simhash).
 
     ``max_hamming`` may only be TIGHTENED below 3: the 4-band×8-bit
     pigeonhole guarantees completeness for ≤3 differing bits; a larger
     value would return an incomplete pair set silently.
+
+    Same skew contract as minhash_band_pairs: ``max_bucket_members``
+    drops over-full band buckets (their members are near-identical
+    fingerprints a dedup_exact pass collapses upstream); uncapped mode
+    carries the in-plan MAX_POSTING_LIST valve instead — a hot bucket
+    raises before the k² pair explosion runs.
 
     Same bucket-then-pair shape as dedup_minhash: explode each doc to
     its 4 bands, one shuffle on (band, bits), pairs generated inside
@@ -573,6 +601,12 @@ def simhash_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
         .filter(F.size("members") > 1)
     )
+    if max_bucket_members is None:
+        buckets = guard_posting_buckets(
+            buckets, F.size("members"), "simhash_pairs"
+        )
+    else:
+        buckets = buckets.filter(F.size("members") <= max_bucket_members)
     pair_structs = F.expr(
         """
         flatten(transform(sequence(0, size(members) - 2), i ->
@@ -1170,12 +1204,15 @@ def dedup_incremental_jaccard(
         .filter((F.size("hist") > 0) & (F.size("batch") > 0))
     )
     if max_bucket_members is None:
-        # hist×batch emission per bucket — the valve bounds the larger
-        # side (the product is <= n², same failure mode).
+        # hist×batch emission per bucket — bound the PRODUCT against
+        # the same single-task pair budget the k(k-1)/2 emitters get
+        # (a per-side greatest() cap would admit a 2× burst at
+        # hist = batch = MAX_POSTING_LIST).
         buckets = guard_posting_buckets(
             buckets,
-            F.greatest(F.size("hist"), F.size("batch")),
+            F.size("hist") * F.size("batch"),
             "dedup_incremental_jaccard",
+            pair_budget=True,
         )
     pair_structs = F.expr(
         """

@@ -548,10 +548,14 @@ def neardup_cosine_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n"), F.sum("_hit").alias("_hits")
     ).select(
         F.col("_n").cast("bigint").alias("n_exact_pairs"),
-        (
+        # vacuously satisfied on an empty exact set — 0/0 would be NULL
+        # and flip the driver hash red for no reason
+        F.when(F.col("_n") == 0, F.lit(True))
+        .otherwise(
             F.coalesce(F.col("_hits"), F.lit(0)).cast("double") / F.col("_n")
             >= NEARDUP_LSH_RECALL_FLOOR
-        ).alias("recall_ok"),
+        )
+        .alias("recall_ok"),
     )
 
 

@@ -81,6 +81,8 @@ _WINDOW_PREPEND: tuple[str, ...] = (
     "text_vocab_oov",
     "text_bm25",
     "text_inverted_index",
+    # in-plan posting valve added to its banding (round-11 review fix)
+    "dedup_simhash",
 )
 
 # The newest CORRECTNESS_r*.json round the committed window reflects.
@@ -91,10 +93,10 @@ _WINDOW_PREPEND: tuple[str, ...] = (
 # guard in test_registry.py.
 _WINDOW_EVIDENCE_ROUND: int = 10
 
-# ROUND-11 WINDOW = rotation output at evidence pin r10 with the six
-# changed-implementation prepends (blocked-BLAS cosine kernel rebuilds +
-# the four spread_docs token-explode text ops), the two new LSH pair
-# keys (no evidence), then the r6-vintage text/profiling cohort and
+# ROUND-11 WINDOW = rotation output at evidence pin r10 with the seven
+# changed-implementation prepends (blocked-BLAS cosine kernel rebuilds,
+# the four spread_docs token-explode text ops, the simhash valve), the
+# two new LSH pair keys (no evidence), then the r6-vintage cohort and
 # r8-vintage oldest-first fill.
 _DRIVER_WINDOW: list[str] = [
     "neardup_cosine",  # green r10
@@ -103,6 +105,7 @@ _DRIVER_WINDOW: list[str] = [
     "text_vocab_oov",  # green r9
     "text_bm25",  # green r9
     "text_inverted_index",  # green r9
+    "dedup_simhash",  # rows_only r9
     "neardup_cosine_lsh",  # no evidence
     "neardup_cosine_recall_floor",  # no evidence
     "profile_columns",  # green r6
@@ -146,7 +149,6 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_incremental_exact",  # green r8
     "dedup_incremental_jaccard",  # green r8
     "dedup_minhash_precision",  # green r8
-    "dedup_minhash_recall_pairs",  # green r8
 ]
 
 

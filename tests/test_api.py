@@ -1095,3 +1095,23 @@ def test_neardup_embeddings_guards_and_laws(spark):
         assert cos >= 0.95 - 1e-6
         assert r["id_a"] < r["id_b"]
         assert (r["id_a"] - r["id_b"]) % 10 == 0 or cos >= 0.95  # replicas pair
+
+
+def test_neardup_embeddings_id_and_cap_validation(spark):
+    """Review findings pinned: non-integral ids are rejected up front
+    (the kernel carries bigint ids — a float id would silently
+    truncate), and max_block with method='lsh' raises instead of being
+    silently unenforced."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    stringy = emb.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        api.neardup_embeddings(stringy)
+    floaty = emb.select(
+        F.col("vec_id").cast("double").alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        api.neardup_embeddings(floaty)
+    with pytest.raises(ValueError, match="max_block"):
+        api.neardup_embeddings(emb, method="lsh", max_block=100)

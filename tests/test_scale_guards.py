@@ -67,8 +67,11 @@ def test_minhash_bucket_valve_trips(spark, monkeypatch):
 
 
 def test_incremental_jaccard_valve_trips(spark, monkeypatch, tmp_path):
+    """The cross-side emitter is bounded by the PAIR budget
+    (MAX_POSTING_LIST²/2 = 32 at cap 8): 24 docs sharing a shingle split
+    5 batch × 19 hist = 95 pairs in one bucket → must raise."""
     monkeypatch.setattr(dedup, "MAX_POSTING_LIST", 8)
-    _hot_corpus(spark).write.parquet(str(tmp_path / "documents.parquet"))
+    _hot_corpus(spark, n_docs=24).write.parquet(str(tmp_path / "documents.parquet"))
     with pytest.raises(SparkRuntimeException, match="max_bucket_members"):
         dedup.dedup_incremental_jaccard(spark, str(tmp_path)).count()
     # capped mode completes on the same corpus
@@ -99,3 +102,21 @@ def test_bounded_broadcast_hint_logic(spark, monkeypatch):
     assert "Hint broadcast" in hinted._jdf.queryExecution().logical().toString()
     raw = dedup.bounded_broadcast(small, cap=2)
     assert "Hint" not in raw._jdf.queryExecution().logical().toString()
+
+
+def test_simhash_bucket_valve_trips(spark, monkeypatch):
+    """simhash_pairs shares the bucket-local emission shape — identical
+    docs share all 4 band buckets; uncapped mode must raise past the
+    valve, capped mode drops the over-full buckets (review finding:
+    this was the one pair emitter left unguarded)."""
+    monkeypatch.setattr(dedup, "MAX_POSTING_LIST", 8)
+    rows = [(i, "exactly the same boilerplate text for every doc") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = dedup.simhash_signatures(docs)
+    with pytest.raises(SparkRuntimeException, match="MAX_POSTING_LIST"):
+        dedup.simhash_pairs(sigs).count()
+    assert dedup.simhash_pairs(sigs, max_bucket_members=8).count() == 0
+
+    # and through the generic API, the cap must reach the simhash leg
+    from hyperswitch_data_backfill_spark import api
+    assert api.neardup_pairs(docs, method="simhash", max_bucket_members=8).count() == 0

@@ -276,3 +276,20 @@ def test_ci_dry_run_job_steps_locally(tmp_path, capsys):
     assert by_topic["hyperswitch-consolidated-events"] == (
         by_topic["orders-events"] + by_topic["lineitem-events"]
     )
+
+
+
+def test_bench_reconcile_disposition_contract():
+    """bench.py's exit-code interpretation (review finding: a reconciler
+    CRASH also exits 1 — it must not be recorded as a confirmed
+    regression; only an exit 1 carrying the verdict table is)."""
+    import bench as bench_mod
+
+    d = bench_mod.reconcile_disposition
+    table = "| query | ... | verdict |\n| q | 1.0 | REGRESSION |"
+    assert d(1, table) == "confirmed"
+    assert d(1, "3 slowdown mover(s):\nTraceback ...") == "crash"
+    assert d(0, "no slowdown movers") == "clean"
+    assert d(2, table) == "partial"
+    assert d(1, "") == "skip"
+    assert d(0, "   \n") == "skip"
