@@ -66,23 +66,24 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # changed since its latest green — list those here by hand and they go
 # first, ahead of the age-ranked tail. (New keys need no entry: a key
 # with no driver record anywhere ranks first automatically.)
-# Round 11: neardup_cosine (exact pipeline rebuilt on the blocked-BLAS
-# candidate kernel + re-score) and dedup_semantic_clusters (pair stage
-# routed through the same kernel with the LSH fallback probe) changed
-# implementation after their last green, as did the four token-explode
-# text ops not already in the age-ranked window (spread_docs
-# pre-explode repartition); all re-enter ahead of the tail.
-# kafka_wire_roundtrip's r10 prepend is cleared (its r10 record covers
-# the current implementation).
+# Round 12: the LSH cosine pair path gets the bucket-size valve +
+# multi-probe recall lift (neardup_cosine_lsh, its recall-floor twin,
+# and the LSH branch of dedup_semantic_clusters, whose oracle also
+# moves from recursive reach-CTE to label propagation); the jaccard /
+# levenshtein / containment posting emitters gain per-call
+# max_bucket_members knobs and the bounded_broadcast probe loses its
+# double execution (r11 ADVICE). All re-enter ahead of the tail.
+# Round-11 prepends are cleared (their r11 records cover the shipped
+# implementations).
 _WINDOW_PREPEND: tuple[str, ...] = (
-    "neardup_cosine",
+    "neardup_cosine_lsh",
+    "neardup_cosine_recall_floor",
     "dedup_semantic_clusters",
-    "text_unigram_logprob",
-    "text_vocab_oov",
-    "text_bm25",
-    "text_inverted_index",
-    # in-plan posting valve added to its banding (round-11 review fix)
-    "dedup_simhash",
+    "neardup_levenshtein",
+    "dedup_containment",
+    "dedup_incremental_jaccard",
+    "dedup_span_removal",
+    "dedup_ngram_jaccard",
 )
 
 # The newest CORRECTNESS_r*.json round the committed window reflects.
@@ -91,64 +92,63 @@ _WINDOW_PREPEND: tuple[str, ...] = (
 # post-snapshot no longer flips the test red, while a window left
 # unrotated for a full round fails the >=2-rounds-behind staleness
 # guard in test_registry.py.
-_WINDOW_EVIDENCE_ROUND: int = 10
+_WINDOW_EVIDENCE_ROUND: int = 11
 
-# ROUND-11 WINDOW = rotation output at evidence pin r10 with the seven
-# changed-implementation prepends (blocked-BLAS cosine kernel rebuilds,
-# the four spread_docs token-explode text ops, the simhash valve), the
-# two new LSH pair keys (no evidence), then the r6-vintage cohort and
-# r8-vintage oldest-first fill.
+# ROUND-12 WINDOW = rotation output at evidence pin r11 with the eight
+# changed-implementation prepends (LSH cosine valve + multi-probe, the
+# label-propagation clusters oracle, the posting-emitter knob/probe
+# fixes), then the r8-vintage cohort and r9-vintage oldest-first fill.
 _DRIVER_WINDOW: list[str] = [
-    "neardup_cosine",  # green r10
-    "dedup_semantic_clusters",  # green r8
-    "text_unigram_logprob",  # green r9
-    "text_vocab_oov",  # green r9
-    "text_bm25",  # green r9
-    "text_inverted_index",  # green r9
-    "dedup_simhash",  # rows_only r9
-    "neardup_cosine_lsh",  # no evidence
-    "neardup_cosine_recall_floor",  # no evidence
-    "profile_columns",  # green r6
-    "retention_cohort",  # green r6
-    "sample_weighted_mix",  # green r6
-    "scd2_intervals",  # green r6
-    "set_intersect_all",  # green r6
-    "sim_exact_small",  # green r6
-    "stream_tumbling_replay",  # green r6
-    "text_chunk_overlap",  # green r6
-    "text_fingerprint",  # green r6
-    "text_lang_id",  # green r6
-    "text_length_quantile_gate",  # green r6
-    "text_ngram_freq",  # green r6
-    "text_pii_redact",  # green r6
-    "text_quality",  # green r6
-    "text_repetition_gate",  # green r6
-    "text_stats",  # green r6
-    "text_tfidf",  # green r6
-    "text_token_count_bpe",  # green r6
-    "text_tokens",  # green r6
-    "win_first_last",  # green r6
-    "win_gap_islands",  # green r6
-    "agg_approx_distinct_err",  # green r8
-    "agg_approx_percentile_err",  # green r8
-    "agg_countmin",  # green r8
-    "agg_equidepth_histogram",  # green r8
-    "agg_heavy_hitters",  # green r8
-    "agg_hll_merge_err",  # green r8
-    "agg_incremental_merge",  # green r8
-    "agg_percentile",  # green r8
-    "agg_salted_skew",  # green r8
-    "attr_last_touch",  # green r8
-    "cdc_apply_changes",  # green r8
-    "cdc_snapshot_diff",  # green r8
-    "compact_bin_pack",  # green r8
-    "decontam_bloom",  # rows_only r8
-    "decontam_bloom_fn",  # green r8
-    "dedup_containment",  # green r8
-    "dedup_exact",  # green r8
-    "dedup_incremental_exact",  # green r8
-    "dedup_incremental_jaccard",  # green r8
-    "dedup_minhash_precision",  # green r8
+    "neardup_cosine_lsh",  # rows_only r11
+    "neardup_cosine_recall_floor",  # green r11
+    "dedup_semantic_clusters",  # green r11
+    "neardup_levenshtein",  # green r10
+    "dedup_containment",  # green r11
+    "dedup_incremental_jaccard",  # green r11
+    "dedup_span_removal",  # green r8
+    "dedup_ngram_jaccard",  # green r8
+    "dedup_minhash_recall_pairs",  # green r8
+    "dedup_simhash_crosscheck",  # green r8
+    "dedup_span_ngrams",  # green r8
+    "dq_referential_integrity",  # green r8
+    "emb_pq_quantize_err",  # green r8
+    "graph_pagerank",  # green r8
+    "graph_triangle_count",  # green r8
+    "join_asof",  # green r8
+    "join_asof_tolerance",  # green r8
+    "join_broadcast",  # green r8
+    "join_skew_salted",  # green r8
+    "join_skew_split",  # green r8
+    "join_smj",  # green r8
+    "layout_zonemap",  # green r8
+    "pipeline_corpus_build",  # green r8
+    "pipeline_settlement_report",  # green r8
+    "sample_temperature_mix",  # green r8
+    "sim_ivf",  # rows_only r8
+    "sim_ivf_recall_floor",  # green r8
+    "sim_ivf_trained",  # rows_only r8
+    "sim_ivf_trained_recall_floor",  # green r8
+    "sim_ivfpq_recall_floor",  # green r8
+    "sim_topk",  # rows_only r8
+    "sim_topk_recall_floor",  # green r8
+    "udf_decrypt",  # green r8
+    "win_session",  # green r8
+    "win_sliding",  # green r8
+    "agg_approx_distinct",  # rows_only r9
+    "agg_approx_percentile",  # rows_only r9
+    "agg_cube",  # green r9
+    "agg_distinct",  # green r9
+    "agg_group_count",  # green r9
+    "agg_grouping_sets",  # green r9
+    "agg_histogram",  # green r9
+    "agg_hll_merge",  # rows_only r9
+    "agg_mode",  # green r9
+    "agg_pivot",  # green r9
+    "agg_rollup",  # green r9
+    "agg_stats",  # green r9
+    "anomaly_zscore",  # green r9
+    "count_filtered",  # green r9
+    "dedup_minhash",  # rows_only r9
 ]
 
 
