@@ -448,3 +448,27 @@ def test_posting_valve_is_in_plan(spark):
     capped = jaccard_pairs(docs, max_bucket_members=1000)
     plan = capped._jdf.queryExecution().optimizedPlan().toString()
     assert "assert_true" not in plan and "raise_error" not in plan
+
+
+def test_lsh_pair_valve_plan_shape(spark):
+    """r12 hot-bucket valve: the bucket-size enrichment must reach the
+    kernel through a BROADCAST join (key cardinality ≤ tables·2^bits by
+    construction — a shuffle join here would re-shuffle the whole
+    exploded banding), and the refuse mode must carry the in-plan
+    assert_true raise, not a separate probe job."""
+    from hyperswitch_data_backfill_spark.catalog import load_table
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        lsh_cosine_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    split_plan = (
+        lsh_cosine_pairs(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in split_plan
+    assert "CartesianProduct" not in split_plan
+    refuse_logical = (
+        lsh_cosine_pairs(emb, max_bucket=None)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "assert_true" in refuse_logical

@@ -25,11 +25,12 @@ def test_sim_topk_recall(spark):
     got = {(r["q_id"], r["vec_id"]) for r in approx}
     recall = len(truth & got) / len(truth)
     # Deterministic pipeline (fixed seeds, fixed fixture): measured
-    # 0.287 on this corpus (r6). Floor pinned within ~6% of measured so
-    # a subtle banding bug that halves recall (e.g. half the tables —
-    # measured 0.163, see test_lsh_recall_floor_catches_degradation)
-    # fails loudly instead of shipping green.
-    assert recall >= 0.27, f"LSH recall collapsed: {recall:.3f} (measured 0.287)"
+    # 0.600 on this corpus (sf0.001; r12 query-side multi-probe — was
+    # 0.287 at sf0.01 pre-probe; 0.762/0.738/0.912 at sf0.01/0.1/1).
+    # Floor pinned within ~5% of measured so a subtle banding bug that
+    # halves recall — or kills the probe wiring — fails loudly instead
+    # of shipping green.
+    assert recall >= 0.57, f"LSH recall collapsed: {recall:.3f} (measured 0.600)"
 
 
 def test_minhash_candidates_cover_true_pairs(spark):
@@ -852,8 +853,12 @@ def test_lsh_recall_floor_catches_degradation(spark):
     """The floor must have teeth (r5 verdict item 3): a deliberate
     recall-halving mutation — half the LSH tables — must land BELOW the
     sim_topk floor, so that class of banding bug fails CI instead of
-    shipping green. Measured: 8 tables → 0.287 (floor 0.27); 4 tables →
-    0.163; 2 tables → 0.075."""
+    shipping green. Measured (probe-less helper): 8 tables → 0.287;
+    4 tables → 0.163; 2 tables → 0.075 — since r12's query-side
+    multi-probe lifted the pytest floor to 0.72, even the FULL-width
+    probe-less pipeline (a dead-probe-wiring mutation) lands below it,
+    so both mutation classes are caught (floors at the sf0.001 pytest
+    fixture scale)."""
     from hyperswitch_data_backfill_spark.catalog import load_table
 
     exact = {
@@ -865,9 +870,18 @@ def test_lsh_recall_floor_catches_degradation(spark):
         (r["q_id"], r["vec_id"]) for r in _lsh_topk_over(emb, tables=4).collect()
     }
     recall = len(exact & degraded) / len(exact)
-    assert recall < 0.27, (
+    assert recall < 0.57, (
         f"half-tables mutation still clears the floor ({recall:.3f}) — "
         "the floor is too loose to catch a halved-recall banding bug"
+    )
+    # dead probe wiring: the full 8-table but probe-less pipeline must
+    # also land below the r12 floor
+    probeless = {
+        (r["q_id"], r["vec_id"]) for r in _lsh_topk_over(emb, tables=8).collect()
+    }
+    recall_pl = len(exact & probeless) / len(exact)
+    assert recall_pl < 0.57, (
+        f"probe-less mutation still clears the floor ({recall_pl:.3f})"
     )
 
 

@@ -120,3 +120,97 @@ def test_simhash_bucket_valve_trips(spark, monkeypatch):
     # and through the generic API, the cap must reach the simhash leg
     from hyperswitch_data_backfill_spark import api
     assert api.neardup_pairs(docs, method="simhash", max_bucket_members=8).count() == 0
+
+
+def _degenerate_embeddings(spark, n=40, dim=8):
+    """The LSH worst case: IDENTICAL vectors — every row lands in the
+    SAME bucket in every table (and every probe), so without a valve
+    one task materializes the whole corpus and goes n² in one block."""
+    vec = [float(i % 3 + 1) for i in range(dim)]
+    return spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id bigint, embedding array<float>"
+    )
+
+
+def test_lsh_cosine_refuse_valve_trips(spark):
+    """max_bucket=None = strict-recall-accounting mode: the in-plan
+    assert_true on the bucket-size count must raise BEFORE the
+    quadratic pair stage runs (r11 verdict item 1: this was the last
+    pair emitter without an executed guard)."""
+    from hyperswitch_data_backfill_spark.operators import similarity as sim
+
+    emb = _degenerate_embeddings(spark)
+    with pytest.raises(SparkRuntimeException, match="max_bucket"):
+        # cap far below the planted bucket of 40 so the test stays tiny
+        import unittest.mock as mock
+        with mock.patch.object(sim, "LSH_MAX_BUCKET", 8):
+            sim.lsh_cosine_pairs(emb, max_bucket=None).count()
+
+
+def test_lsh_cosine_autosplit_survives_degenerate_corpus(spark):
+    """Default mode hash-splits the hot bucket: the op completes, no
+    block exceeds the cap, and identical vectors still pair WITHIN
+    splits (cos=1 ≥ threshold) — recall loss is cross-split only,
+    which the registered recall-floor twin monitors."""
+    from hyperswitch_data_backfill_spark.operators import similarity as sim
+
+    emb = _degenerate_embeddings(spark)
+    out = sim.lsh_cosine_pairs(emb, max_bucket=8).collect()
+    assert len(out) > 0
+    assert all(abs(r.cos_sim - 1.0) < 1e-9 for r in out)
+    # splitting loses cross-split pairs by design: pair count must be
+    # strictly under the unsplit n*(n-1)/2 but well above zero
+    assert len(out) < 40 * 39 // 2
+
+
+def test_lsh_cosine_autosplit_is_noop_below_cap(spark):
+    """Buckets under the cap get split=0 everywhere (ceil(n/cap)=1):
+    the split column must not change the pair set of a healthy corpus."""
+    from hyperswitch_data_backfill_spark.operators import similarity as sim
+    from hyperswitch_data_backfill_spark.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    split = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in sim.lsh_cosine_pairs(emb).collect()
+    )
+    refuse = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in sim.lsh_cosine_pairs(emb, max_bucket=None).collect()
+    )
+    assert split == refuse
+
+
+def test_api_neardup_embeddings_lsh_knobs(spark):
+    """lsh_probes / lsh_max_bucket reach the kernel through the API, and
+    the block-only knob still refuses on the lsh path with a message
+    pointing at the right remedy."""
+    from hyperswitch_data_backfill_spark import api
+
+    emb = _degenerate_embeddings(spark)
+    out = api.neardup_embeddings(emb, lsh_max_bucket=8, lsh_probes=0)
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="lsh_max_bucket"):
+        api.neardup_embeddings(emb, max_block=100)
+    with pytest.raises(ValueError, match="lsh_"):
+        api.neardup_embeddings(
+            emb, method="block", block_col="vec_id", lsh_probes=1
+        )
+
+
+def test_levenshtein_and_containment_cap_mode(spark, monkeypatch):
+    """r11 ADVICE: the valve's 'pass max_bucket_members' remedy must be
+    actionable at EVERY call site — both ops now expose the knob.
+    Planted hot corpus: uncapped raises, capped drops the hot shingle
+    and completes (exact over the filtered space)."""
+    monkeypatch.setattr(dedup, "MAX_POSTING_LIST", 8)
+    docs = _hot_corpus(spark)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        with pytest.raises(SparkRuntimeException, match="max_bucket_members"):
+            dedup.neardup_levenshtein(spark, d).count()
+        assert dedup.neardup_levenshtein(spark, d, max_bucket_members=8).count() == 0
+        with pytest.raises(SparkRuntimeException, match="max_bucket_members"):
+            dedup.dedup_containment(spark, d).count()
+        assert dedup.dedup_containment(spark, d, max_bucket_members=8).count() == 0
