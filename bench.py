@@ -144,17 +144,23 @@ def main() -> None:
 
 def reconcile_disposition(returncode: int, stdout: str) -> str:
     """Classify a bench_reconcile run (exit contract 0/1/2, hardened
-    round 10/11): 'skip' = no stdout at all (hard failure before any
-    report); 'crash' = exit 1 WITHOUT a verdict table — exit 1 is also
-    Python's default crash code, and recording a crash as a confirmed
-    regression would plant a phantom verdict in BENCH_NOTES;
-    'confirmed' = exit 1 with the table; 'partial' = exit >=2 with
-    stdout (isolation-harness errors, report still worth keeping,
-    flagged); 'clean' = exit 0."""
+    round 10/11/12): 'skip' = no stdout at all (hard failure before any
+    report); 'crash' = exit 1 WITHOUT a complete report — exit 1 is
+    also Python's default crash code, and recording a crash as a
+    confirmed regression would plant a phantom verdict in BENCH_NOTES.
+    'Complete' means the END-OF-RECONCILE-REPORT sentinel flushed (r11
+    ADVICE: the table HEADER alone also precedes a mid-report
+    traceback); 'confirmed' = exit 1 with the sentinel; 'partial' =
+    exit >=2 with stdout (isolation-harness errors, report still worth
+    keeping, flagged); 'clean' = exit 0."""
     if not stdout.strip():
         return "skip"
     if returncode == 1:
-        return "confirmed" if "| verdict |" in stdout else "crash"
+        return (
+            "confirmed"
+            if "END-OF-RECONCILE-REPORT" in stdout
+            else "crash"
+        )
     if returncode >= 2:
         return "partial"
     return "clean"

@@ -354,6 +354,83 @@ def snapshot_diff(
     )
 
 
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: str | Sequence[str],
+    order_cols: str | Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    op_out: str | None = "last_op",
+) -> DataFrame:
+    """Apply a keyed I/U/D changelog onto a snapshot — Delta-style
+    APPLY CHANGES INTO with tombstones and op provenance
+    (operators/lakehouse.py cdc_apply_changes made generic; r11
+    verdict item 7).
+
+    ``changes`` must carry ``key_cols``, ``op_col``, ``order_cols``
+    (the change order — event ts, LSN, seq), and every non-key column
+    of ``base`` (the after-image). Per key the LATEST change under
+    ``order_cols`` wins, resolved with ONE map-side-combinable
+    ``max(struct(order..., payload))`` aggregate — each key's changes
+    collapse inside the map task before the shuffle (the skew-safe
+    shape, not a window); ties beyond ``order_cols`` break by payload
+    comparison, same contract as the registered key. Then a single
+    full-outer join on the key applies everything in one pass:
+
+    - last op == ``delete_op``  → key dropped (tombstone; a tombstone
+      for a key absent from ``base`` is a no-op, not an insert),
+    - any other op, key in base → after-image replaces the row,
+    - any other op, key absent  → insert,
+    - key untouched by changes  → passthrough (``op_out`` NULL).
+
+    Output: key cols + base's value columns (+ ``op_out`` provenance
+    unless None). Cost O(snapshot ∪ changed keys); both sides
+    hash-partition on the key at any scale. Batch-slicing invariant
+    for ts-ordered slices (law-tested in test_api.py):
+    ``apply(apply(b, s1), s2) ≡ apply(b, s1 ∪ s2)`` whenever every
+    s2 order key is ≥ every s1 order key for the keys they share."""
+    keys = _names(key_cols)
+    order = _names(order_cols)
+    vals = [c for c in base.columns if c not in keys]
+    missing = [c for c in vals if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"changes is missing after-image columns {missing}: apply_changes "
+            "replaces whole rows — project the base schema into the changelog "
+            "(or drop the columns from base) first"
+        )
+    if op_out is not None and op_out in base.columns:
+        raise ValueError(
+            f"op_out {op_out!r} collides with a base column — pass a fresh "
+            "name or op_out=None"
+        )
+    payload = F.struct(
+        F.col(op_col).alias("__op"), *[F.col(c) for c in vals]
+    ).alias("__p")
+    latest = changes.groupBy(*keys).agg(
+        F.max(F.struct(*[F.col(c) for c in order], payload)).alias("__ch")
+    )
+    flat = latest.select(
+        *keys,
+        F.col("__ch.__p.__op").alias("__op"),
+        *[F.col(f"__ch.__p.{c}").alias(f"__new_{c}") for c in vals],
+    )
+    merged = base.join(flat, keys, "full_outer")
+    out_cols = [
+        F.when(F.col("__op").isNotNull(), F.col(f"__new_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in vals
+    ]
+    if op_out is not None:
+        out_cols.append(F.col("__op").alias(op_out))
+    return merged.filter(
+        F.coalesce(F.col("__op"), F.lit("")) != delete_op
+    ).select(*keys, *out_cols)
+
+
 # ---------------------------------------------------------------------------
 # sessionization / statistics (operators/windows.py win_session,
 # operators/aggregates.py agg_equidepth_histogram generalized)
@@ -542,6 +619,8 @@ def neardup_embeddings(
     block_col: str | None = None,
     lsh_tables: int | None = None,
     lsh_bits: int | None = None,
+    lsh_probes: int | None = None,
+    lsh_max_bucket: int | None = None,
     max_block: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over any (id, vector)
@@ -550,10 +629,15 @@ def neardup_embeddings(
 
     - ``method="lsh"`` (default — the 100 TB path): pair blocking on
       random-hyperplane LSH buckets; block sizes are n/2^bits per
-      table, OR-amplified recall across ``lsh_tables``. Approximate:
-      a pair is seen only if it collides in ≥1 table (fixture-measured
-      recall envelope on the registered twin); every EMITTED pair is
-      exact-re-scored, so precision is 1 by construction.
+      table, recall OR-amplified across ``lsh_tables`` and
+      ``lsh_probes`` lowest-margin bit-flip probes per table (r12:
+      0.59 → 0.97 measured at the defaults). Hot buckets past
+      ``lsh_max_bucket`` (default similarity.LSH_MAX_BUCKET) are
+      hash-split on the id so no single task ever goes quadratic on a
+      degenerate corpus. Approximate: a pair is seen only if it
+      collides in ≥1 probed bucket (fixture-measured recall envelope
+      on the registered twin); every EMITTED pair is exact-re-scored,
+      so precision is 1 by construction.
     - ``method="block"``: exact pairing within caller-chosen blocks
       (``block_col`` — a language/shard/cluster key). Refuses blocks
       past ``max_block`` (default similarity.MAX_COS_BLOCK): block²
@@ -590,15 +674,20 @@ def neardup_embeddings(
             raise ValueError("block_col applies only to method='block'")
         if max_block is not None:
             raise ValueError(
-                "max_block applies only to method='block' — LSH bucket "
-                "sizes are controlled by lsh_bits (blocks are n/2^bits "
-                "per table), not a refusal cap"
+                "max_block applies only to method='block' — the LSH path "
+                "bounds task size with lsh_max_bucket (hot buckets are "
+                "hash-split, not refused) and lsh_bits (blocks are "
+                "n/2^bits per table)"
             )
+        from .operators.similarity import LSH_MAX_BUCKET, LSH_PAIR_PROBES
+
         return lsh_cosine_pairs(
             emb,
             threshold,
             tables=LSH_PAIR_TABLES if lsh_tables is None else lsh_tables,
             bits=LSH_PAIR_BITS if lsh_bits is None else lsh_bits,
+            probes=LSH_PAIR_PROBES if lsh_probes is None else lsh_probes,
+            max_bucket=LSH_MAX_BUCKET if lsh_max_bucket is None else lsh_max_bucket,
         )
     if method == "block":
         if block_col is None:
@@ -607,8 +696,8 @@ def neardup_embeddings(
                 "key) — whole-corpus exact pairing is O(n²) by definition; "
                 "use method='lsh' instead"
             )
-        if lsh_tables is not None or lsh_bits is not None:
-            raise ValueError("lsh_tables/lsh_bits apply only to method='lsh'")
+        if any(p is not None for p in (lsh_tables, lsh_bits, lsh_probes, lsh_max_bucket)):
+            raise ValueError("lsh_* knobs apply only to method='lsh'")
         cap = MAX_COS_BLOCK if max_block is None else max_block
         blocked = df.select(
             F.col(id_col).alias("vec_id"),

@@ -247,7 +247,20 @@ def bounded_broadcast(df: DataFrame, cap: int = MAX_BROADCAST_KEYS) -> DataFrame
     """broadcast() only when the key set provably fits: one bounded
     count (limit cap+1) decides; past the cap the frame is returned
     unhinted so the join falls back to a shuffle semi/anti join —
-    identical results, no unbounded broadcast."""
+    identical results, no unbounded broadcast.
+
+    Cost contract (r11 ADVICE — the probe is EAGER): the limit-count
+    executes ``df``'s plan at call time, and the real plan executes it
+    again — every call site pays the hot-key aggregate twice and turns
+    lazy DataFrame construction into a Spark job. That is the deliberate
+    trade at the sites using it (opt-in capped dedup modes, where the
+    HAVING-gated hot-key frame is one map-side-combined aggregate over
+    an already-needed pass, and the limit makes the probe terminate
+    early past the cap): a mis-sized broadcast OOMs the driver, a
+    shuffle-join default gives up the 10-100× broadcast win on the
+    common tiny case. Callers on a hot path that cannot afford the
+    second execution should persist ``df`` first or decide from their
+    own cardinality knowledge."""
     return F.broadcast(df) if df.limit(cap + 1).count() <= cap else df
 
 
@@ -835,18 +848,33 @@ LEV_MAX_DIST = 25       # absolute edit-distance threshold on the prefix
         "by doc_id, so the O(L^2) distance runs once per candidate, "
         "JVM-side (built-in levenshtein, no UDF).",
 )
-def neardup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+def neardup_levenshtein(
+    spark: SparkSession, sf_dir: str, max_bucket_members: int | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles_df(docs)
+    # max-df cap (r11 ADVICE: the valve's remedy must be actionable at
+    # every call site): ubiquitous shingles carry no near-dup signal,
+    # and the shared-shingle gate stays exact over the filtered space.
+    if max_bucket_members is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_bucket_members)
+            .select("shingle")
+        )
+        sh = sh.join(bounded_broadcast(hot), "shingle", "left_anti")
     # same bucket-local pair emission as dedup_ngram_jaccard, minus the
     # set-size window (jaccard not needed — inter count is the gate)
-    buckets = guard_posting_buckets(
+    buckets = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1),
-        F.size("ids"),
-        "neardup_levenshtein",
+        .filter(F.size("ids") > 1)
     )
+    if max_bucket_members is None:
+        buckets = guard_posting_buckets(
+            buckets, F.size("ids"), "neardup_levenshtein"
+        )
     pair_structs = F.expr(
         """
         flatten(transform(sequence(0, size(ids) - 2), i ->
@@ -894,17 +922,32 @@ CONTAIN_THRESHOLD = 0.5  # same level as JACCARD_THRESHOLD → superset relation
         "The standard LLM-corpus companion pass: cross-doc quote/"
         "boilerplate removal after whole-doc dedup.",
 )
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_containment(
+    spark: SparkSession, sf_dir: str, max_bucket_members: int | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles_df(docs)
+    # max-df cap (r11 ADVICE): same semantics as jaccard_pairs — drop
+    # stopword-like shingles BEFORE set sizes, so containment stays
+    # exact over the filtered shingle space.
+    if max_bucket_members is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_bucket_members)
+            .select("shingle")
+        )
+        sh = sh.join(bounded_broadcast(hot), "shingle", "left_anti")
     sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    buckets = guard_posting_buckets(
+    buckets = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("members"))
-        .filter(F.size("members") > 1),
-        F.size("members"),
-        "dedup_containment",
+        .filter(F.size("members") > 1)
     )
+    if max_bucket_members is None:
+        buckets = guard_posting_buckets(
+            buckets, F.size("members"), "dedup_containment"
+        )
     pair_structs = F.expr(
         """
         flatten(transform(sequence(0, size(members) - 2), i ->

@@ -1115,3 +1115,113 @@ def test_neardup_embeddings_id_and_cap_validation(spark):
         api.neardup_embeddings(floaty)
     with pytest.raises(ValueError, match="max_block"):
         api.neardup_embeddings(emb, method="lsh", max_block=100)
+
+
+# ---------------------------------------------------------------------------
+# apply_changes (lakehouse.py cdc_apply_changes generalized — r11 item 7)
+# ---------------------------------------------------------------------------
+
+def test_apply_changes_equiv(spark):
+    """The registered cdc_apply_changes key re-expressed through the
+    generic kernel: base = customer snapshot in cents, changelog =
+    orders replayed with full after-images (the registered op patches
+    only the balance, so the after-image joins the untouched columns
+    from base — insert keys get NULLs, exactly as the oracle's full
+    outer join does)."""
+    from hyperswitch_data_backfill_spark.operators.lakehouse import (
+        cdc_apply_changes,
+    )
+
+    customer = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    base = customer.select(
+        "c_custkey", "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+    ch = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate", "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("acbal"),
+    ).join(
+        base.select("c_custkey", "c_name", "c_mktsegment"), "c_custkey", "left"
+    ).select(
+        "c_custkey", "o_orderdate", "o_orderkey", "op", "c_name",
+        F.col("acbal").alias("acctbal_cents"), "c_mktsegment",
+    )
+    got = api.apply_changes(
+        base, ch, key_cols="c_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+    )
+    cols = ["c_custkey", "c_name", "acctbal_cents", "c_mktsegment", "last_op"]
+    assert _rows(got, cols) == _rows(cdc_apply_changes(spark, SF_DIR), cols)
+
+
+def _ac_base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, name string, v int"
+    )
+
+
+def _ac_changes(spark):
+    return spark.createDataFrame(
+        [
+            (2, 1, "U", "b2", 21),
+            (2, 2, "D", "x", 0),
+            (4, 1, "U", "d", 40),
+            (5, 1, "D", "zz", 0),
+            (3, 1, "U", "c1", 31),
+            (3, 2, "U", "c2", 32),
+        ],
+        "k int, seq int, op string, name string, v int",
+    )
+
+
+def test_apply_changes_laws(spark):
+    out = api.apply_changes(
+        _ac_base(spark), _ac_changes(spark), key_cols="k", order_cols="seq"
+    )
+    rows = {r.k: r for r in out.collect()}
+    # tombstone removal: last op for k=2 is D
+    assert 2 not in rows
+    # tombstone for a key absent from base is a no-op, not an insert
+    assert 5 not in rows
+    # untouched-key passthrough, NULL provenance
+    assert rows[1].name == "a" and rows[1].v == 10 and rows[1].last_op is None
+    # insert (changed key absent from base)
+    assert rows[4].name == "d" and rows[4].v == 40 and rows[4].last_op == "U"
+    # last-writer-wins under order_cols
+    assert rows[3].name == "c2" and rows[3].v == 32 and rows[3].last_op == "U"
+
+
+def test_apply_changes_slicing_invariance(spark):
+    """apply(apply(base, s1), s2) == apply(base, s1 ∪ s2) for any
+    ts-ordered slicing — the batch-replay contract the streaming CDC
+    maintainer pins on the registered key."""
+    base, ch = _ac_base(spark), _ac_changes(spark)
+    cols = ["k", "name", "v"]
+    once = api.apply_changes(
+        base, ch, key_cols="k", order_cols="seq", op_out=None
+    )
+    for cut in (0, 1, 2):
+        s1 = ch.filter(F.col("seq") <= cut)
+        s2 = ch.filter(F.col("seq") > cut)
+        step = api.apply_changes(
+            api.apply_changes(base, s1, key_cols="k", order_cols="seq", op_out=None),
+            s2, key_cols="k", order_cols="seq", op_out=None,
+        )
+        assert _rows(step, cols) == _rows(once, cols), f"cut={cut}"
+
+
+def test_apply_changes_validation(spark):
+    base, ch = _ac_base(spark), _ac_changes(spark)
+    with pytest.raises(ValueError, match="after-image"):
+        api.apply_changes(
+            base, ch.drop("name"), key_cols="k", order_cols="seq"
+        )
+    with pytest.raises(ValueError, match="op_out"):
+        api.apply_changes(
+            base, ch, key_cols="k", order_cols="seq", op_out="name"
+        )

@@ -286,9 +286,15 @@ def test_bench_reconcile_disposition_contract():
     import bench as bench_mod
 
     d = bench_mod.reconcile_disposition
-    table = "| query | ... | verdict |\n| q | 1.0 | REGRESSION |"
+    table = (
+        "| query | ... | verdict |\n| q | 1.0 | REGRESSION |\n"
+        "END-OF-RECONCILE-REPORT"
+    )
     assert d(1, table) == "confirmed"
     assert d(1, "3 slowdown mover(s):\nTraceback ...") == "crash"
+    # r11 ADVICE: header-then-crash must read as crash, not confirmed —
+    # only the end-of-report sentinel proves the verdict rows flushed
+    assert d(1, "| query | ... | verdict |\n| q | 1.0 |\nTraceback") == "crash"
     assert d(0, "no slowdown movers") == "clean"
     assert d(2, table) == "partial"
     assert d(1, "") == "skip"

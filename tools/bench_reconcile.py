@@ -105,6 +105,12 @@ def main() -> int:
             worst = max(worst, 1)
         rows.append(f"| {q} | {o:.3f} | {n:.3f} | **{iso:.3f}** | {verdict} |")
     print("\n".join(rows))
+    # End-of-report sentinel (r11 ADVICE): bench.py's disposition
+    # classifier must distinguish "printed the full report, exit 1 =
+    # confirmed regression" from "printed the table header then crashed
+    # with Python's default exit 1" — the header alone is not proof the
+    # verdict rows ever flushed.
+    print("END-OF-RECONCILE-REPORT")
     # Exit contract: a CONFIRMED regression dominates — a mixed run
     # (confirmed regression + an isolate-harness error) must exit 1, not
     # 2, so bench.py keeps the confirmed rows (round-10 ADVICE: worst=2
