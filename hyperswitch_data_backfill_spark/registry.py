@@ -84,6 +84,9 @@ _WINDOW_PREPEND: tuple[str, ...] = (
     "dedup_incremental_jaccard",
     "dedup_span_removal",
     "dedup_ngram_jaccard",
+    # r12 query-side multi-probe changed both (floor raised 0.25→0.40)
+    "sim_topk",
+    "sim_topk_recall_floor",
 )
 
 # The newest CORRECTNESS_r*.json round the committed window reflects.
@@ -107,6 +110,9 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_incremental_jaccard",  # green r11
     "dedup_span_removal",  # green r8
     "dedup_ngram_jaccard",  # green r8
+    "sim_topk",  # rows_only r8
+    "sim_topk_recall_floor",  # green r8
+    "kafka_wire_v2_roundtrip",  # no evidence
     "dedup_minhash_recall_pairs",  # green r8
     "dedup_simhash_crosscheck",  # green r8
     "dedup_span_ngrams",  # green r8
@@ -129,8 +135,6 @@ _DRIVER_WINDOW: list[str] = [
     "sim_ivf_trained",  # rows_only r8
     "sim_ivf_trained_recall_floor",  # green r8
     "sim_ivfpq_recall_floor",  # green r8
-    "sim_topk",  # rows_only r8
-    "sim_topk_recall_floor",  # green r8
     "udf_decrypt",  # green r8
     "win_session",  # green r8
     "win_sliding",  # green r8
@@ -148,7 +152,6 @@ _DRIVER_WINDOW: list[str] = [
     "agg_stats",  # green r9
     "anomaly_zscore",  # green r9
     "count_filtered",  # green r9
-    "dedup_minhash",  # rows_only r9
 ]
 
 
@@ -198,6 +201,7 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.functions.arrays  # noqa: F401
     import hyperswitch_data_backfill_spark.sinks.kafka  # noqa: F401
     import hyperswitch_data_backfill_spark.sinks.kafka_wire  # noqa: F401
+    import hyperswitch_data_backfill_spark.sinks.kafka_wire_v2  # noqa: F401
     import hyperswitch_data_backfill_spark.plans.spec  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.text  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.corpus  # noqa: F401

@@ -58,9 +58,11 @@ in this sandbox).
 
 This is a TEST DOUBLE for the wire leg, not a production sink: at 100 TB
 you use ``write_kafka`` (connector jar) so the JVM batches, compresses,
-and load-balances partitions. Wire format here is v0 deliberately —
-no idempotent-producer epochs, no record-batch v2 varints — because the
-goal is an executed, assertable network produce, not a client library.
+and load-balances partitions. This module speaks the v0 dialect (the
+oldest stable one); round 12 added the modern magic-2 record-batch
+dialect (varint/zigzag records, per-batch CRC-32C, Produce v3) in
+``kafka_wire_v2.py``, and the broker double below version-dispatches
+between the two exactly like a real broker's request pipeline.
 """
 
 from __future__ import annotations
@@ -86,11 +88,12 @@ _API_API_VERSIONS = 18
 _ERR_CORRUPT_MESSAGE = 2
 _ERR_NOT_LEADER = 6
 
-# The version ranges a default broker double advertises: exactly the v0
-# dialect this module speaks. Tests narrow it to prove the client-side
-# refusal path.
+# The version ranges a default broker double advertises: the v0 dialect
+# this module speaks plus the magic-2 record-batch dialect
+# (kafka_wire_v2.py, Produce v3 — r12). Tests narrow it to prove the
+# client-side refusal paths in both directions.
 _DEFAULT_API_VERSIONS: dict[int, tuple[int, int]] = {
-    _API_PRODUCE: (0, 0),
+    _API_PRODUCE: (0, 3),
     _API_METADATA: (0, 0),
     _API_API_VERSIONS: (0, 0),
 }
@@ -960,13 +963,28 @@ class WireBroker:
                 try:
                     api_key = (struct.unpack(">h", frame[:2])[0]
                                if len(frame) >= 2 else -1)
+                    api_version = (struct.unpack(">h", frame[2:4])[0]
+                                   if len(frame) >= 4 else -1)
                     if api_key == _API_API_VERSIONS:
                         self._handle_api_versions(conn, frame)
                         continue
                     if api_key == _API_METADATA:
                         self._handle_metadata(conn, frame)
                         continue
-                    req = parse_produce_request_v0(frame)
+                    # Version dispatch, like a real broker's request
+                    # pipeline: both dialects decode into the same
+                    # ProduceRequest, so leadership / error-injection /
+                    # log-append below is dialect-blind. Local import:
+                    # the v2 module imports this one.
+                    if api_version == 3:
+                        from hyperswitch_data_backfill_spark.sinks import (
+                            kafka_wire_v2 as _v2,
+                        )
+                        req = _v2.parse_produce_request_v3(frame)
+                        encode_response = _v2.encode_produce_response_v3
+                    else:
+                        req = parse_produce_request_v0(frame)
+                        encode_response = encode_produce_response_v0
                 except ValueError as exc:
                     # A malformed frame is a producer-side encoding bug:
                     # record it so tests can assert on it and close the
@@ -987,7 +1005,7 @@ class WireBroker:
                         for partition in parts:
                             offsets.setdefault(topic, {})[partition] = (
                                 _ERR_CORRUPT_MESSAGE, -1)
-                    conn.sendall(encode_produce_response_v0(req.correlation_id, offsets))
+                    conn.sendall(encode_response(req.correlation_id, offsets))
                     conn.close()           # rdkafka-style: error then drop
                     return
                 with self.meta.lock:
@@ -1011,7 +1029,7 @@ class WireBroker:
                             log.messages.extend(msgs)
                             offsets.setdefault(topic, {})[partition] = (0, base)
                 if req.acks != 0:
-                    conn.sendall(encode_produce_response_v0(req.correlation_id, offsets))
+                    conn.sendall(encode_response(req.correlation_id, offsets))
         finally:
             try:
                 conn.close()

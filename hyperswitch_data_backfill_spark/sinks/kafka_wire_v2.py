@@ -1,0 +1,473 @@
+"""Kafka Produce v3 / record-batch v2 (magic 2) wire leg — r11 verdict
+stretch item 8.
+
+The v0 leg (kafka_wire.py) speaks the oldest stable dialect; real 2.x+
+brokers still accept it, but their DEFAULT path — what rdkafka and the
+Java client actually send since Kafka 0.11 / KIP-98 — is the v2
+**record batch**: varint/zigzag-packed records, per-batch (not
+per-message) CRC-32C, timestamps, and idempotent-producer fields. This
+module closes that gap from the public spec
+(kafka.apache.org/protocol: RecordBatch + Record grammars, Produce v3
+request/response; CRC-32C per RFC 3720 §B.4, pinned to its published
+test vector) with the same executed-proof discipline as the v0 leg:
+
+- codec round-trips + corruption detection + hypothesis property tests
+  (tests/test_kafka_wire_v2.py),
+- a producer (``produce_rows_v2`` / ``write_kafka_wire_v2``) that runs
+  the KIP-35 handshake and REQUIRES Produce ≥ v3 — refusing a v0-only
+  broker the same way the v0 producer refuses a v3-only one,
+- the broker double (kafka_wire.WireBroker) now parses BOTH dialects,
+  version-dispatched exactly like a real broker, storing decoded
+  records in the same log either way,
+- the driver-hashed fixture key ``kafka_wire_v2_roundtrip``.
+
+Like the v0 leg this is a TEST DOUBLE of the wire path, not a
+production sink (at 100 TB: ``write_kafka`` + connector jar, where the
+JVM client batches/compresses). No compression attributes and
+producerId=-1 (non-idempotent) — the default un-configured producer
+shape; the point is executed, assertable magic-2 bytes on a real
+socket, not a client library.
+"""
+
+from __future__ import annotations
+
+import io
+import socket
+import struct
+
+from pyspark.sql import DataFrame
+
+from hyperswitch_data_backfill_spark.registry import register
+from hyperswitch_data_backfill_spark.sinks.kafka import _intent_payload_frame
+from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+    _API_PRODUCE,
+    _Reader,
+    _kstring,
+    _recv_frame,
+    ProduceRequest,
+    negotiate_api_versions,
+)
+
+PRODUCE_V3 = 3
+_MAGIC_V2 = 2
+
+# ------------------------------------------------------------- CRC-32C
+# Castagnoli polynomial 0x1EDC6F41 (reflected 0x82F63B78), init/xorout
+# 0xFFFFFFFF — RFC 3720 §B.4. Table-driven; the published check vector
+# crc32c(b"123456789") == 0xE3069283 is pinned in tests.
+
+_CRC32C_TABLE: list[int] = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# ------------------------------------------------- varint / zigzag
+# Record-level integers are zigzag varints (protocol guide: the same
+# encoding as protobuf); batch-level integers stay fixed-width.
+
+def zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def encode_varint(n: int) -> bytes:
+    """Zigzag varint (signed, up to 64-bit)."""
+    u = zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_varint(r: "_Reader") -> int:
+    u = shift = 0
+    while True:
+        b = r.take(1)[0]
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return unzigzag(u)
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint longer than 10 bytes")
+
+
+# ----------------------------------------------------- record batch v2
+
+def encode_record_v2(
+    offset_delta: int,
+    timestamp_delta: int,
+    key: bytes | None,
+    value: bytes | None,
+    headers: list[tuple[str, bytes]] = [],
+) -> bytes:
+    """One magic-2 Record, length-prefixed (varint)."""
+    body = io.BytesIO()
+    body.write(b"\x00")  # record attributes: unused, must be 0
+    body.write(encode_varint(timestamp_delta))
+    body.write(encode_varint(offset_delta))
+    for blob in (key, value):
+        if blob is None:
+            body.write(encode_varint(-1))
+        else:
+            body.write(encode_varint(len(blob)))
+            body.write(blob)
+    body.write(encode_varint(len(headers)))
+    for hk, hv in headers:
+        hkb = hk.encode("utf-8")
+        body.write(encode_varint(len(hkb)))
+        body.write(hkb)
+        if hv is None:
+            body.write(encode_varint(-1))
+        else:
+            body.write(encode_varint(len(hv)))
+            body.write(hv)
+    payload = body.getvalue()
+    return encode_varint(len(payload)) + payload
+
+
+def encode_record_batch_v2(
+    messages: list[tuple[bytes | None, bytes | None]],
+    *,
+    base_timestamp: int = 0,
+) -> bytes:
+    """One uncompressed magic-2 RecordBatch: fixed-width header with
+    per-BATCH CRC-32C (covering attributes → end, exactly the span the
+    spec names), then varint-packed records. producerId/epoch/sequence
+    are -1 (non-idempotent) and partitionLeaderEpoch is -1, the
+    un-configured client defaults; timestamps are ``base_timestamp``
+    with delta 0 per record — deterministic, which the fixture hash
+    requires."""
+    records = b"".join(
+        encode_record_v2(i, 0, k, v) for i, (k, v) in enumerate(messages)
+    )
+    n = len(messages)
+    crc_span = (
+        struct.pack(
+            ">hiqqqhii",
+            0,                        # attributes: no compression, create-time
+            max(n - 1, 0),            # lastOffsetDelta
+            base_timestamp,           # baseTimestamp
+            base_timestamp,           # maxTimestamp (delta 0 records)
+            -1,                       # producerId
+            -1,                       # producerEpoch
+            -1,                       # baseSequence
+            n,                        # recordCount
+        )
+        + records
+    )
+    head = struct.pack(">iBI", -1, _MAGIC_V2, crc32c(crc_span))
+    #                    ^ partitionLeaderEpoch
+    batch_length = len(head) + len(crc_span)
+    return struct.pack(">qi", 0, batch_length) + head + crc_span
+
+
+def parse_record_batch_v2(
+    buf: bytes,
+) -> list[tuple[bytes | None, bytes | None]]:
+    """Decode one RecordBatch, verifying magic and CRC-32C — one
+    corrupted byte anywhere past the CRC field fails loudly."""
+    r = _Reader(buf)
+    r.i64()                                        # baseOffset (broker-assigned)
+    batch_length = r.i32()
+    if batch_length != len(buf) - 12:
+        raise ValueError(
+            f"record batch length mismatch: header says {batch_length}, "
+            f"frame carries {len(buf) - 12}"
+        )
+    r.i32()                                        # partitionLeaderEpoch
+    magic = r.i8()
+    if magic != _MAGIC_V2:
+        raise ValueError(f"unsupported record batch magic {magic}")
+    crc = r.u32()
+    crc_start = r._i
+    if crc32c(buf[crc_start:]) != crc:
+        raise ValueError("record batch CRC-32C mismatch")
+    r.i16()                                        # attributes (0: uncompressed)
+    r.i32()                                        # lastOffsetDelta
+    r.i64()                                        # baseTimestamp
+    r.i64()                                        # maxTimestamp
+    r.i64()                                        # producerId
+    r.i16()                                        # producerEpoch
+    r.i32()                                        # baseSequence
+    count = r.i32()
+    out: list[tuple[bytes | None, bytes | None]] = []
+    for _ in range(count):
+        length = decode_varint(r)
+        rec = _Reader(r.take(length))
+        rec.i8()                                   # record attributes
+        decode_varint(rec)                         # timestampDelta
+        decode_varint(rec)                         # offsetDelta
+        klen = decode_varint(rec)
+        key = None if klen < 0 else rec.take(klen)
+        vlen = decode_varint(rec)
+        value = None if vlen < 0 else rec.take(vlen)
+        for _h in range(decode_varint(rec)):
+            hklen = decode_varint(rec)
+            rec.take(hklen)
+            hvlen = decode_varint(rec)
+            if hvlen > 0:
+                rec.take(hvlen)
+        out.append((key, value))
+    return out
+
+
+# ------------------------------------------------------ produce v3
+
+def encode_produce_request_v3(
+    correlation_id: int,
+    topic_batches: dict[str, list[tuple[bytes | None, bytes | None]]],
+    *,
+    client_id: str = "spark-backfill-wire-v2",
+    acks: int = 1,
+    timeout_ms: int = 10_000,
+    partition: int = 0,
+    base_timestamp: int = 0,
+) -> bytes:
+    """Size-prefixed Produce v3 request (the first version that REQUIRES
+    magic-2 record batches; adds transactional_id, null here). One
+    partition per topic — the leader-direct single-broker shape the v0
+    fixture also uses."""
+    body = io.BytesIO()
+    body.write(struct.pack(">hhi", _API_PRODUCE, PRODUCE_V3, correlation_id))
+    body.write(_kstring(client_id))
+    body.write(_kstring(None))                     # transactional_id
+    body.write(struct.pack(">hi", acks, timeout_ms))
+    body.write(struct.pack(">i", len(topic_batches)))
+    for topic, messages in topic_batches.items():
+        body.write(_kstring(topic))
+        body.write(struct.pack(">i", 1))           # one partition entry
+        batch = encode_record_batch_v2(messages, base_timestamp=base_timestamp)
+        body.write(struct.pack(">ii", partition, len(batch)))
+        body.write(batch)
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_produce_request_v3(frame: bytes) -> ProduceRequest:
+    """Decode a size-stripped Produce v3 request into the SAME
+    ProduceRequest shape the v0 parser yields, so the broker double's
+    leadership / error-injection / log-append logic is dialect-blind
+    (exactly like a real broker's request pipeline past the codec)."""
+    r = _Reader(frame)
+    api_key, api_version = r.i16(), r.i16()
+    if api_key != _API_PRODUCE or api_version != PRODUCE_V3:
+        raise ValueError(
+            f"not a Produce v3 request: key={api_key} v={api_version}"
+        )
+    corr, client_id = r.i32(), r.string()
+    r.string()                                     # transactional_id
+    acks, timeout_ms = r.i16(), r.i32()
+    records: dict[str, dict[int, list[tuple[bytes | None, bytes | None]]]] = {}
+    for _ in range(r.i32()):
+        topic = r.string() or ""
+        for _p in range(r.i32()):
+            partition = r.i32()
+            batch = r.take(r.i32())
+            msgs = records.setdefault(topic, {}).setdefault(partition, [])
+            msgs.extend(parse_record_batch_v2(batch))
+    return ProduceRequest(corr, client_id, acks, timeout_ms, records)
+
+
+def encode_produce_response_v3(
+    correlation_id: int,
+    offsets: dict[str, dict[int, tuple[int, int]]],
+    *,
+    throttle_time_ms: int = 0,
+) -> bytes:
+    """Produce v3 response: v0 + per-partition log_append_time (-1 for
+    create-time batches) + trailing throttle_time_ms."""
+    body = io.BytesIO()
+    body.write(struct.pack(">i", correlation_id))
+    body.write(struct.pack(">i", len(offsets)))
+    for topic, parts in offsets.items():
+        body.write(_kstring(topic))
+        body.write(struct.pack(">i", len(parts)))
+        for partition, (error_code, base_offset) in parts.items():
+            body.write(
+                struct.pack(">ihqq", partition, error_code, base_offset, -1)
+            )
+    body.write(struct.pack(">i", throttle_time_ms))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_produce_response_v3(
+    frame: bytes,
+) -> dict[str, dict[int, tuple[int, int]]]:
+    r = _Reader(frame)
+    r.i32()                                        # correlation_id
+    out: dict[str, dict[int, tuple[int, int]]] = {}
+    for _ in range(r.i32()):
+        topic = r.string() or ""
+        for _p in range(r.i32()):
+            partition, error_code, base_offset = r.i32(), r.i16(), r.i64()
+            r.i64()                                # log_append_time
+            out.setdefault(topic, {})[partition] = (error_code, base_offset)
+    return out
+
+
+# -------------------------------------------------------- producer
+
+def produce_rows_v2(
+    rows,
+    host: str,
+    port: int,
+    *,
+    batch_size: int = 1000,
+    timeout: float = 30.0,
+    max_retries: int = 2,
+) -> int:
+    """Executor-side partition produce over the v2 record-batch dialect:
+    same shape and at-least-once contract as kafka_wire.produce_rows,
+    but every flush ships ONE magic-2 RecordBatch per topic inside a
+    Produce v3 request, and the KIP-35 handshake requires the broker to
+    advertise Produce ≥ v3 (a v0-only broker raises
+    UnsupportedApiVersionError — retrying can't fix a dialect gap)."""
+    pending: list[tuple[str, bytes | None, bytes | None]] = []
+    sent = 0
+    sock: socket.socket | None = None
+    corr = 0
+
+    def connect() -> socket.socket:
+        nonlocal corr
+        s = socket.create_connection((host, port), timeout=timeout)
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        corr += 1
+        negotiate_api_versions(s, corr, required={_API_PRODUCE: PRODUCE_V3})
+        return s
+
+    def flush() -> None:
+        nonlocal sock, corr, sent
+        if not pending:
+            return
+        by_topic: dict[str, list[tuple[bytes | None, bytes | None]]] = {}
+        for topic, key, value in pending:
+            by_topic.setdefault(topic, []).append((key, value))
+        last_err: Exception | None = None
+        for _attempt in range(max_retries + 1):
+            try:
+                if sock is None:
+                    sock = connect()
+                corr += 1
+                sock.sendall(encode_produce_request_v3(corr, by_topic))
+                resp = parse_produce_response_v3(_recv_frame(sock))
+                errs = [
+                    (t, p, ec)
+                    for t, parts in resp.items()
+                    for p, (ec, _off) in parts.items()
+                    if ec != 0
+                ]
+                if errs:
+                    raise IOError(f"broker error codes on produce: {errs}")
+                sent += len(pending)
+                pending.clear()
+                return
+            except (OSError, ConnectionError, IOError) as e:
+                last_err = e
+                if sock is not None:
+                    try:
+                        sock.close()
+                    except OSError:
+                        pass
+                    sock = None
+        raise IOError(
+            f"produce to {host}:{port} failed after {max_retries + 1} attempts"
+        ) from last_err
+
+    try:
+        for row in rows:
+            key = row["key"]
+            value = row["value"]
+            pending.append((
+                row["topic"],
+                key.encode("utf-8") if isinstance(key, str) else key,
+                value.encode("utf-8") if isinstance(value, str) else value,
+            ))
+            if len(pending) >= batch_size:
+                flush()
+        flush()
+    finally:
+        if sock is not None:
+            sock.close()
+    return sent
+
+
+def write_kafka_wire_v2(
+    records: DataFrame,
+    host: str,
+    port: int,
+    *,
+    batch_size: int = 1000,
+) -> None:
+    """Produce a key/value/topic frame as magic-2 record batches — the
+    modern-default twin of kafka_wire.write_kafka_wire. Every executor
+    task opens its own connection; nothing is collected to the driver."""
+    records.foreachPartition(
+        lambda rows: produce_rows_v2(rows, host, port, batch_size=batch_size)
+    )
+
+
+# --------------------------------------------------------- fixture query
+
+@register(
+    "kafka_wire_v2_roundtrip",
+    oracle="""
+    SELECT CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR) AS key,
+           to_json(struct_pack(
+               o_orderkey := o_orderkey,
+               o_custkey := o_custkey,
+               o_orderstatus := o_orderstatus,
+               amount_minor := CAST(ROUND(o_totalprice * 100) AS BIGINT),
+               created_at := strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+               tenant_id := 'default'
+           )) AS value,
+           'orders-events' AS topic
+    FROM orders
+    WHERE o_orderkey % 400 = 13
+    """,
+    doc="S4 wire leg, modern dialect: a deterministic orders subset "
+        "produced over real TCP as Produce v3 requests carrying magic-2 "
+        "record batches (varint/zigzag records, per-batch CRC-32C "
+        "verified by the broker double), decoded back off the broker "
+        "log and value-hash-compared against the oracle's JSON — the "
+        "default path of every post-0.11 broker, alongside the v0 leg "
+        "(main.rs:146-153 → payment_intent.rs:102-105).",
+)
+def kafka_wire_v2_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Round-trip the event projection through the v2 record-batch wire
+    leg: 4 executor tasks, each its own TCP connection + KIP-35
+    handshake requiring Produce ≥ v3. Same bounded verification carve
+    and driver-side decode rationale as kafka_wire_roundtrip (~0.25% of
+    orders; 100 TB path = write_kafka)."""
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import WireBroker
+
+    frame = _intent_payload_frame(spark, sf_dir, where="o_orderkey % 400 = 13")
+    with WireBroker() as broker:
+        write_kafka_wire_v2(
+            frame.repartition(4), "127.0.0.1", broker.port, batch_size=256
+        )
+        # same at-least-once dedup rationale as kafka_wire_roundtrip
+        decoded = sorted({
+            (key.decode("utf-8"), value.decode("utf-8"), topic)
+            for topic in broker.topics()
+            for key, value in broker.records(topic)
+        })
+    return spark.createDataFrame(decoded, "key string, value string, topic string")

@@ -1,0 +1,212 @@
+"""Executed proof for the magic-2 record-batch wire leg
+(sinks/kafka_wire_v2.py, r11 verdict stretch item 8): CRC-32C pinned to
+its published vector, varint/zigzag property round-trips, record-batch
+codec + corruption detection, version-dispatched broker double, the
+handshake refusal in BOTH directions, and the driver-hashed fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+    _API_PRODUCE,
+    _Reader,
+    UnsupportedApiVersionError,
+    WireBroker,
+    produce_rows,
+)
+from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import (
+    crc32c,
+    decode_varint,
+    encode_produce_request_v3,
+    encode_produce_response_v3,
+    encode_record_batch_v2,
+    encode_varint,
+    kafka_wire_v2_roundtrip,
+    parse_produce_request_v3,
+    parse_produce_response_v3,
+    parse_record_batch_v2,
+    produce_rows_v2,
+    write_kafka_wire_v2,
+)
+from tests.conftest import SF_DIR, assert_oracle_match
+
+
+# ------------------------------------------------------------------ crc32c
+
+def test_crc32c_published_vectors():
+    """RFC 3720 §B.4 check vector + boundary cases (an implementation
+    that merely round-trips with itself would hide a polynomial or
+    reflection bug — only published vectors prove interop with real
+    brokers)."""
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA  # RFC 3720: 32 zeros
+
+
+# --------------------------------------------------------- varint / zigzag
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_varint_roundtrip_any_int64(n):
+    r = _Reader(encode_varint(n))
+    assert decode_varint(r) == n
+    assert r._i == len(r._b)  # no trailing bytes
+
+
+def test_varint_known_encodings():
+    """Zigzag pins: 0→00, -1→01, 1→02, -2→03 (protobuf/Kafka shared
+    encoding) — a sign-handling bug would still round-trip."""
+    assert encode_varint(0) == b"\x00"
+    assert encode_varint(-1) == b"\x01"
+    assert encode_varint(1) == b"\x02"
+    assert encode_varint(-2) == b"\x03"
+    assert encode_varint(150) == b"\xac\x02"  # zigzag(150)=300=0b100101100
+
+
+# ------------------------------------------------------------ record batch
+
+_blob = st.one_of(st.none(), st.binary(max_size=64))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(_blob, _blob), min_size=0, max_size=16),
+       st.integers(min_value=0, max_value=2**40))
+def test_record_batch_roundtrip_property(msgs, ts):
+    assert parse_record_batch_v2(
+        encode_record_batch_v2(msgs, base_timestamp=ts)
+    ) == msgs
+
+
+def test_record_batch_corruption_detected():
+    batch = bytearray(encode_record_batch_v2([(b"k", b"v"), (None, b"x")]))
+    batch[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32C"):
+        parse_record_batch_v2(bytes(batch))
+    # magic guard
+    batch2 = bytearray(encode_record_batch_v2([(b"k", b"v")]))
+    batch2[16] = 1  # magic byte offset: 8 (baseOffset) + 4 (len) + 4 (epoch)
+    with pytest.raises(ValueError, match="magic"):
+        parse_record_batch_v2(bytes(batch2))
+
+
+def test_record_with_headers_roundtrips():
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import (
+        encode_record_v2,
+    )
+    # headers are encoded and skipped on decode (the log stores k/v) —
+    # the parser must consume them exactly, or every following record
+    # frame-shifts
+    rec = encode_record_v2(0, 0, b"k", b"v", headers=[("h1", b"x"), ("h2", b"")])
+    batch = encode_record_batch_v2([(b"a", b"b")])
+    # splice: rebuild a batch manually is overkill; instead assert the
+    # record parses inside a batch by round-tripping a batch whose
+    # records came from encode_record_v2 with headers
+    import struct as _s
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import _MAGIC_V2
+    crc_span = (
+        _s.pack(">hiqqqhii", 0, 0, 0, 0, -1, -1, -1, 1) + rec
+    )
+    head = _s.pack(">iBI", -1, _MAGIC_V2, crc32c(crc_span))
+    buf = _s.pack(">qi", 0, len(head) + len(crc_span)) + head + crc_span
+    assert parse_record_batch_v2(buf) == [(b"k", b"v")]
+    assert len(batch) > 0  # (sanity for the unused plain batch)
+
+
+# ------------------------------------------------------------- produce v3
+
+def test_produce_v3_codec_roundtrip():
+    batches = {
+        "t-a": [(b"k1", b"v1"), (None, b"only-value"), (b"only-key", None)],
+        "t-b": [(b"k2", "émoji ✓".encode("utf-8"))],
+    }
+    frame = encode_produce_request_v3(9, batches, acks=1, timeout_ms=1234)
+    req = parse_produce_request_v3(frame[4:])
+    assert req.correlation_id == 9
+    assert req.acks == 1 and req.timeout_ms == 1234
+    assert req.records == {t: {0: msgs} for t, msgs in batches.items()}
+    resp = encode_produce_response_v3(9, {"t-a": {0: (0, 17)}})
+    assert parse_produce_response_v3(resp[4:]) == {"t-a": {0: (0, 17)}}
+
+
+# --------------------------------------------------- broker double dispatch
+
+def _rows(n=10, topic="v2-topic"):
+    return [{"key": f"k{i}", "value": f"v{i}", "topic": topic} for i in range(n)]
+
+
+def test_broker_double_accepts_both_dialects_same_log():
+    """Version dispatch like a real broker: v0 message sets and v2
+    record batches land in the same decoded log."""
+    with WireBroker() as broker:
+        produce_rows(iter(_rows(5, "mixed")), "127.0.0.1", broker.port)
+        produce_rows_v2(iter(_rows(5, "mixed")), "127.0.0.1", broker.port)
+        records = broker.records("mixed")
+    assert records == [
+        (f"k{i}".encode(), f"v{i}".encode()) for i in range(5)
+    ] * 2
+
+
+def test_v2_producer_refuses_v0_only_broker():
+    """The dialect gap fails FAST through the KIP-35 handshake (not as a
+    parse error after bytes are shipped), and in both directions."""
+    v0_only = {_API_PRODUCE: (0, 0), 3: (0, 0), 18: (0, 0)}
+    with WireBroker(api_versions=v0_only) as broker:
+        with pytest.raises(UnsupportedApiVersionError, match="api_key=0 v3"):
+            produce_rows_v2(iter(_rows(1)), "127.0.0.1", broker.port,
+                            max_retries=0)
+        assert broker.records("v2-topic") == []
+
+
+def test_v2_transient_error_retries_to_exactly_one_copy():
+    """Same at-least-once envelope as the v0 leg: error + drop, then
+    reconnect-retry, exactly one copy in the log."""
+    with WireBroker(fail_requests=1) as broker:
+        sent = produce_rows_v2(
+            iter(_rows()), "127.0.0.1", broker.port, max_retries=2
+        )
+        records = broker.records("v2-topic")
+        connections = broker.connections
+    assert sent == 10
+    assert records == [(f"k{i}".encode(), f"v{i}".encode()) for i in range(10)]
+    assert connections == 2
+
+
+def test_write_kafka_wire_v2_multipartition_exact_multiset(spark):
+    """Parallel executor tasks produce magic-2 batches; the decoded
+    multiset equals the input exactly."""
+    df = (
+        spark.range(0, 100)
+        .select(
+            F.concat(F.lit("key-"), F.col("id")).alias("key"),
+            F.concat(F.lit("value-"), F.col("id")).alias("value"),
+            F.lit("t-v2").alias("topic"),
+        )
+        .repartition(4)
+    )
+    with WireBroker() as broker:
+        write_kafka_wire_v2(df, "127.0.0.1", broker.port, batch_size=32)
+        got = sorted(broker.records("t-v2"))
+        connections = broker.connections
+    assert got == sorted(
+        (f"key-{i}".encode(), f"value-{i}".encode()) for i in range(100)
+    )
+    assert connections == 4
+
+
+# ---------------------------------------------------------------- fixture
+
+def test_kafka_wire_v2_roundtrip_matches_oracle(spark, duck):
+    from hyperswitch_data_backfill_spark.registry import (
+        REGISTRY,
+        _load_all_operator_modules,
+    )
+
+    _load_all_operator_modules()
+    q = REGISTRY["kafka_wire_v2_roundtrip"]
+    df = kafka_wire_v2_roundtrip(spark, SF_DIR)
+    assert df.count() > 0
+    assert_oracle_match(df, duck, q.oracle, name="kafka_wire_v2_roundtrip")
