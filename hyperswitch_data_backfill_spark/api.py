@@ -474,6 +474,7 @@ def ann_topk(
     exclude_self: bool = True,
     lsh_tables: int = 8,
     lsh_bits: int = 6,
+    lsh_probes: int | None = None,
 ) -> DataFrame:
     """Top-k nearest neighbours by cosine for every query vector
     (operators/similarity.py sim_exact_small / sim_topk made generic —
@@ -488,16 +489,24 @@ def ann_topk(
       executor from seeds, batch-derived dim), candidates meet in a
       bucket equi-join (never a cross join), multi-table collisions
       collapse before the exact re-rank. Recall is tuned by
-      (lsh_tables, lsh_bits), the standard OR-amplification knob;
-      results are a recall<1 SUBSET of exact (the fixture pins a
-      measured floor, similarity.py sim_topk_recall_floor).
+      (lsh_tables, lsh_bits) plus ``lsh_probes`` query-side
+      multi-probes (r12; default = similarity.SIM_TOPK_PROBES — the
+      QUERY side also lands in its lowest-|margin| bit-flip buckets,
+      the corpus side is untouched, so the 100 TB banding cost is
+      unchanged; 0 disables); results are a recall<1 SUBSET of exact
+      (the fixture pins a measured floor, similarity.py
+      sim_topk_recall_floor).
 
     ``exclude_self`` drops id equality matches (corpus and queries
     sharing an id namespace). Output columns: ``q_id``, ``{id_col}``,
     ``cos_sim`` (rounded to 6dp), ``rk`` (1..k).
     """
     from .functions.arrays import dot, norm
-    from .operators.similarity import lsh_buckets_udf
+    from .operators.similarity import (
+        SIM_TOPK_PROBES,
+        lsh_buckets_udf,
+        lsh_pair_buckets_udf,
+    )
 
     if method not in ("exact", "lsh"):
         raise ValueError(f"method must be exact|lsh, got {method!r}")
@@ -516,10 +525,18 @@ def ann_topk(
                 lsh_buckets_udf(F.col(vec_col), lsh_tables, lsh_bits)
             ).alias("__tbl", "__bucket"),
         )
+        probes = SIM_TOPK_PROBES if lsh_probes is None else lsh_probes
         q = q.select(
-            "*", F.posexplode(
-                lsh_buckets_udf(F.col("__q_vec"), lsh_tables, lsh_bits)
-            ).alias("__tbl", "__bucket"),
+            "*", F.explode(
+                lsh_pair_buckets_udf(
+                    F.col("__q_vec"), lsh_tables, lsh_bits, probes
+                )
+            ).alias("__tb"),
+        ).select(
+            "q_id", "__q_vec", "__q_nrm",
+            F.shiftright("__tb", lsh_bits).cast("int").alias("__tbl"),
+            F.col("__tb").bitwiseAND(F.lit((1 << lsh_bits) - 1))
+            .cast("int").alias("__bucket"),
         )
         cand = c.join(F.broadcast(q), ["__tbl", "__bucket"]).dropDuplicates(
             ["q_id", id_col]
