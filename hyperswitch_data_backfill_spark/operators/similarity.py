@@ -209,6 +209,13 @@ def lsh_pair_buckets_udf(emb_col, tables: int, bits: int, probes: int):
         allb = np.concatenate(out, axis=1)
         return pd.Series(list(allb))
 
+    if not 0 <= probes <= bits:
+        # argsort indexes the bits axis — probing more planes than exist
+        # would die as an opaque IndexError inside the executor UDF
+        raise ValueError(
+            f"probes must be in 0..bits ({bits}), got {probes}: each probe "
+            "flips one distinct signature bit"
+        )
     key = f"lshpair{tables}x{bits}x{probes}"
     if key not in _UDF_CACHE:
         _UDF_CACHE[key] = pandas_udf(impl, "array<bigint>")

@@ -214,3 +214,15 @@ def test_levenshtein_and_containment_cap_mode(spark, monkeypatch):
         with pytest.raises(SparkRuntimeException, match="max_bucket_members"):
             dedup.dedup_containment(spark, d).count()
         assert dedup.dedup_containment(spark, d, max_bucket_members=8).count() == 0
+
+
+def test_lsh_probe_depth_validated(spark):
+    """probes > bits would die as an opaque executor-side IndexError in
+    the banding UDF — the kernel validates at construction instead."""
+    from hyperswitch_data_backfill_spark.operators import similarity as sim
+
+    emb = _degenerate_embeddings(spark, n=4)
+    with pytest.raises(ValueError, match="probes"):
+        sim.lsh_cosine_pairs(emb, tables=4, bits=4, probes=5).count()
+    # probes == bits is the legal maximum
+    assert sim.lsh_cosine_pairs(emb, tables=4, bits=4, probes=4).count() >= 0
