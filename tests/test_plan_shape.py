@@ -472,3 +472,22 @@ def test_lsh_pair_valve_plan_shape(spark):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "assert_true" in refuse_logical
+
+
+def test_apply_changes_collapse_is_partial_agg_not_window(spark):
+    """api.apply_changes' last-writer-wins collapse must be a map-side-
+    combinable aggregate (partial_max before the Exchange), never a
+    window — a window would sort-shuffle EVERY change row; the
+    aggregate collapses each key's changes inside the map task (the
+    skew-safe shape the registered cdc key pins)."""
+    from hyperswitch_data_backfill_spark import api
+    from hyperswitch_data_backfill_spark.catalog import load_table
+
+    base = spark.createDataFrame([(1, 10)], "k int, v int")
+    ch = spark.createDataFrame([(1, 1, "U", 11)], "k int, seq int, op string, v int")
+    p = (
+        api.apply_changes(base, ch, key_cols="k", order_cols="seq")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max" in p, p
+    assert "Window" not in p, p
