@@ -82,6 +82,42 @@ def test_make_bigsf_preserves_schema_and_integrity(tmp_path):
     con.close()
 
 
+def test_make_bigsf_is_deterministic(tmp_path):
+    """r11 verdict item 3: the embedding jitter is hash-derived, so two
+    regenerations produce the SAME bytes-level content — measured
+    cosine pair sets / LSH recall figures at sf1 are re-checkable
+    evidence, not one-shot rolls."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for dst in (a, b):
+        r = subprocess.run(
+            [sys.executable, "tools/make_bigsf.py",
+             "/root/testdata/sf0.001", dst, "2"],
+            capture_output=True, text=True, cwd=str(REPO), timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-1000:]
+    con = duckdb.connect()
+    digest = (
+        "SELECT md5(string_agg(CAST(vec_id AS VARCHAR) || ':' || "
+        "array_to_string(embedding, ','), '|' ORDER BY vec_id)) "
+        "FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    ha = con.sql(digest.format(d=a)).fetchone()[0]
+    hb = con.sql(digest.format(d=b)).fetchone()[0]
+    con.close()
+    assert ha == hb
+    # and replicas really are jittered (not copies of the originals)
+    con = duckdb.connect()
+    n_distinct = con.sql(
+        f"SELECT COUNT(DISTINCT array_to_string(embedding, ',')) "
+        f"FROM read_parquet('{a}/embeddings.parquet')"
+    ).fetchone()[0]
+    n = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{a}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert n_distinct == n
+
+
 def test_check_workflow_passes_on_tree_and_catches_breakage(tmp_path):
     """tools/check_workflow.py (r6 verdict item 4): the shipped
     workflows lint clean, and the checker actually catches the failure
