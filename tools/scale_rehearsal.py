@@ -386,10 +386,97 @@ def embeddings_mode() -> None:
     spark.stop()
 
 
+def pairs_mode() -> None:
+    """Fourth rehearsal axis (r12): the LSH cosine PAIR path as the
+    embedding corpus grows Nx — the multi-probe banding
+    (tables·(1+probes) rows/vector) and the hot-bucket valve measured,
+    not asserted. Records per scale: banding rows, bucket occupancy
+    (max/p99 members + max share), pairs emitted, wall; then the SAME
+    corpus through an artificially tiny max_bucket to show the
+    hash-split valve activating (bounded blocks, completed run,
+    measured pair retention vs unsplit). Flat max-bucket share while N
+    grows = the per-task BLAS block scales with n/2^bits, not with a
+    hot key."""
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        LSH_PAIR_BITS,
+        LSH_PAIR_PROBES,
+        LSH_PAIR_TABLES,
+        lsh_cosine_pairs,
+        lsh_pair_buckets_udf,
+    )
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [1, 4, 16]
+    spark = get_spark(app_name="scale-rehearsal-pairs")
+    base = load_table(spark, sf_dir, "embeddings")
+    # reuse the embeddings-axis inflation (jittered replicas)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def jitter(emb, vec_id, rep):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        reps = rep.to_numpy()
+        seed = int(vec_id.iloc[0]) * 131071 + int(reps[0]) + 17
+        noise = np.random.default_rng(seed).standard_normal(mat.shape) * 0.3
+        noise[reps == 0] = 0.0
+        return pd.Series(list((mat + noise).astype(np.float32)))
+
+    def inflate(emb: DataFrame, n: int) -> DataFrame:
+        if n == 1:
+            return emb
+        r = emb.select("*", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep"))
+        return r.select(
+            (F.col("vec_id") + F.col("rep").cast("bigint") * F.lit(10**7)).alias("vec_id"),
+            jitter(F.col("embedding"), F.col("vec_id"), F.col("rep")).alias("embedding"),
+            "label",
+        )
+
+    print("| N | vecs | banding rows | buckets (max/p99 members) "
+          "| max bucket share | pairs | wall s "
+          "| split@cap=64: blocks>cap before | pairs kept | wall s |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for n in factors:
+        emb = inflate(base, n).localCheckpoint(eager=True)
+        n_vecs = emb.count()
+        banded = emb.select(
+            "vec_id",
+            F.explode(
+                lsh_pair_buckets_udf(
+                    F.col("embedding"), LSH_PAIR_TABLES, LSH_PAIR_BITS,
+                    LSH_PAIR_PROBES,
+                )
+            ).alias("tb"),
+        )
+        occ = banded.groupBy("tb").agg(F.count(F.lit(1)).alias("members"))
+        n_b, mx_m, p99_m = bucket_stats(occ, F.col("members"))
+        band_rows = n_vecs * LSH_PAIR_TABLES * (1 + LSH_PAIR_PROBES)
+        t0 = time.perf_counter()
+        n_pairs = lsh_cosine_pairs(emb).count()
+        w_full = time.perf_counter() - t0
+        # valve activation: tiny cap → every bucket past 64 members is
+        # hash-split; the run must complete and keep most pairs (the
+        # loss is cross-split only, inside over-full buckets)
+        over = occ.filter(F.col("members") > 64).count()
+        t0 = time.perf_counter()
+        n_split = lsh_cosine_pairs(emb, max_bucket=64).count()
+        w_split = time.perf_counter() - t0
+        print(
+            f"| {n} | {n_vecs} | {band_rows} | {n_b} ({mx_m}/{p99_m:.0f}) "
+            f"| {mx_m / n_vecs:.3f} | {n_pairs} | {w_full:.1f} "
+            f"| {over} | {n_split}/{n_pairs} | {w_split:.1f} |"
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_mode()
     elif len(sys.argv) > 1 and sys.argv[1] == "--embeddings":
         embeddings_mode()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pairs":
+        pairs_mode()
     else:
         main()
