@@ -525,7 +525,13 @@ def ann_topk(
                 lsh_buckets_udf(F.col(vec_col), lsh_tables, lsh_bits)
             ).alias("__tbl", "__bucket"),
         )
-        probes = SIM_TOPK_PROBES if lsh_probes is None else lsh_probes
+        # clamp the DEFAULT to the bit width: a caller who asked for
+        # lsh_bits=1 but never set lsh_probes must not be failed by a
+        # default they didn't choose (an explicit oversized value still
+        # raises in lsh_pair_buckets_udf)
+        probes = (
+            min(SIM_TOPK_PROBES, lsh_bits) if lsh_probes is None else lsh_probes
+        )
         q = q.select(
             "*", F.explode(
                 lsh_pair_buckets_udf(

@@ -429,6 +429,16 @@ def lsh_cosine_pairs(
     — is a 100 TB materialization, and a window count would force a
     full extra shuffle of the exploded rows instead of a broadcast.
     """
+    if max_bucket is not None and max_bucket < 1:
+        # a zero cap reaches F.ceil(_bn / 0) — an opaque mid-job ANSI
+        # DIVIDE_BY_ZERO; a negative cap makes ceil() negative and pmod
+        # scatter every bucket into near-singleton splits (silently
+        # empty output). Same construction-time discipline as the
+        # probes guard in lsh_pair_buckets_udf.
+        raise ValueError(
+            f"max_bucket must be >= 1 (got {max_bucket}); pass None for "
+            "refuse-instead-of-split mode"
+        )
     banded = emb.select(
         "vec_id",
         "embedding",

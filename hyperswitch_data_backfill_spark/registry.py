@@ -71,8 +71,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # and the LSH branch of dedup_semantic_clusters, whose oracle also
 # moves from recursive reach-CTE to label propagation); the jaccard /
 # levenshtein / containment posting emitters gain per-call
-# max_bucket_members knobs and the bounded_broadcast probe loses its
-# double execution (r11 ADVICE). All re-enter ahead of the tail.
+# max_bucket_members knobs, and bounded_broadcast's eager-probe double
+# execution is now a documented cost contract (r11 ADVICE; the probe
+# itself is unchanged). All re-enter ahead of the tail.
 # Round-11 prepends are cleared (their r11 records cover the shipped
 # implementations).
 _WINDOW_PREPEND: tuple[str, ...] = (

@@ -446,10 +446,26 @@ class ProduceRequest:
 def parse_produce_request_v0(frame: bytes) -> ProduceRequest:
     """Decode one size-stripped Produce v0 request, verifying every
     message's CRC32 — a corrupted byte anywhere fails loudly."""
+    version, req = parse_produce_request_legacy(frame)
+    if version != 0:
+        raise ValueError(f"not a Produce v0 request: v={version}")
+    return req
+
+
+def parse_produce_request_legacy(frame: bytes) -> tuple[int, ProduceRequest]:
+    """Decode a size-stripped message-set-era Produce request (v0-v2 —
+    the request SCHEMA is identical across the three; only the response
+    grew fields) with CRC verification. Accepts magic-0 AND magic-1
+    messages (v1 added an int64 timestamp between attributes and key —
+    a conforming magic-1-era client negotiating "highest mutually
+    supported" picks v1/v2 and the double must serve it, not drop it as
+    malformed — r12 review finding). Returns (api_version, request)."""
     r = _Reader(frame)
     api_key, api_version = r.i16(), r.i16()
-    if api_key != _API_PRODUCE or api_version != 0:
-        raise ValueError(f"not a Produce v0 request: key={api_key} v={api_version}")
+    if api_key != _API_PRODUCE or not 0 <= api_version <= 2:
+        raise ValueError(
+            f"not a message-set Produce request: key={api_key} v={api_version}"
+        )
     corr, client_id = r.i32(), r.string()
     acks, timeout_ms = r.i16(), r.i32()
     records: dict[str, dict[int, list[tuple[bytes | None, bytes | None]]]] = {}
@@ -468,13 +484,15 @@ def parse_produce_request_v0(frame: bytes) -> ProduceRequest:
                 crc = msg.u32()
                 body_start = msg._i
                 magic, _attrs = msg.i8(), msg.i8()
-                if magic != 0:
+                if magic == 1:
+                    msg.i64()                       # create-time timestamp
+                elif magic != 0:
                     raise ValueError(f"unsupported message magic {magic}")
                 key, value = msg.bytes_(), msg.bytes_()
                 if zlib.crc32(msg._b[body_start:msg._i]) & 0xFFFFFFFF != crc:
                     raise ValueError("message CRC mismatch")
                 msgs.append((key, value))
-    return ProduceRequest(corr, client_id, acks, timeout_ms, records)
+    return api_version, ProduceRequest(corr, client_id, acks, timeout_ms, records)
 
 
 def encode_produce_response_v0(
@@ -491,6 +509,49 @@ def encode_produce_response_v0(
         body.write(struct.pack(">i", len(parts)))
         for partition, (error_code, base_offset) in parts.items():
             body.write(struct.pack(">ihq", partition, error_code, base_offset))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def encode_produce_response_v1(
+    correlation_id: int,
+    offsets: dict[str, dict[int, tuple[int, int]]],
+    *,
+    throttle_time_ms: int = 0,
+) -> bytes:
+    """Produce v1 response: v0 + trailing throttle_time_ms."""
+    body = io.BytesIO()
+    body.write(struct.pack(">i", correlation_id))
+    body.write(struct.pack(">i", len(offsets)))
+    for topic, parts in offsets.items():
+        body.write(_kstring(topic))
+        body.write(struct.pack(">i", len(parts)))
+        for partition, (error_code, base_offset) in parts.items():
+            body.write(struct.pack(">ihq", partition, error_code, base_offset))
+    body.write(struct.pack(">i", throttle_time_ms))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def encode_produce_response_v2(
+    correlation_id: int,
+    offsets: dict[str, dict[int, tuple[int, int]]],
+    *,
+    throttle_time_ms: int = 0,
+) -> bytes:
+    """Produce v2 response: v1 + per-partition log_append_time (-1 for
+    create-time message sets)."""
+    body = io.BytesIO()
+    body.write(struct.pack(">i", correlation_id))
+    body.write(struct.pack(">i", len(offsets)))
+    for topic, parts in offsets.items():
+        body.write(_kstring(topic))
+        body.write(struct.pack(">i", len(parts)))
+        for partition, (error_code, base_offset) in parts.items():
+            body.write(
+                struct.pack(">ihqq", partition, error_code, base_offset, -1)
+            )
+    body.write(struct.pack(">i", throttle_time_ms))
     payload = body.getvalue()
     return struct.pack(">i", len(payload)) + payload
 
@@ -983,8 +1044,16 @@ class WireBroker:
                         req = _v2.parse_produce_request_v3(frame)
                         encode_response = _v2.encode_produce_response_v3
                     else:
-                        req = parse_produce_request_v0(frame)
-                        encode_response = encode_produce_response_v0
+                        # v0-v2 share the request schema; only the
+                        # RESPONSE grew fields — answer in the version
+                        # the client spoke (every advertised version is
+                        # served, r12 review finding)
+                        _ver, req = parse_produce_request_legacy(frame)
+                        encode_response = {
+                            0: encode_produce_response_v0,
+                            1: encode_produce_response_v1,
+                            2: encode_produce_response_v2,
+                        }[_ver]
                 except ValueError as exc:
                     # A malformed frame is a producer-side encoding bug:
                     # record it so tests can assert on it and close the

@@ -210,3 +210,79 @@ def test_kafka_wire_v2_roundtrip_matches_oracle(spark, duck):
     df = kafka_wire_v2_roundtrip(spark, SF_DIR)
     assert df.count() > 0
     assert_oracle_match(df, duck, q.oracle, name="kafka_wire_v2_roundtrip")
+
+
+def test_broker_serves_every_advertised_produce_version():
+    """r12 review finding: the double advertises Produce 0..3, so a
+    conforming client picking v1 or v2 (magic-0 OR magic-1 message
+    sets) must be SERVED, not dropped as malformed. Raw-socket v1/v2
+    requests land in the log and get version-correct responses."""
+    import io
+    import socket
+    import struct
+    import zlib
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        _kstring,
+        encode_message_v0,
+    )
+
+    def msg_v1(key, value, ts=123456):
+        body = struct.pack(">bbq", 1, 0, ts) + b"".join(
+            struct.pack(">i", len(b)) + b if b is not None else struct.pack(">i", -1)
+            for b in (key, value)
+        )
+        return struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
+
+    def produce_req(version, corr, topic, messages, magic):
+        mset = io.BytesIO()
+        for k, v in messages:
+            m = msg_v1(k, v) if magic == 1 else encode_message_v0(k, v)
+            mset.write(struct.pack(">qi", 0, len(m)))
+            mset.write(m)
+        ms = mset.getvalue()
+        body = io.BytesIO()
+        body.write(struct.pack(">hhi", 0, version, corr))
+        body.write(_kstring("legacy-client"))
+        body.write(struct.pack(">hi", 1, 5000))
+        body.write(struct.pack(">i", 1))
+        body.write(_kstring(topic))
+        body.write(struct.pack(">i", 1))
+        body.write(struct.pack(">ii", 0, len(ms)))
+        body.write(ms)
+        payload = body.getvalue()
+        return struct.pack(">i", len(payload)) + payload
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        WireBroker,
+        _recv_frame,
+        _Reader,
+    )
+
+    with WireBroker() as broker:
+        with socket.create_connection(("127.0.0.1", broker.port), timeout=5) as s:
+            # v1 request, magic-0 messages
+            s.sendall(produce_req(1, 11, "legacy", [(b"k1", b"v1")], magic=0))
+            r = _Reader(_recv_frame(s))
+            assert r.i32() == 11                        # correlation
+            assert r.i32() == 1                         # one topic
+            assert r.string() == "legacy"
+            assert r.i32() == 1                         # one partition entry
+            r.i32()                                     # partition id
+            assert r.i16() == 0                         # error code
+            r.i64()                                     # base offset
+            assert r.i32() == 0                         # throttle_time (v1 tail)
+            # v2 request, magic-1 messages (timestamped)
+            s.sendall(produce_req(2, 12, "legacy", [(b"k2", b"v2")], magic=1))
+            r = _Reader(_recv_frame(s))
+            assert r.i32() == 12
+            assert r.i32() == 1
+            assert r.string() == "legacy"
+            assert r.i32() == 1                         # one partition entry
+            r.i32()                                     # partition id
+            assert r.i16() == 0                         # error code
+            r.i64()                                     # base offset
+            assert r.i64() == -1                        # log_append_time (v2)
+            assert r.i32() == 0                         # throttle_time
+        assert broker.records("legacy") == [(b"k1", b"v1"), (b"k2", b"v2")]
+        assert broker.errors == []

@@ -216,6 +216,32 @@ def test_levenshtein_and_containment_cap_mode(spark, monkeypatch):
         assert dedup.dedup_containment(spark, d, max_bucket_members=8).count() == 0
 
 
+def test_lsh_max_bucket_validated(spark):
+    """max_bucket <= 0 would surface as an opaque mid-job ANSI
+    DIVIDE_BY_ZERO (0) or silently scatter buckets into near-singleton
+    splits (negative) — both rejected at construction (r12 review)."""
+    from hyperswitch_data_backfill_spark.operators import similarity as sim
+
+    emb = _degenerate_embeddings(spark, n=4)
+    for bad in (0, -8):
+        with pytest.raises(ValueError, match="max_bucket"):
+            sim.lsh_cosine_pairs(emb, max_bucket=bad)
+
+
+def test_ann_topk_default_probes_clamped_to_bits(spark):
+    """A caller with lsh_bits=1 who never set lsh_probes must not be
+    failed by the r12 default (2 > bits); an EXPLICIT oversized value
+    still raises."""
+    from hyperswitch_data_backfill_spark import api
+    from hyperswitch_data_backfill_spark.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    assert api.ann_topk(emb, q, method="lsh", lsh_bits=1, k=3).count() >= 0
+    with pytest.raises(ValueError, match="probes"):
+        api.ann_topk(emb, q, method="lsh", lsh_bits=1, lsh_probes=2, k=3).count()
+
+
 def test_lsh_probe_depth_validated(spark):
     """probes > bits would die as an opaque executor-side IndexError in
     the banding UDF — the kernel validates at construction instead."""

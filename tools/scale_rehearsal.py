@@ -230,6 +230,48 @@ def events_mode() -> None:
     spark.stop()
 
 
+_JITTER_UDF = None
+
+
+def _jitter_udf():
+    """Shared (embeddings/pairs axes) jittered-replica UDF: rep 0 keeps
+    the original vector; others add seeded sigma=0.3 Gaussian noise (one
+    generator per batch - rehearsal metric, not a fixture). Lazily built
+    so module import needs no active session."""
+    global _JITTER_UDF
+    if _JITTER_UDF is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<float>")
+        def jitter(emb, vec_id, rep):
+            import numpy as np
+            import pandas as pd
+
+            mat = np.stack(emb.to_numpy()).astype(np.float64)
+            reps = rep.to_numpy()
+            seed = int(vec_id.iloc[0]) * 131071 + int(reps[0]) + 17
+            noise = np.random.default_rng(seed).standard_normal(mat.shape) * 0.3
+            noise[reps == 0] = 0.0
+            return pd.Series(list((mat + noise).astype(np.float32)))
+
+        _JITTER_UDF = jitter
+    return _JITTER_UDF
+
+
+def inflate_embeddings(emb: DataFrame, n: int) -> DataFrame:
+    """n jittered replicas with shifted vec_ids - new points near the
+    data manifold, the way an embedding corpus actually grows."""
+    if n == 1:
+        return emb
+    jitter = _jitter_udf()
+    r = emb.select("*", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep"))
+    return r.select(
+        (F.col("vec_id") + F.col("rep").cast("bigint") * F.lit(10**7)).alias("vec_id"),
+        jitter(F.col("embedding"), F.col("vec_id"), F.col("rep")).alias("embedding"),
+        "label",
+    )
+
+
 def embeddings_mode() -> None:
     """Third rehearsal axis (r4 verdict item 4): the ANN family as the
     EMBEDDING corpus grows Nx. Replicas are jittered copies (σ=0.3
@@ -240,8 +282,6 @@ def embeddings_mode() -> None:
     both, and recall of each vs a brute-force exact top-k computed on
     the SAME inflated corpus. Flat bucket/cell shares + recall holding
     its floor = the "bucketed, never all-pairs" claim measured."""
-    from pyspark.sql.functions import pandas_udf
-
     from hyperswitch_data_backfill_spark.functions.arrays import dot, norm
     from hyperswitch_data_backfill_spark.operators.similarity import (
         IVF_NPROBE,
@@ -255,30 +295,7 @@ def embeddings_mode() -> None:
     factors = [int(x) for x in sys.argv[3:]] or [1, 4, 16, 64]
     spark = get_spark(app_name="scale-rehearsal-embeddings")
     base = load_table(spark, sf_dir, "embeddings")
-
-    @pandas_udf("array<float>")
-    def jitter(emb, vec_id, rep):
-        import numpy as np
-        import pandas as pd
-
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        reps = rep.to_numpy()
-        # rep 0 keeps the original vector; others get seeded noise (one
-        # generator per batch — rehearsal metric, not a fixture)
-        seed = int(vec_id.iloc[0]) * 131071 + int(reps[0]) + 17
-        noise = np.random.default_rng(seed).standard_normal(mat.shape) * 0.3
-        noise[reps == 0] = 0.0
-        return pd.Series(list((mat + noise).astype(np.float32)))
-
-    def inflate(emb: DataFrame, n: int) -> DataFrame:
-        if n == 1:
-            return emb
-        r = emb.select("*", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep"))
-        return r.select(
-            (F.col("vec_id") + F.col("rep").cast("bigint") * F.lit(10**7)).alias("vec_id"),
-            jitter(F.col("embedding"), F.col("vec_id"), F.col("rep")).alias("embedding"),
-            "label",
-        )
+    inflate = inflate_embeddings
 
     print("| N | vecs | lsh buckets (max/p99) | max lsh bucket share "
           "| lsh cand/q | lsh recall | max IVF cell share | ivf cand/q "
@@ -409,30 +426,7 @@ def pairs_mode() -> None:
     factors = [int(x) for x in sys.argv[3:]] or [1, 4, 16]
     spark = get_spark(app_name="scale-rehearsal-pairs")
     base = load_table(spark, sf_dir, "embeddings")
-    # reuse the embeddings-axis inflation (jittered replicas)
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<float>")
-    def jitter(emb, vec_id, rep):
-        import numpy as np
-        import pandas as pd
-
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        reps = rep.to_numpy()
-        seed = int(vec_id.iloc[0]) * 131071 + int(reps[0]) + 17
-        noise = np.random.default_rng(seed).standard_normal(mat.shape) * 0.3
-        noise[reps == 0] = 0.0
-        return pd.Series(list((mat + noise).astype(np.float32)))
-
-    def inflate(emb: DataFrame, n: int) -> DataFrame:
-        if n == 1:
-            return emb
-        r = emb.select("*", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep"))
-        return r.select(
-            (F.col("vec_id") + F.col("rep").cast("bigint") * F.lit(10**7)).alias("vec_id"),
-            jitter(F.col("embedding"), F.col("vec_id"), F.col("rep")).alias("embedding"),
-            "label",
-        )
+    inflate = inflate_embeddings  # shared jittered-replica inflation
 
     print("| N | vecs | banding rows | buckets (max/p99 members) "
           "| max bucket share | pairs | wall s "
