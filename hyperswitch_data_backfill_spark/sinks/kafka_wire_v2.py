@@ -23,14 +23,17 @@ test vector) with the same executed-proof discipline as the v0 leg:
 
 Like the v0 leg this is a TEST DOUBLE of the wire path, not a
 production sink (at 100 TB: ``write_kafka`` + connector jar, where the
-JVM client batches/compresses). No compression attributes and
-producerId=-1 (non-idempotent) — the default un-configured producer
-shape; the point is executed, assertable magic-2 bytes on a real
-socket, not a client library.
+JVM client batches/compresses). producerId=-1 (non-idempotent) — the
+default un-configured producer shape; gzip batch compression
+(attribute bits 0-2, the stdlib-expressible codec) is supported on
+both sides, snappy/lz4/zstd are explicit capability errors. The point
+is executed, assertable magic-2 bytes on a real socket, not a client
+library.
 """
 
 from __future__ import annotations
 
+import gzip
 import io
 import socket
 import struct
@@ -143,26 +146,45 @@ def encode_record_v2(
     return encode_varint(len(payload)) + payload
 
 
+# RecordBatch attribute bits 0-2: compression codec (protocol guide).
+_CODEC_NONE = 0
+_CODEC_GZIP = 1
+_CODEC_MASK = 0x07
+
+
 def encode_record_batch_v2(
     messages: list[tuple[bytes | None, bytes | None]],
     *,
     base_timestamp: int = 0,
+    compression: str = "none",
 ) -> bytes:
-    """One uncompressed magic-2 RecordBatch: fixed-width header with
-    per-BATCH CRC-32C (covering attributes → end, exactly the span the
-    spec names), then varint-packed records. producerId/epoch/sequence
-    are -1 (non-idempotent) and partitionLeaderEpoch is -1, the
-    un-configured client defaults; timestamps are ``base_timestamp``
-    with delta 0 per record — deterministic, which the fixture hash
-    requires."""
+    """One magic-2 RecordBatch: fixed-width header with per-BATCH
+    CRC-32C (covering attributes → end, exactly the span the spec
+    names), then varint-packed records — gzip-compressed as one block
+    when ``compression="gzip"`` (attribute bits 0-2 = 1; recordCount
+    stays the UNcompressed record count, per spec). producerId/epoch/
+    sequence are -1 (non-idempotent) and partitionLeaderEpoch is -1,
+    the un-configured client defaults; timestamps are
+    ``base_timestamp`` with delta 0 per record — deterministic, which
+    the fixture hash requires (gzip mtime pinned to 0 for the same
+    reason)."""
+    if compression not in ("none", "gzip"):
+        raise ValueError(
+            f"compression must be none|gzip, got {compression!r} "
+            "(snappy/lz4/zstd need non-stdlib codecs)"
+        )
     records = b"".join(
         encode_record_v2(i, 0, k, v) for i, (k, v) in enumerate(messages)
     )
+    attrs = _CODEC_NONE
+    if compression == "gzip":
+        records = gzip.compress(records, mtime=0)
+        attrs = _CODEC_GZIP
     n = len(messages)
     crc_span = (
         struct.pack(
             ">hiqqqhii",
-            0,                        # attributes: no compression, create-time
+            attrs,                    # attributes: codec bits + create-time
             max(n - 1, 0),            # lastOffsetDelta
             base_timestamp,           # baseTimestamp
             base_timestamp,           # maxTimestamp (delta 0 records)
@@ -200,7 +222,7 @@ def parse_record_batch_v2(
     crc_start = r._i
     if crc32c(buf[crc_start:]) != crc:
         raise ValueError("record batch CRC-32C mismatch")
-    r.i16()                                        # attributes (0: uncompressed)
+    attrs = r.i16()
     r.i32()                                        # lastOffsetDelta
     r.i64()                                        # baseTimestamp
     r.i64()                                        # maxTimestamp
@@ -208,6 +230,13 @@ def parse_record_batch_v2(
     r.i16()                                        # producerEpoch
     r.i32()                                        # baseSequence
     count = r.i32()
+    codec = attrs & _CODEC_MASK
+    if codec == _CODEC_GZIP:
+        # the records block (everything after the fixed header) is one
+        # gzip stream; CRC above already covered the COMPRESSED bytes
+        r = _Reader(gzip.decompress(r.take(len(buf) - r._i)))
+    elif codec != _CODEC_NONE:
+        raise ValueError(f"unsupported record batch compression codec {codec}")
     out: list[tuple[bytes | None, bytes | None]] = []
     for _ in range(count):
         length = decode_varint(r)
@@ -240,6 +269,7 @@ def encode_produce_request_v3(
     timeout_ms: int = 10_000,
     partition: int = 0,
     base_timestamp: int = 0,
+    compression: str = "none",
 ) -> bytes:
     """Size-prefixed Produce v3 request (the first version that REQUIRES
     magic-2 record batches; adds transactional_id, null here). One
@@ -254,7 +284,9 @@ def encode_produce_request_v3(
     for topic, messages in topic_batches.items():
         body.write(_kstring(topic))
         body.write(struct.pack(">i", 1))           # one partition entry
-        batch = encode_record_batch_v2(messages, base_timestamp=base_timestamp)
+        batch = encode_record_batch_v2(
+            messages, base_timestamp=base_timestamp, compression=compression
+        )
         body.write(struct.pack(">ii", partition, len(batch)))
         body.write(batch)
     payload = body.getvalue()
@@ -334,6 +366,7 @@ def produce_rows_v2(
     batch_size: int = 1000,
     timeout: float = 30.0,
     max_retries: int = 2,
+    compression: str = "none",
 ) -> int:
     """Executor-side partition produce over the v2 record-batch dialect:
     same shape and at-least-once contract as kafka_wire.produce_rows,
@@ -367,7 +400,11 @@ def produce_rows_v2(
                 if sock is None:
                     sock = connect()
                 corr += 1
-                sock.sendall(encode_produce_request_v3(corr, by_topic))
+                sock.sendall(
+                    encode_produce_request_v3(
+                        corr, by_topic, compression=compression
+                    )
+                )
                 resp = parse_produce_response_v3(_recv_frame(sock))
                 errs = [
                     (t, p, ec)

@@ -74,11 +74,32 @@ _blob = st.one_of(st.none(), st.binary(max_size=64))
 
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.tuples(_blob, _blob), min_size=0, max_size=16),
-       st.integers(min_value=0, max_value=2**40))
-def test_record_batch_roundtrip_property(msgs, ts):
+       st.integers(min_value=0, max_value=2**40),
+       st.sampled_from(["none", "gzip"]))
+def test_record_batch_roundtrip_property(msgs, ts, codec):
     assert parse_record_batch_v2(
-        encode_record_batch_v2(msgs, base_timestamp=ts)
+        encode_record_batch_v2(msgs, base_timestamp=ts, compression=codec)
     ) == msgs
+
+
+def test_gzip_batch_attributes_and_determinism():
+    """gzip batches carry codec bit 1, are byte-deterministic (mtime
+    pinned — the fixture-hash requirement), reject unknown codecs, and
+    corruption inside the COMPRESSED block still fails the batch CRC
+    (the CRC covers the compressed bytes, per spec)."""
+    msgs = [(b"k" * 50, b"v" * 500), (None, b"x" * 500)]
+    a = encode_record_batch_v2(msgs, compression="gzip")
+    b = encode_record_batch_v2(msgs, compression="gzip")
+    assert a == b
+    assert len(a) < len(encode_record_batch_v2(msgs)) // 2
+    attrs = int.from_bytes(a[21:23], "big")  # 8+4+4+1+4 header bytes
+    assert attrs & 0x07 == 1
+    with pytest.raises(ValueError, match="compression"):
+        encode_record_batch_v2(msgs, compression="snappy")
+    bad = bytearray(a)
+    bad[-3] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32C"):
+        parse_record_batch_v2(bytes(bad))
 
 
 def test_record_batch_corruption_detected():
@@ -159,6 +180,19 @@ def test_v2_producer_refuses_v0_only_broker():
             produce_rows_v2(iter(_rows(1)), "127.0.0.1", broker.port,
                             max_retries=0)
         assert broker.records("v2-topic") == []
+
+
+def test_v2_gzip_produce_lands_decoded():
+    """The compressed path end-to-end: gzip batches over TCP, broker
+    decompresses inside the batch parser, same decoded log."""
+    with WireBroker() as broker:
+        sent = produce_rows_v2(
+            iter(_rows(8, "gz")), "127.0.0.1", broker.port,
+            compression="gzip",
+        )
+        records = broker.records("gz")
+    assert sent == 8
+    assert records == [(f"k{i}".encode(), f"v{i}".encode()) for i in range(8)]
 
 
 def test_v2_transient_error_retries_to_exactly_one_copy():
