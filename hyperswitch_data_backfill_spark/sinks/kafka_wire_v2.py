@@ -481,11 +481,13 @@ def write_kafka_wire_v2(
     WHERE o_orderkey % 400 = 13
     """,
     doc="S4 wire leg, modern dialect: a deterministic orders subset "
-        "produced over real TCP as Produce v3 requests carrying magic-2 "
-        "record batches (varint/zigzag records, per-batch CRC-32C "
-        "verified by the broker double), decoded back off the broker "
-        "log and value-hash-compared against the oracle's JSON — the "
-        "default path of every post-0.11 broker, alongside the v0 leg "
+        "produced over real TCP as Produce v3 requests carrying "
+        "GZIP-COMPRESSED magic-2 record batches (varint/zigzag records, "
+        "per-batch CRC-32C over the compressed block, verified and "
+        "decompressed by the broker double), decoded back off the "
+        "broker log and value-hash-compared against the oracle's JSON — "
+        "the configured-producer path of every post-0.11 broker, "
+        "alongside the v0 leg "
         "(main.rs:146-153 → payment_intent.rs:102-105).",
 )
 def kafka_wire_v2_roundtrip(spark, sf_dir: str) -> DataFrame:
@@ -498,8 +500,12 @@ def kafka_wire_v2_roundtrip(spark, sf_dir: str) -> DataFrame:
 
     frame = _intent_payload_frame(spark, sf_dir, where="o_orderkey % 400 = 13")
     with WireBroker() as broker:
-        write_kafka_wire_v2(
-            frame.repartition(4), "127.0.0.1", broker.port, batch_size=256
+        port = broker.port  # bind the int: the closure must not capture
+        # the broker object itself (thread locks are unpicklable)
+        frame.repartition(4).foreachPartition(
+            lambda rows: produce_rows_v2(
+                rows, "127.0.0.1", port, batch_size=256, compression="gzip"
+            )
         )
         # same at-least-once dedup rationale as kafka_wire_roundtrip
         decoded = sorted({
