@@ -703,9 +703,15 @@ def produce_rows_routed(
     batch_size: int = 1000,
     timeout: float = 30.0,
     max_retries: int = 2,
+    wire_version: int = 0,
+    compression: str = "none",
 ) -> int:
     """Leader-routed executor-side produce — the discovery loop a real
-    client runs, against the v0 dialect:
+    client runs. ``wire_version`` picks the dialect: 0 (magic-0 message
+    sets, the default this module documents) or 3 (magic-2 record
+    batches via kafka_wire_v2, optionally gzip-``compression``-ed) —
+    routing, per-leader batching, NOT_LEADER recovery, and the
+    handshake requirement all follow the chosen version:
 
     1. bootstrap: Metadata v0 to the seed broker → broker list +
        partition leaders (cached; refreshed per topic on demand);
@@ -721,6 +727,22 @@ def produce_rows_routed(
     Connections: one per (task, broker node) — the per-node connection
     pool a real client keeps.
     """
+    if wire_version == 0:
+        if compression != "none":
+            raise ValueError("compression applies only to wire_version=3")
+        enc_parts = encode_produce_request_v0_parts
+        parse_resp = parse_produce_response_v0
+    elif wire_version == 3:
+        from hyperswitch_data_backfill_spark.sinks import kafka_wire_v2 as _v2
+
+        def enc_parts(c, batches):
+            return _v2.encode_produce_request_v3_parts(
+                c, batches, compression=compression
+            )
+
+        parse_resp = _v2.parse_produce_response_v3
+    else:
+        raise ValueError(f"wire_version must be 0 or 3, got {wire_version}")
     pending: dict[tuple[str, int], list[tuple[bytes | None, bytes | None]]] = {}
     n_pending = 0
     sent = 0
@@ -741,7 +763,8 @@ def produce_rows_routed(
             # OSError/ConnectionError failover handlers by design.
             corr += 1
             negotiate_api_versions(
-                s, corr, required={_API_PRODUCE: 0, _API_METADATA: 0})
+                s, corr,
+                required={_API_PRODUCE: wire_version, _API_METADATA: 0})
             conns[node] = s
         return s
 
@@ -810,8 +833,8 @@ def produce_rows_routed(
                 try:
                     s = connect(node)
                     corr += 1
-                    s.sendall(encode_produce_request_v0_parts(corr, batches))
-                    resp = parse_produce_response_v0(_recv_frame(s))
+                    s.sendall(enc_parts(corr, batches))
+                    resp = parse_resp(_recv_frame(s))
                     for t, parts in resp.items():
                         for p, (ec, _off) in parts.items():
                             if ec == _ERR_NOT_LEADER:

@@ -275,20 +275,44 @@ def encode_produce_request_v3(
     magic-2 record batches; adds transactional_id, null here). One
     partition per topic — the leader-direct single-broker shape the v0
     fixture also uses."""
+    return encode_produce_request_v3_parts(
+        correlation_id,
+        {t: {partition: msgs} for t, msgs in topic_batches.items()},
+        client_id=client_id, acks=acks, timeout_ms=timeout_ms,
+        base_timestamp=base_timestamp, compression=compression,
+    )
+
+
+def encode_produce_request_v3_parts(
+    correlation_id: int,
+    batches: dict[str, dict[int, list[tuple[bytes | None, bytes | None]]]],
+    *,
+    client_id: str = "spark-backfill-wire-v2",
+    acks: int = 1,
+    timeout_ms: int = 10_000,
+    base_timestamp: int = 0,
+    compression: str = "none",
+) -> bytes:
+    """General Produce v3: topic → partition → messages, one record
+    batch per partition — the shape the leader-routed producer needs to
+    batch every partition a node leads into one request (mirror of
+    kafka_wire.encode_produce_request_v0_parts)."""
     body = io.BytesIO()
     body.write(struct.pack(">hhi", _API_PRODUCE, PRODUCE_V3, correlation_id))
     body.write(_kstring(client_id))
     body.write(_kstring(None))                     # transactional_id
     body.write(struct.pack(">hi", acks, timeout_ms))
-    body.write(struct.pack(">i", len(topic_batches)))
-    for topic, messages in topic_batches.items():
+    body.write(struct.pack(">i", len(batches)))
+    for topic, parts in batches.items():
         body.write(_kstring(topic))
-        body.write(struct.pack(">i", 1))           # one partition entry
-        batch = encode_record_batch_v2(
-            messages, base_timestamp=base_timestamp, compression=compression
-        )
-        body.write(struct.pack(">ii", partition, len(batch)))
-        body.write(batch)
+        body.write(struct.pack(">i", len(parts)))
+        for partition, messages in parts.items():
+            batch = encode_record_batch_v2(
+                messages, base_timestamp=base_timestamp,
+                compression=compression,
+            )
+            body.write(struct.pack(">ii", partition, len(batch)))
+            body.write(batch)
     payload = body.getvalue()
     return struct.pack(">i", len(payload)) + payload
 

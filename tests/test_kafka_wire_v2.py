@@ -320,3 +320,48 @@ def test_broker_serves_every_advertised_produce_version():
             assert r.i32() == 0                         # throttle_time
         assert broker.records("legacy") == [(b"k1", b"v1"), (b"k2", b"v2")]
         assert broker.errors == []
+
+
+def test_routed_producer_speaks_v2_dialect():
+    """routing × modern dialect: the leader-routed producer with
+    wire_version=3 (gzip batches) bootstraps Metadata, murmur2-routes,
+    and lands every record on its partition's leader as magic-2
+    batches — brokers still REFUSE non-led partitions, so a green log
+    proves routing worked in the new dialect too."""
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        WireCluster,
+        partition_for_key,
+        produce_rows_routed,
+    )
+
+    rows = [
+        {"key": f"rk{i}", "value": f"rv{i}", "topic": "routed-v2"}
+        for i in range(40)
+    ]
+    with WireCluster(n_brokers=2, topics={"routed-v2": 4}) as cluster:
+        host, port = cluster.bootstrap
+        sent = produce_rows_routed(
+            iter(rows), host, port, wire_version=3, compression="gzip"
+        )
+        landed = cluster.all_records()
+    assert sent == 40
+    by_part: dict[int, set] = {}
+    for topic, partition, _node, key, value in landed:
+        assert topic == "routed-v2"
+        by_part.setdefault(partition, set()).add((key, value))
+    got = set().union(*by_part.values())
+    assert got == {(f"rk{i}".encode(), f"rv{i}".encode()) for i in range(40)}
+    for partition, kvs in by_part.items():
+        for key, _v in kvs:
+            assert partition_for_key(key, 4) == partition
+
+
+def test_routed_v2_rejects_bad_knobs():
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        produce_rows_routed,
+    )
+
+    with pytest.raises(ValueError, match="wire_version"):
+        produce_rows_routed(iter([]), "127.0.0.1", 1, wire_version=2)
+    with pytest.raises(ValueError, match="compression"):
+        produce_rows_routed(iter([]), "127.0.0.1", 1, compression="gzip")
