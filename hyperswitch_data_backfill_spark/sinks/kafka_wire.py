@@ -61,8 +61,10 @@ you use ``write_kafka`` (connector jar) so the JVM batches, compresses,
 and load-balances partitions. This module speaks the v0 dialect (the
 oldest stable one); round 12 added the modern magic-2 record-batch
 dialect (varint/zigzag records, per-batch CRC-32C, Produce v3) in
-``kafka_wire_v2.py``, and the broker double below version-dispatches
-between the two exactly like a real broker's request pipeline.
+``kafka_wire_v2.py``; the broker double below serves every Produce
+version it advertises (v0-v2 message sets, v3 record batches) exactly
+like a real broker's request pipeline, and the leader-routed producer
+speaks either dialect (``wire_version``).
 """
 
 from __future__ import annotations
