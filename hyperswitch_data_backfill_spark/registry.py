@@ -15,8 +15,10 @@ Contract notes (see __spark_entry__ docstring):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,100 +61,113 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # and tests/test_registry.py::test_driver_window_matches_rotation_output
 # fails the suite whenever the committed copy drifts from what the
 # shipped CORRECTNESS files say it should be. To regenerate after new
-# driver artifacts land: `python tools/rotation.py`, paste, and bump
-# _WINDOW_EVIDENCE_ROUND to the newest shipped round.
+# driver artifacts land: `python tools/rotation.py` and paste (the
+# evidence pin below derives itself from the shipped artifacts).
 #
 # Prepend hook: evidence files cannot detect a key whose IMPLEMENTATION
 # changed since its latest green — list those here by hand and they go
 # first, ahead of the age-ranked tail. (New keys need no entry: a key
 # with no driver record anywhere ranks first automatically.)
-# Round 12: the LSH cosine pair path gets the bucket-size valve +
-# multi-probe recall lift (neardup_cosine_lsh, its recall-floor twin,
-# and the LSH branch of dedup_semantic_clusters, whose oracle also
-# moves from recursive reach-CTE to label propagation); the jaccard /
-# levenshtein / containment posting emitters gain per-call
-# max_bucket_members knobs, and bounded_broadcast's eager-probe double
-# execution is now a documented cost contract (r11 ADVICE; the probe
-# itself is unchanged). All re-enter ahead of the tail.
-# Round-11 prepends are cleared (their r11 records cover the shipped
-# implementations).
+# Round 13: the wire parse paths change (legacy per-message compression
+# bits now refuse loudly; the v2 parser decodes multiple concatenated
+# record batches per partition — r12 ADVICE items 1-2), apply_changes
+# gains NULL-op changelog validation (ADVICE item 3), and sim_topk's
+# in-plan recall floor is raised (r12 verdict wrong-item 3). All the
+# driver-checkable keys those implementations back re-enter ahead of
+# the tail. Round-12 prepends are cleared (their r12 records cover the
+# shipped implementations).
 _WINDOW_PREPEND: tuple[str, ...] = (
-    "neardup_cosine_lsh",
-    "neardup_cosine_recall_floor",
-    "dedup_semantic_clusters",
-    "neardup_levenshtein",
-    "dedup_containment",
-    "dedup_incremental_jaccard",
-    "dedup_span_removal",
-    "dedup_ngram_jaccard",
-    # r12 query-side multi-probe changed both (floor raised 0.25→0.40)
+    "kafka_wire_roundtrip",
+    "kafka_wire_routed_roundtrip",
+    "kafka_wire_v2_roundtrip",
+    "cdc_apply_changes",
     "sim_topk",
     "sim_topk_recall_floor",
 )
 
-# The newest CORRECTNESS_r*.json round the committed window reflects.
-# The rotation tripwire recomputes the suggestion from evidence rounds
-# <= this pin (r9 verdict item 2): the driver dropping a NEW artifact
-# post-snapshot no longer flips the test red, while a window left
-# unrotated for a full round fails the >=2-rounds-behind staleness
-# guard in test_registry.py.
-_WINDOW_EVIDENCE_ROUND: int = 11
+_CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json")
 
-# ROUND-12 WINDOW = rotation output at evidence pin r11 with the eight
-# changed-implementation prepends (LSH cosine valve + multi-probe, the
-# label-propagation clusters oracle, the posting-emitter knob/probe
-# fixes), then the r8-vintage cohort and r9-vintage oldest-first fill.
+
+def _shipped_evidence_rounds() -> list[int]:
+    """Round numbers of every shipped driver artifact, ascending by the
+    PARSED number (r10 after r9). Mirrors tools/rotation.correctness_files
+    (which tools can import registry, not vice versa)."""
+    repo = Path(__file__).resolve().parent.parent
+    return sorted(
+        int(m.group(1))
+        for f in repo.glob("CORRECTNESS_*.json")
+        if (m := _CORRECTNESS_RE.fullmatch(f.name)) is not None
+    )
+
+
+# The newest CORRECTNESS_r*.json round the committed window reflects.
+# DERIVED, not hand-pinned (r12 verdict wrong-item 1: the per-round
+# "bump the literal" chore kept recurring): the pin is the newest
+# shipped artifact round at import time. The driver dropping a NEW
+# artifact post-snapshot moves the pin forward by one, so the rotation
+# tripwire in tests/test_registry.py accepts a committed window that
+# matches the suggestion at the pin OR at pin-1 (the inevitable
+# post-snapshot drop) — while a window left unrotated for a full round
+# matches neither and fails.
+_WINDOW_EVIDENCE_ROUND: int = max(_shipped_evidence_rounds(), default=0)
+
+# ROUND-13 WINDOW = rotation output at evidence pin r12 with the six
+# changed-implementation prepends (wire-parse hardening, apply_changes
+# changelog validation, the raised sim_topk floor), then the r9-vintage
+# cohort oldest-first and the r10 fill. New round-13 keys (no driver
+# record anywhere) rank ahead of the tail automatically on the next
+# regeneration.
 _DRIVER_WINDOW: list[str] = [
-    "neardup_cosine_lsh",  # rows_only r11
-    "neardup_cosine_recall_floor",  # green r11
-    "dedup_semantic_clusters",  # green r11
-    "neardup_levenshtein",  # green r10
-    "dedup_containment",  # green r11
-    "dedup_incremental_jaccard",  # green r11
-    "dedup_span_removal",  # green r8
-    "dedup_ngram_jaccard",  # green r8
-    "sim_topk",  # rows_only r8
-    "sim_topk_recall_floor",  # green r8
-    "kafka_wire_v2_roundtrip",  # no evidence
-    "dedup_minhash_recall_pairs",  # green r8
-    "dedup_simhash_crosscheck",  # green r8
-    "dedup_span_ngrams",  # green r8
-    "dq_referential_integrity",  # green r8
-    "emb_pq_quantize_err",  # green r8
-    "graph_pagerank",  # green r8
-    "graph_triangle_count",  # green r8
-    "join_asof",  # green r8
-    "join_asof_tolerance",  # green r8
-    "join_broadcast",  # green r8
-    "join_skew_salted",  # green r8
-    "join_skew_split",  # green r8
-    "join_smj",  # green r8
-    "layout_zonemap",  # green r8
-    "pipeline_corpus_build",  # green r8
-    "pipeline_settlement_report",  # green r8
-    "sample_temperature_mix",  # green r8
-    "sim_ivf",  # rows_only r8
-    "sim_ivf_recall_floor",  # green r8
-    "sim_ivf_trained",  # rows_only r8
-    "sim_ivf_trained_recall_floor",  # green r8
-    "sim_ivfpq_recall_floor",  # green r8
-    "udf_decrypt",  # green r8
-    "win_session",  # green r8
-    "win_sliding",  # green r8
-    "agg_approx_distinct",  # rows_only r9
-    "agg_approx_percentile",  # rows_only r9
-    "agg_cube",  # green r9
-    "agg_distinct",  # green r9
-    "agg_group_count",  # green r9
-    "agg_grouping_sets",  # green r9
-    "agg_histogram",  # green r9
-    "agg_hll_merge",  # rows_only r9
-    "agg_mode",  # green r9
-    "agg_pivot",  # green r9
-    "agg_rollup",  # green r9
-    "agg_stats",  # green r9
-    "anomaly_zscore",  # green r9
-    "count_filtered",  # green r9
+    "kafka_wire_roundtrip",  # green r10
+    "kafka_wire_routed_roundtrip",  # green r10
+    "kafka_wire_v2_roundtrip",  # green r12
+    "cdc_apply_changes",  # green r11
+    "sim_topk",  # rows_only r12
+    "sim_topk_recall_floor",  # green r12
+    "dedup_minhash",  # rows_only r9
+    "emb_pq_quantize",  # rows_only r9
+    "exists_subquery",  # green r9
+    "filter_between",  # green r9
+    "filter_conj",  # green r9
+    "filter_eq",  # green r9
+    "join_anti",  # green r9
+    "join_asof_forward",  # green r9
+    "join_full_outer",  # green r9
+    "join_left",  # green r9
+    "join_range",  # green r9
+    "join_semi",  # green r9
+    "json_variant_extract",  # green r9
+    "layout_zorder",  # green r9
+    "limit_k",  # green r9
+    "money_convert_asof",  # green r9
+    "multimodal_png_roundtrip",  # green r9
+    "multimodal_wav_roundtrip",  # green r9
+    "paginate_window",  # green r9
+    "project_subset",  # green r9
+    "remap_columns",  # green r9
+    "sample_stable_split",  # green r9
+    "scd2_apply",  # green r9
+    "seq_pattern_funnel",  # green r9
+    "seq_pattern_funnel_sessioned",  # green r9
+    "text_collapse_runs",  # green r9
+    "tpch_q3_topk",  # green r9
+    "ts_gapfill",  # green r9
+    "win_ntile",  # green r9
+    "win_time_weighted_avg",  # green r9
+    "agg_corr_moments",  # green r10
+    "agg_unpivot",  # green r10
+    "array_ops",  # green r10
+    "compact_latest",  # green r10
+    "date_trunc_bucket",  # green r10
+    "decontam_ngram",  # green r10
+    "dedup_clusters",  # green r10
+    "dedup_exact_hashkey",  # green r10
+    "dedup_survivors",  # green r10
+    "emb_centroid_per_label",  # green r10
+    "emb_quantize_int8",  # green r10
+    "emb_random_projection",  # green r10
+    "funnel_steps",  # green r10
+    "json_extract",  # green r10
 ]
 
 

@@ -108,69 +108,67 @@ def test_driver_window_matches_rotation_output():
     """The committed _DRIVER_WINDOW must BE the mechanical rotation
     (r8 verdict item 2: the r7→r8 hand-listed window let a written-down
     rotation go unexecuted for two rounds — CORRECTNESS_r08 re-swept
-    r07's exact key set while the r4-vintage tail aged). The window is
-    pinned to tools/rotation.suggested_window(50, _WINDOW_PREPEND,
-    max_round=_WINDOW_EVIDENCE_ROUND): recomputing at the committed
-    evidence pin means the driver dropping CORRECTNESS_r{N+1}.json after
-    the builder's snapshot does NOT flip this test red (r9 verdict
-    item 1 — the r9 tripwire conflated 'builder forgot to rotate' with
-    'driver evidence landed post-snapshot'); a forgotten rotation is
-    caught instead by test_window_evidence_pin_not_stale."""
+    r07's exact key set while the r4-vintage tail aged). Since round 13
+    the evidence pin DERIVES from the newest shipped artifact (r12
+    verdict wrong-item 1: the hand-bumped literal was a recurring
+    chore), so the committed window must equal the suggestion at the
+    derived pin OR at pin-1 — the latter covers the driver dropping
+    CORRECTNESS_r{N+1}.json after the builder's snapshot (r9 verdict
+    item 1). A window matching NEITHER is genuinely stale: a full
+    builder round went by without executing the rotation."""
     rotation = _rotation()
-    expected = rotation.suggested_window(
-        50,
-        prepend=registry._WINDOW_PREPEND,
-        max_round=registry._WINDOW_EVIDENCE_ROUND,
-    )
-    assert registry._DRIVER_WINDOW == expected, (
-        "committed _DRIVER_WINDOW has drifted from the rotation output at "
-        f"its own evidence pin (r{registry._WINDOW_EVIDENCE_ROUND}) — run "
-        "`python tools/rotation.py`, paste the suggested window, and bump "
-        "_WINDOW_EVIDENCE_ROUND (prepend hook: registry._WINDOW_PREPEND)"
+    pin = registry._WINDOW_EVIDENCE_ROUND
+    candidates = {
+        rnd: rotation.suggested_window(
+            50, prepend=registry._WINDOW_PREPEND, max_round=rnd
+        )
+        for rnd in (pin, pin - 1)
+    }
+    assert any(registry._DRIVER_WINDOW == w for w in candidates.values()), (
+        "committed _DRIVER_WINDOW matches the rotation output at neither "
+        f"the derived evidence pin (r{pin}) nor r{pin - 1} (post-snapshot "
+        "tolerance) — the rotation was not executed last round; run "
+        "`python tools/rotation.py` and paste the suggested window "
+        "(prepend hook: registry._WINDOW_PREPEND)"
     )
 
 
-def test_window_evidence_pin_not_stale():
-    """Staleness guard completing the tripwire: the committed evidence
-    pin may trail the newest shipped CORRECTNESS file by at most ONE
-    round (the inevitable post-snapshot driver drop). A gap of >=2 means
-    a full builder round went by without executing the rotation — the
-    exact failure mode the r8 verdict flagged. Also pins that the
-    committed round actually exists as a shipped artifact."""
+def test_window_evidence_pin_derivation():
+    """The derived pin must equal the newest shipped CORRECTNESS round
+    as tools/rotation parses them — guards the two scanners (registry's
+    and rotation's, which can't share code without an import cycle)
+    from drifting apart."""
     rotation = _rotation()
     rounds = [rnd for rnd, _f in rotation.correctness_files()]
     assert rounds, "no CORRECTNESS_r*.json artifacts found"
-    newest = max(rounds)
-    pin = registry._WINDOW_EVIDENCE_ROUND
-    assert pin in rounds, (
-        f"_WINDOW_EVIDENCE_ROUND={pin} names a round with no shipped "
-        f"CORRECTNESS_r{pin}.json artifact"
-    )
-    assert newest - pin <= 1, (
-        f"window evidence pin r{pin} is {newest - pin} rounds behind the "
-        f"newest shipped artifact r{newest} — the rotation was not "
-        "executed last round; run `python tools/rotation.py`, paste, and "
-        "bump _WINDOW_EVIDENCE_ROUND"
+    assert registry._WINDOW_EVIDENCE_ROUND == max(rounds), (
+        f"registry derived pin r{registry._WINDOW_EVIDENCE_ROUND} != newest "
+        f"shipped artifact r{max(rounds)} — _shipped_evidence_rounds() has "
+        "drifted from tools/rotation.correctness_files()"
     )
 
 
 def test_rotation_detects_genuinely_stale_window():
     """Regression case demanded by the r9 verdict: the hardened tripwire
-    must still FAIL on a window that is genuinely stale. Recomputing the
-    suggestion at an older evidence pin (r8 — before the r9 sweep
-    re-greened the r4-vintage cohort) must yield a different window than
-    the committed r9-pinned one, i.e. a builder who pasted the r8-era
-    suggestion but claimed the r9 pin would be caught by
-    test_driver_window_matches_rotation_output."""
+    must still FAIL on a window that is genuinely stale. A window left
+    over from TWO rotations ago (suggestion at pin-2) must match neither
+    of the suggestions the match test accepts (pin, pin-1), i.e. a
+    builder who skipped a full round of rotation is caught."""
     rotation = _rotation()
-    stale_pin = registry._WINDOW_EVIDENCE_ROUND - 1
+    pin = registry._WINDOW_EVIDENCE_ROUND
     stale = rotation.suggested_window(
-        50, prepend=registry._WINDOW_PREPEND, max_round=stale_pin
+        50, prepend=registry._WINDOW_PREPEND, max_round=pin - 2
     )
-    assert stale != registry._DRIVER_WINDOW, (
-        "rotation output at the previous evidence pin equals the committed "
-        "window — the staleness tripwire has lost its teeth (did the "
-        "driver sweep change nothing last round?)"
+    accepted = [
+        rotation.suggested_window(
+            50, prepend=registry._WINDOW_PREPEND, max_round=rnd
+        )
+        for rnd in (pin, pin - 1)
+    ]
+    assert stale not in accepted, (
+        "rotation output from two pins ago would still pass the match "
+        "test — the staleness tripwire has lost its teeth (did the "
+        "driver sweeps change nothing for two rounds?)"
     )
 
 
