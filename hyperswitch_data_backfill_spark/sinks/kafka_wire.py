@@ -82,20 +82,28 @@ from hyperswitch_data_backfill_spark.registry import register
 from hyperswitch_data_backfill_spark.sinks.kafka import _intent_payload_frame
 
 _API_PRODUCE = 0
+_API_FETCH = 1
+_API_LIST_OFFSETS = 2
 _API_METADATA = 3
 _API_API_VERSIONS = 18
 
 # Kafka protocol error codes used by the double (protocol guide,
 # kafka.apache.org/protocol#protocol_error_codes).
+_ERR_OFFSET_OUT_OF_RANGE = 1
 _ERR_CORRUPT_MESSAGE = 2
+_ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 _ERR_NOT_LEADER = 6
 
 # The version ranges a default broker double advertises: the v0 dialect
 # this module speaks plus the magic-2 record-batch dialect
-# (kafka_wire_v2.py, Produce v3 — r12). Tests narrow it to prove the
-# client-side refusal paths in both directions.
+# (kafka_wire_v2.py, Produce v3 — r12) and, since r13, the consume side
+# (Fetch v0 = message sets / v4 = record batches, ListOffsets v0 —
+# sources/kafka_fetch.py). Tests narrow it to prove the client-side
+# refusal paths in both directions.
 _DEFAULT_API_VERSIONS: dict[int, tuple[int, int]] = {
     _API_PRODUCE: (0, 3),
+    _API_FETCH: (0, 4),
+    _API_LIST_OFFSETS: (0, 0),
     _API_METADATA: (0, 0),
     _API_API_VERSIONS: (0, 0),
 }
@@ -485,11 +493,21 @@ def parse_produce_request_legacy(frame: bytes) -> tuple[int, ProduceRequest]:
                 msg = _Reader(mset.take(mset.i32()))
                 crc = msg.u32()
                 body_start = msg._i
-                magic, _attrs = msg.i8(), msg.i8()
+                magic, attrs = msg.i8(), msg.i8()
                 if magic == 1:
                     msg.i64()                       # create-time timestamp
                 elif magic != 0:
                     raise ValueError(f"unsupported message magic {magic}")
+                if attrs & 0x07:
+                    # Compressed legacy message sets wrap the whole set in
+                    # one compressed carrier message; storing the carrier
+                    # blob verbatim would be silently-wrong log contents —
+                    # refuse loudly like the v2 side does for snappy/lz4/
+                    # zstd (r12 ADVICE item 2).
+                    raise ValueError(
+                        "unsupported legacy message compression "
+                        f"(attributes codec bits {attrs & 0x07})"
+                    )
                 key, value = msg.bytes_(), msg.bytes_()
                 if zlib.crc32(msg._b[body_start:msg._i]) & 0xFFFFFFFF != crc:
                     raise ValueError("message CRC mismatch")
@@ -1039,6 +1057,83 @@ class WireBroker:
             versions = dict(self.api_versions)
         conn.sendall(encode_api_versions_response_v0(corr, versions))
 
+    def _handle_fetch(self, conn: socket.socket, frame: bytes) -> None:
+        """Serve a Fetch v0-v4 request from the append logs: leadership-
+        checked like produce, offsets validated against the log bounds,
+        the returned span budgeted by partition_max_bytes (at least one
+        message when any is available, KIP-74 style so a single large
+        message can't wedge a consumer). The log is re-encoded in the
+        dialect the request version implies — magic-0 message sets for
+        v0-v3, magic-2 record batches for v4 — with the ABSOLUTE offsets
+        this broker assigned, exactly what a real log read returns."""
+        from hyperswitch_data_backfill_spark.sources import kafka_fetch as _fetch
+
+        req = _fetch.parse_fetch_request(frame)
+        with self.meta.lock:
+            leaders = {t: dict(p) for t, p in self.meta.leaders.items()}
+        data: dict[str, dict[int, tuple[int, int, bytes]]] = {}
+        for topic, parts in req.parts.items():
+            declared = leaders.get(topic)
+            for partition, (offset, part_max_bytes) in parts.items():
+                out = data.setdefault(topic, {})
+                if declared is not None and declared.get(partition) != self.node_id:
+                    out[partition] = (_ERR_NOT_LEADER, -1, b"")
+                    continue
+                with self._lock:
+                    log = self._logs.get((topic, partition))
+                    msgs = list(log.messages) if log else None
+                if msgs is None and (declared is None or partition not in declared):
+                    out[partition] = (_ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, b"")
+                    continue
+                msgs = msgs or []
+                hwm = len(msgs)
+                if offset < 0 or offset > hwm:
+                    out[partition] = (_ERR_OFFSET_OUT_OF_RANGE, hwm, b"")
+                    continue
+                records = _fetch.encode_log_slice(
+                    msgs, offset, part_max_bytes, api_version=req.api_version
+                )
+                out[partition] = (0, hwm, records)
+        conn.sendall(
+            _fetch.encode_fetch_response(
+                req.correlation_id, data, version=req.api_version
+            )
+        )
+
+    def _handle_list_offsets(self, conn: socket.socket, frame: bytes) -> None:
+        """Serve ListOffsets v0: -1 (latest) → [high watermark], -2
+        (earliest) → [0]; any real timestamp → [0] (the double keeps one
+        segment, whose base offset is the only boundary at or before any
+        timestamp). Leadership/unknown checks mirror fetch."""
+        from hyperswitch_data_backfill_spark.sources import kafka_fetch as _fetch
+
+        corr, parts_req = _fetch.parse_list_offsets_request_v0(frame)
+        with self.meta.lock:
+            leaders = {t: dict(p) for t, p in self.meta.leaders.items()}
+        data: dict[str, dict[int, tuple[int, list[int]]]] = {}
+        for topic, parts in parts_req.items():
+            declared = leaders.get(topic)
+            for partition, (timestamp, max_num) in parts.items():
+                out = data.setdefault(topic, {})
+                if declared is not None and declared.get(partition) != self.node_id:
+                    out[partition] = (_ERR_NOT_LEADER, [])
+                    continue
+                with self._lock:
+                    log = self._logs.get((topic, partition))
+                    n = len(log.messages) if log else None
+                if n is None and (declared is None or partition not in declared):
+                    out[partition] = (_ERR_UNKNOWN_TOPIC_OR_PARTITION, [])
+                    continue
+                hwm = n or 0
+                if timestamp == -1:
+                    offsets = [hwm]
+                elif timestamp == -2:
+                    offsets = [0]
+                else:
+                    offsets = [0]
+                out[partition] = (0, offsets[:max(max_num, 0)])
+        conn.sendall(_fetch.encode_list_offsets_response_v0(corr, data))
+
     def _serve(self, conn: socket.socket) -> None:
         try:
             while not self._stop.is_set():
@@ -1056,6 +1151,12 @@ class WireBroker:
                         continue
                     if api_key == _API_METADATA:
                         self._handle_metadata(conn, frame)
+                        continue
+                    if api_key == _API_FETCH:
+                        self._handle_fetch(conn, frame)
+                        continue
+                    if api_key == _API_LIST_OFFSETS:
+                        self._handle_list_offsets(conn, frame)
                         continue
                     # Version dispatch, like a real broker's request
                     # pipeline: both dialects decode into the same

@@ -24,11 +24,13 @@ test vector) with the same executed-proof discipline as the v0 leg:
 Like the v0 leg this is a TEST DOUBLE of the wire path, not a
 production sink (at 100 TB: ``write_kafka`` + connector jar, where the
 JVM client batches/compresses). producerId=-1 (non-idempotent) — the
-default un-configured producer shape; gzip batch compression
-(attribute bits 0-2, the stdlib-expressible codec) is supported on
-both sides, snappy/lz4/zstd are explicit capability errors. The point
-is executed, assertable magic-2 bytes on a real socket, not a client
-library.
+default un-configured producer shape; batch compression (attribute
+bits 0-2) supports gzip (stdlib, byte-deterministic), snappy and zstd
+(r13 — pyarrow codecs, content size recovered from the stream itself:
+snappy's leading uvarint, zstd's RFC 8878 Frame_Content_Size); lz4
+stays an explicit capability error (pyarrow's one-shot LZ4 frame omits
+the content size the decode side needs). The point is executed,
+assertable magic-2 bytes on a real socket, not a client library.
 """
 
 from __future__ import annotations
@@ -119,9 +121,11 @@ def encode_record_v2(
     timestamp_delta: int,
     key: bytes | None,
     value: bytes | None,
-    headers: list[tuple[str, bytes]] = [],
+    headers: list[tuple[str, bytes]] | None = None,
 ) -> bytes:
     """One magic-2 Record, length-prefixed (varint)."""
+    if headers is None:
+        headers = ()
     body = io.BytesIO()
     body.write(b"\x00")  # record attributes: unused, must be 0
     body.write(encode_varint(timestamp_delta))
@@ -149,7 +153,116 @@ def encode_record_v2(
 # RecordBatch attribute bits 0-2: compression codec (protocol guide).
 _CODEC_NONE = 0
 _CODEC_GZIP = 1
+_CODEC_SNAPPY = 2
+_CODEC_LZ4 = 3
+_CODEC_ZSTD = 4
 _CODEC_MASK = 0x07
+
+_CODEC_IDS = {"none": _CODEC_NONE, "gzip": _CODEC_GZIP,
+              "snappy": _CODEC_SNAPPY, "zstd": _CODEC_ZSTD}
+
+
+def _pa_codec(name: str):
+    """pyarrow codec for the snappy/zstd legs (r12 verdict stretch
+    item 8) — optional-dependency gate in the codecs.py PIL/soundfile
+    style: a missing pyarrow build is an explicit capability error,
+    never a silent fallback."""
+    try:
+        import pyarrow as pa
+
+        return pa.Codec(name)
+    except Exception as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            f"record-batch {name} compression needs a pyarrow build with "
+            f"the {name} codec: {exc}"
+        ) from exc
+
+
+def _snappy_uncompressed_size(buf: bytes) -> int:
+    """Raw snappy block format (google/snappy format description): the
+    stream LEADS with the uncompressed length as a uvarint — which is
+    what lets a one-shot decompressor size its output; Kafka's v2
+    snappy batches are exactly this raw block format."""
+    size = shift = 0
+    for i, c in enumerate(buf[:10]):
+        size |= (c & 0x7F) << shift
+        if not c & 0x80:
+            return size
+        shift += 7
+    raise ValueError("malformed snappy stream: unterminated length uvarint")
+
+
+def _zstd_content_size(buf: bytes) -> int:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1).
+    One-shot zstd compressors (pyarrow's included) set it; a streaming
+    frame without it is a loud capability error — the double cannot
+    size the output buffer."""
+    if len(buf) < 5 or buf[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("not a zstd frame")
+    flg = buf[4]
+    fcs_flag = flg >> 6
+    single_segment = (flg >> 5) & 1
+    pos = 5
+    # Window_Descriptor byte is absent when Single_Segment_flag is set
+    if not single_segment:
+        pos += 1
+    pos += (0, 1, 2, 4)[flg & 0x03]                 # Dictionary_ID field
+    if fcs_flag == 0:
+        if not single_segment:
+            raise NotImplementedError(
+                "zstd frame without Frame_Content_Size: streaming frames "
+                "are not decodable one-shot — re-compress with a one-shot "
+                "encoder (content size present)"
+            )
+        return buf[pos]
+    if fcs_flag == 1:
+        return int.from_bytes(buf[pos:pos + 2], "little") + 256
+    if fcs_flag == 2:
+        return int.from_bytes(buf[pos:pos + 4], "little")
+    return int.from_bytes(buf[pos:pos + 8], "little")
+
+
+def _compress_records(records: bytes, compression: str) -> tuple[bytes, int]:
+    """(compressed records block, attribute codec bits). gzip is the
+    stdlib default (mtime pinned to 0 — deterministic bytes, which the
+    fixture hash requires); snappy/zstd ride pyarrow's codecs; lz4 is
+    an explicit capability error (pyarrow's one-shot LZ4 frames omit
+    the content size, so the receive side could not size its output)."""
+    if compression == "none":
+        return records, _CODEC_NONE
+    if compression == "gzip":
+        return gzip.compress(records, mtime=0), _CODEC_GZIP
+    if compression in ("snappy", "zstd"):
+        return (
+            _pa_codec(compression).compress(records, asbytes=True),
+            _CODEC_IDS[compression],
+        )
+    if compression == "lz4":
+        raise NotImplementedError(
+            "lz4 record-batch compression is not supported: pyarrow's "
+            "one-shot LZ4 frame omits the content size the decode side "
+            "needs — use gzip (stdlib), snappy, or zstd"
+        )
+    raise ValueError(
+        f"compression must be none|gzip|snappy|zstd, got {compression!r}"
+    )
+
+
+def _decompress_records(buf: bytes, codec: int) -> bytes:
+    """Inverse of _compress_records, dispatched on the attribute bits a
+    CLIENT set — unsupported codecs are explicit capability errors,
+    mirroring the produce-side stance (never silently-wrong contents)."""
+    if codec == _CODEC_GZIP:
+        return gzip.decompress(buf)
+    if codec == _CODEC_SNAPPY:
+        return _pa_codec("snappy").decompress(
+            buf, decompressed_size=_snappy_uncompressed_size(buf), asbytes=True
+        )
+    if codec == _CODEC_ZSTD:
+        return _pa_codec("zstd").decompress(
+            buf, decompressed_size=_zstd_content_size(buf), asbytes=True
+        )
+    raise ValueError(f"unsupported record batch compression codec {codec}")
 
 
 def encode_record_batch_v2(
@@ -157,6 +270,7 @@ def encode_record_batch_v2(
     *,
     base_timestamp: int = 0,
     compression: str = "none",
+    base_offset: int = 0,
 ) -> bytes:
     """One magic-2 RecordBatch: fixed-width header with per-BATCH
     CRC-32C (covering attributes → end, exactly the span the spec
@@ -167,19 +281,14 @@ def encode_record_batch_v2(
     the un-configured client defaults; timestamps are
     ``base_timestamp`` with delta 0 per record — deterministic, which
     the fixture hash requires (gzip mtime pinned to 0 for the same
-    reason)."""
-    if compression not in ("none", "gzip"):
-        raise ValueError(
-            f"compression must be none|gzip, got {compression!r} "
-            "(snappy/lz4/zstd need non-stdlib codecs)"
-        )
+    reason). ``base_offset`` is 0 on the produce side (the broker
+    assigns the real one) and the log position on the FETCH side, where
+    the broker re-encodes its log with the offsets it assigned
+    (sources/kafka_fetch.py)."""
     records = b"".join(
         encode_record_v2(i, 0, k, v) for i, (k, v) in enumerate(messages)
     )
-    attrs = _CODEC_NONE
-    if compression == "gzip":
-        records = gzip.compress(records, mtime=0)
-        attrs = _CODEC_GZIP
+    records, attrs = _compress_records(records, compression)
     n = len(messages)
     crc_span = (
         struct.pack(
@@ -198,16 +307,20 @@ def encode_record_batch_v2(
     head = struct.pack(">iBI", -1, _MAGIC_V2, crc32c(crc_span))
     #                    ^ partitionLeaderEpoch
     batch_length = len(head) + len(crc_span)
-    return struct.pack(">qi", 0, batch_length) + head + crc_span
+    return struct.pack(">qi", base_offset, batch_length) + head + crc_span
 
 
-def parse_record_batch_v2(
+def _parse_one_record_batch(
     buf: bytes,
-) -> list[tuple[bytes | None, bytes | None]]:
-    """Decode one RecordBatch, verifying magic and CRC-32C — one
-    corrupted byte anywhere past the CRC field fails loudly."""
+) -> list[tuple[int, bytes | None, bytes | None]]:
+    """Decode exactly one RecordBatch frame (12-byte baseOffset+length
+    header + body), verifying magic and CRC-32C — one corrupted byte
+    anywhere past the CRC field fails loudly. Returns
+    [(absolute_offset, key, value)]: absolute offset = the frame's
+    baseOffset + each record's own offsetDelta field (NOT its index —
+    a conforming encoder may compact deltas)."""
     r = _Reader(buf)
-    r.i64()                                        # baseOffset (broker-assigned)
+    base_offset = r.i64()                          # broker-assigned on fetch
     batch_length = r.i32()
     if batch_length != len(buf) - 12:
         raise ValueError(
@@ -231,19 +344,18 @@ def parse_record_batch_v2(
     r.i32()                                        # baseSequence
     count = r.i32()
     codec = attrs & _CODEC_MASK
-    if codec == _CODEC_GZIP:
+    if codec != _CODEC_NONE:
         # the records block (everything after the fixed header) is one
-        # gzip stream; CRC above already covered the COMPRESSED bytes
-        r = _Reader(gzip.decompress(r.take(len(buf) - r._i)))
-    elif codec != _CODEC_NONE:
-        raise ValueError(f"unsupported record batch compression codec {codec}")
-    out: list[tuple[bytes | None, bytes | None]] = []
+        # compressed stream; CRC above already covered the COMPRESSED
+        # bytes. gzip/snappy/zstd decode; lz4/unknown are loud errors.
+        r = _Reader(_decompress_records(r.take(len(buf) - r._i), codec))
+    out: list[tuple[int, bytes | None, bytes | None]] = []
     for _ in range(count):
         length = decode_varint(r)
         rec = _Reader(r.take(length))
         rec.i8()                                   # record attributes
         decode_varint(rec)                         # timestampDelta
-        decode_varint(rec)                         # offsetDelta
+        offset_delta = decode_varint(rec)
         klen = decode_varint(rec)
         key = None if klen < 0 else rec.take(klen)
         vlen = decode_varint(rec)
@@ -254,7 +366,49 @@ def parse_record_batch_v2(
             hvlen = decode_varint(rec)
             if hvlen > 0:
                 rec.take(hvlen)
-        out.append((key, value))
+        out.append((base_offset + offset_delta, key, value))
+    return out
+
+
+def parse_record_batch_v2(
+    buf: bytes,
+) -> list[tuple[bytes | None, bytes | None]]:
+    """Decode one RecordBatch covering the whole buffer (the produce-
+    side single-batch shape ``encode_record_batch_v2`` emits)."""
+    return [(k, v) for _off, k, v in _parse_one_record_batch(buf)]
+
+
+def parse_record_batches_v2(
+    buf: bytes,
+    *,
+    tolerate_truncation: bool = False,
+) -> list[tuple[int, bytes | None, bytes | None]]:
+    """Decode a sequence of CONCATENATED RecordBatch frames — the shape
+    a partition's records field legally carries in both directions: a
+    real v3 producer may pack several batches per partition (r12 ADVICE
+    item 1), and a fetch response returns whatever contiguous span of
+    the log fits max_bytes. Returns [(absolute_offset, key, value)]
+    across all batches.
+
+    ``tolerate_truncation=True`` is the CONSUMER-side mode (Kafka spec:
+    a fetch response may end with a partial batch the client must
+    discard and re-fetch); the produce-side parser keeps the strict
+    default, where a trailing partial batch is a corrupt request."""
+    out: list[tuple[int, bytes | None, bytes | None]] = []
+    i = 0
+    while i < len(buf):
+        if i + 12 > len(buf):
+            if tolerate_truncation:
+                break
+            raise ValueError("truncated record batch header")
+        (batch_length,) = struct.unpack(">i", buf[i + 8:i + 12])
+        end = i + 12 + batch_length
+        if batch_length < 0 or end > len(buf):
+            if tolerate_truncation:
+                break
+            raise ValueError("truncated record batch body")
+        out.extend(_parse_one_record_batch(buf[i:end]))
+        i = end
     return out
 
 
@@ -336,9 +490,15 @@ def parse_produce_request_v3(frame: bytes) -> ProduceRequest:
         topic = r.string() or ""
         for _p in range(r.i32()):
             partition = r.i32()
-            batch = r.take(r.i32())
+            batches = r.take(r.i32())
             msgs = records.setdefault(topic, {}).setdefault(partition, [])
-            msgs.extend(parse_record_batch_v2(batch))
+            # A partition's records field may carry SEVERAL concatenated
+            # record batches (real clients flush multiple linger windows
+            # into one request — r12 ADVICE item 1); strict mode: a
+            # trailing partial batch in a PRODUCE request is corrupt.
+            msgs.extend(
+                (k, v) for _off, k, v in parse_record_batches_v2(batches)
+            )
     return ProduceRequest(corr, client_id, acks, timeout_ms, records)
 
 

@@ -1,0 +1,323 @@
+"""Consume-leg proof: Fetch/ListOffsets codecs, broker-double serving,
+the metadata-routed consumer, and the kafkawire Spark source (batch +
+streaming) — the produce/consume loop closed on real sockets
+(r12 verdict next-round item 1)."""
+
+import socket
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+    UnsupportedApiVersionError,
+    WireBroker,
+    WireCluster,
+    encode_message_v0,
+    produce_rows,
+    write_kafka_wire,
+)
+from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import (
+    encode_record_batch_v2,
+    parse_produce_request_v3,
+    parse_record_batches_v2,
+    produce_rows_v2,
+)
+from hyperswitch_data_backfill_spark.sources import kafka_fetch as kf
+from tests.conftest import SF_DIR, assert_oracle_match
+
+pytestmark = pytest.mark.usefixtures()
+
+
+def _rows(topic, n, prefix=""):
+    return [{"key": f"{prefix}k{i}", "value": f"{prefix}v{i}", "topic": topic}
+            for i in range(n)]
+
+
+# ------------------------------------------------------------- codecs
+
+def test_fetch_request_roundtrip_all_versions():
+    parts = {"a": {0: (5, 1 << 16), 3: (0, 9)}, "b": {1: (7, 10)}}
+    for version in range(5):
+        frame = kf.encode_fetch_request(
+            42, parts, version=version, max_wait_ms=11, min_bytes=3,
+            max_bytes=123456, isolation_level=1,
+        )
+        req = kf.parse_fetch_request(frame[4:])
+        assert req.correlation_id == 42
+        assert req.api_version == version
+        assert req.parts == parts
+        assert req.max_wait_ms == 11 and req.min_bytes == 3
+        assert req.max_bytes == (123456 if version >= 3 else -1)
+        assert req.isolation_level == (1 if version >= 4 else 0)
+
+
+def test_fetch_request_rejects_unknown_version():
+    with pytest.raises(ValueError, match="unsupported Fetch version"):
+        kf.encode_fetch_request(0, {}, version=5)
+    frame = kf.encode_fetch_request(0, {"t": {0: (0, 100)}}, version=2)
+    bad = bytearray(frame[4:])
+    struct.pack_into(">h", bad, 2, 9)
+    with pytest.raises(ValueError, match="not a Fetch"):
+        kf.parse_fetch_request(bytes(bad))
+
+
+def test_fetch_response_roundtrip_both_dialects():
+    msgs = [(b"k1", b"v1"), (None, b"v2"), (b"k3", None)]
+    for version in (0, 1, 4):
+        records = kf.encode_log_slice(msgs, 0, 1 << 20, api_version=version)
+        frame = kf.encode_fetch_response(
+            7, {"t": {0: (0, 3, records)}}, version=version)
+        out = kf.parse_fetch_response(frame[4:], version=version)["t"][0]
+        assert out.error_code == 0 and out.high_watermark == 3
+        assert out.records == [(0, b"k1", b"v1"), (1, None, b"v2"), (2, b"k3", None)]
+
+
+def test_message_set_absolute_offsets_and_partial_tail():
+    log = [(f"k{i}".encode(), f"v{i}".encode()) for i in range(14)]
+    buf = kf.encode_log_slice(log, 10, 1 << 20, api_version=0)
+    got = kf.parse_message_set_offsets(buf)
+    assert [o for o, _k, _v in got] == [10, 11, 12, 13]
+    assert [(k, v) for _o, k, v in got] == log[10:]
+    # spec: a response may cut mid-entry at max_bytes — tail discarded
+    assert kf.parse_message_set_offsets(buf[:-5]) == got[:-1]
+
+
+def test_fetched_compressed_legacy_message_refused():
+    msg = bytearray(encode_message_v0(b"k", b"v"))
+    msg[5] |= 0x01  # attributes codec bits: gzip
+    import zlib
+    struct.pack_into(">I", msg, 0, zlib.crc32(bytes(msg[4:])) & 0xFFFFFFFF)
+    buf = struct.pack(">qi", 0, len(msg)) + bytes(msg)
+    with pytest.raises(ValueError, match="legacy message compression"):
+        kf.parse_message_set_offsets(buf)
+
+
+def test_record_batches_absolute_offsets_and_truncation_modes():
+    b1 = encode_record_batch_v2([(b"a", b"1"), (b"b", b"2")], base_offset=5)
+    b2 = encode_record_batch_v2([(b"c", b"3")], base_offset=7)
+    got = parse_record_batches_v2(b1 + b2)
+    assert got == [(5, b"a", b"1"), (6, b"b", b"2"), (7, b"c", b"3")]
+    # consumer mode: partial trailing batch discarded
+    assert parse_record_batches_v2(
+        b1 + b2[:-3], tolerate_truncation=True) == got[:2]
+    # produce mode: partial trailing batch is corrupt
+    with pytest.raises(ValueError, match="truncated record batch"):
+        parse_record_batches_v2(b1 + b2[:-3])
+
+
+def test_produce_v3_accepts_multiple_batches_per_partition():
+    """r12 ADVICE item 1: real v3 clients may concatenate several
+    record batches in one partition's records field."""
+    import io
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import _kstring
+
+    batches = (
+        encode_record_batch_v2([(b"k1", b"v1"), (b"k2", b"v2")])
+        + encode_record_batch_v2([(b"k3", b"v3")])
+    )
+    body = io.BytesIO()
+    body.write(struct.pack(">hhi", 0, 3, 99))
+    body.write(_kstring("double-batcher"))
+    body.write(_kstring(None))
+    body.write(struct.pack(">hi", 1, 10_000))
+    body.write(struct.pack(">i", 1))
+    body.write(_kstring("t"))
+    body.write(struct.pack(">i", 1))
+    body.write(struct.pack(">ii", 0, len(batches)))
+    body.write(batches)
+    req = parse_produce_request_v3(body.getvalue())
+    assert req.records["t"][0] == [(b"k1", b"v1"), (b"k2", b"v2"), (b"k3", b"v3")]
+
+
+def test_list_offsets_codec_roundtrip():
+    frame = kf.encode_list_offsets_request_v0(3, {"t": {0: (-1, 1), 2: (-2, 5)}})
+    corr, parts = kf.parse_list_offsets_request_v0(frame[4:])
+    assert corr == 3 and parts == {"t": {0: (-1, 1), 2: (-2, 5)}}
+    resp = kf.encode_list_offsets_response_v0(3, {"t": {0: (0, [17]), 2: (0, [0])}})
+    out = kf.parse_list_offsets_response_v0(resp[4:])
+    assert out == {"t": {0: (0, [17]), 2: (0, [0])}}
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    msgs=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.binary(max_size=40)),
+            st.one_of(st.none(), st.binary(max_size=60)),
+        ),
+        min_size=1, max_size=12,
+    ),
+    base=st.integers(min_value=0, max_value=1 << 30),
+    version=st.sampled_from([0, 4]),
+)
+def test_log_slice_roundtrip_property(msgs, base, version):
+    """Any log span re-encoded for fetch decodes back byte-identical
+    with consecutive absolute offsets, in both dialects."""
+    buf = kf.encode_log_slice(msgs, 0, 1 << 30, api_version=version)
+    if version >= 4:
+        got = parse_record_batches_v2(buf, tolerate_truncation=True)
+    else:
+        got = kf.parse_message_set_offsets(buf)
+    assert [(k, v) for _o, k, v in got] == msgs
+    assert [o for o, _k, _v in got] == list(range(len(msgs)))
+    # base_offset rides the wire too
+    buf2 = kf.encode_log_slice(list(msgs), 0, 1 << 30, api_version=version)
+    assert buf2 == buf
+
+
+# ------------------------------------------------- broker double serving
+
+def test_broker_fetch_paging_respects_max_bytes_with_at_least_one():
+    with WireBroker() as b:
+        produce_rows(iter(_rows("t", 30)), "127.0.0.1", b.port, batch_size=7)
+        for version in (0, 4):
+            out = kf.consume_topic(
+                "127.0.0.1", b.port, "t", version=version, max_bytes=64)
+            assert [(k, v) for _p, _o, k, v in out] == [
+                (f"k{i}".encode(), f"v{i}".encode()) for i in range(30)]
+        # a message far bigger than the budget still returns, alone
+        produce_rows(iter([{"key": "big", "value": "x" * 4096, "topic": "big"}]),
+                     "127.0.0.1", b.port)
+        out = kf.consume_topic("127.0.0.1", b.port, "big", max_bytes=64)
+        assert len(out) == 1 and out[0][3] == b"x" * 4096
+
+
+def test_broker_fetch_error_codes():
+    with WireBroker() as b:
+        produce_rows(iter(_rows("t", 3)), "127.0.0.1", b.port)
+        sock = kf._connect("127.0.0.1", b.port, version=0, timeout=5)
+        try:
+            with pytest.raises(kf.FetchError, match="OFFSET_OUT_OF_RANGE"):
+                kf.fetch_partition(sock, "t", 0, 4, version=0)
+            with pytest.raises(kf.FetchError, match="UNKNOWN_TOPIC_OR_PARTITION"):
+                kf.fetch_partition(sock, "nope", 0, 0, version=0)
+            # fetch at the high watermark is legal: empty, not an error
+            sock.sendall(kf.encode_fetch_request(
+                1, {"t": {0: (3, 1 << 20)}}, version=0))
+            from hyperswitch_data_backfill_spark.sinks.kafka_wire import _recv_frame
+            res = kf.parse_fetch_response(_recv_frame(sock), version=0)["t"][0]
+            assert res.error_code == 0 and res.records == [] and res.high_watermark == 3
+        finally:
+            sock.close()
+
+
+def test_broker_list_offsets_semantics():
+    with WireBroker() as b:
+        produce_rows(iter(_rows("t", 9)), "127.0.0.1", b.port)
+        sock = kf._connect("127.0.0.1", b.port, version=0, timeout=5)
+        try:
+            assert kf.list_offset(sock, "t", 0, timestamp=kf.EARLIEST_TIMESTAMP) == 0
+            assert kf.list_offset(sock, "t", 0, timestamp=kf.LATEST_TIMESTAMP) == 9
+        finally:
+            sock.close()
+
+
+def test_cluster_fetch_leadership_refusal_and_routing():
+    """Non-leaders refuse fetches (error 6); the consumer reads every
+    partition from its leader only."""
+    with WireCluster(n_brokers=2, topics={"pay": 4}) as cluster:
+        host, port = cluster.bootstrap
+        from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+            produce_rows_routed,
+        )
+        produce_rows_routed(iter(_rows("pay", 80)), host, port, batch_size=16)
+        out = kf.consume_topic(host, port, "pay", version=4)
+        assert len(out) == 80
+        assert {p for p, _o, _k, _v in out} == {0, 1, 2, 3}
+        # direct fetch of a partition from the WRONG node: NOT_LEADER
+        wrong = None
+        for node in cluster.brokers:
+            if cluster.meta.leaders["pay"][0] != node.node_id:
+                wrong = node
+                break
+        sock = kf._connect("127.0.0.1", wrong.port, version=0, timeout=5)
+        try:
+            with pytest.raises(kf.FetchError, match="NOT_LEADER"):
+                kf.fetch_partition(sock, "pay", 0, 0, version=0)
+        finally:
+            sock.close()
+
+
+def test_consumer_handshake_refuses_incapable_broker():
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        _API_API_VERSIONS, _API_METADATA, _API_PRODUCE,
+    )
+    with WireBroker(api_versions={
+        _API_PRODUCE: (0, 3), _API_METADATA: (0, 0), _API_API_VERSIONS: (0, 0),
+    }) as b:  # no Fetch/ListOffsets advertised — a produce-only broker
+        with pytest.raises(UnsupportedApiVersionError):
+            kf.consume_topic("127.0.0.1", b.port, "t")
+
+
+# -------------------------------------------------------- Spark source
+
+def test_kafkawire_batch_source_partition_parallel(spark):
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        write_kafka_wire_routed,
+    )
+
+    df = spark.createDataFrame(
+        _rows("pay", 120), "key string, value string, topic string"
+    ).selectExpr("key", "value", "topic")
+    with WireCluster(n_brokers=2, topics={"pay": 4}) as cluster:
+        host, port = cluster.bootstrap
+        write_kafka_wire_routed(df.repartition(4), host, port, batch_size=32)
+        for version in (0, 4):
+            got = kf.read_kafka_wire(spark, host, port, "pay", version=version)
+            assert got.schema.simpleString() == (
+                "struct<key:binary,value:binary,topic:string,"
+                "partition:int,offset:bigint>"
+            )
+            rows = got.collect()
+            assert len(rows) == 120
+            assert {r.partition for r in rows} == {0, 1, 2, 3}
+            # offsets are dense per partition starting at 0
+            by_part = {}
+            for r in rows:
+                by_part.setdefault(r.partition, []).append(r.offset)
+            for offs in by_part.values():
+                assert sorted(offs) == list(range(len(offs)))
+
+
+def test_kafkawire_stream_source_incremental_and_replay(spark):
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        decode_event_stream,
+        read_kafka_wire_stream,
+    )
+
+    with WireBroker() as b:
+        produce_rows_v2(
+            iter([{"key": f"k{i}",
+                   "value": f'{{"user_id": {i}, "amount": {i * 10}}}',
+                   "topic": "ev"} for i in range(20)]),
+            "127.0.0.1", b.port, batch_size=8)
+        stream = read_kafka_wire_stream(spark, "127.0.0.1", b.port, "ev",
+                                        version=4)
+        typed = decode_event_stream(stream, "user_id bigint, amount bigint")
+        q = (typed.writeStream.format("memory").queryName("wire_ev")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select count(*) n, sum(amount) s from wire_ev").collect()[0]
+        assert (got.n, got.s) == (20, sum(i * 10 for i in range(20)))
+        # exact replay: readBetweenOffsets re-fetches a fixed slice
+        reader = kf.KafkaWireStreamReader(
+            {"port": str(b.port), "topic": "ev", "version": "4"})
+        rows = list(reader.readBetweenOffsets({"0": 5}, {"0": 11}))
+        assert [r[4] for r in rows] == [5, 6, 7, 8, 9, 10]
+        assert rows == list(reader.readBetweenOffsets({"0": 5}, {"0": 11}))
+
+
+def test_fetch_roundtrip_fixture_matches_oracle(spark, duck):
+    from hyperswitch_data_backfill_spark.registry import (
+        REGISTRY,
+        _load_all_operator_modules,
+    )
+
+    _load_all_operator_modules()
+    q = REGISTRY["kafka_wire_fetch_roundtrip"]
+    df = q.fn(spark, SF_DIR)
+    assert df.count() > 0
+    assert_oracle_match(df, duck, q.oracle, name="kafka_wire_fetch_roundtrip")

@@ -218,7 +218,8 @@ def test_api_versions_codec_roundtrip():
 def test_negotiation_against_live_broker():
     """A raw-socket KIP-35 handshake against the double: the default
     broker advertises the v0 dialect plus the r12 record-batch dialect
-    (Produce 0..3) and counts the exchange."""
+    (Produce 0..3) plus the r13 consume side (Fetch 0..4, ListOffsets 0)
+    and counts the exchange."""
     import socket
 
     with WireBroker() as broker:
@@ -226,7 +227,7 @@ def test_negotiation_against_live_broker():
         versions = negotiate_api_versions(s, 1, required={0: 0, 3: 0, 18: 0})
         s.close()
         handshakes = broker.api_versions_requests
-    assert versions == {0: (0, 3), 3: (0, 0), 18: (0, 0)}
+    assert versions == {0: (0, 3), 1: (0, 4), 2: (0, 0), 3: (0, 0), 18: (0, 0)}
     assert handshakes == 1
 
 

@@ -75,7 +75,7 @@ _blob = st.one_of(st.none(), st.binary(max_size=64))
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.tuples(_blob, _blob), min_size=0, max_size=16),
        st.integers(min_value=0, max_value=2**40),
-       st.sampled_from(["none", "gzip"]))
+       st.sampled_from(["none", "gzip", "snappy", "zstd"]))
 def test_record_batch_roundtrip_property(msgs, ts, codec):
     assert parse_record_batch_v2(
         encode_record_batch_v2(msgs, base_timestamp=ts, compression=codec)
@@ -95,7 +95,11 @@ def test_gzip_batch_attributes_and_determinism():
     attrs = int.from_bytes(a[21:23], "big")  # 8+4+4+1+4 header bytes
     assert attrs & 0x07 == 1
     with pytest.raises(ValueError, match="compression"):
-        encode_record_batch_v2(msgs, compression="snappy")
+        encode_record_batch_v2(msgs, compression="brotli")
+    # r13: lz4 is a CAPABILITY error (pyarrow's one-shot LZ4 frame
+    # omits the content size the decode side needs), not an unknown
+    with pytest.raises(NotImplementedError, match="lz4"):
+        encode_record_batch_v2(msgs, compression="lz4")
     bad = bytearray(a)
     bad[-3] ^= 0xFF
     with pytest.raises(ValueError, match="CRC-32C"):
@@ -365,3 +369,39 @@ def test_routed_v2_rejects_bad_knobs():
         produce_rows_routed(iter([]), "127.0.0.1", 1, wire_version=2)
     with pytest.raises(ValueError, match="compression"):
         produce_rows_routed(iter([]), "127.0.0.1", 1, compression="gzip")
+
+
+def test_snappy_zstd_batches_attributes_and_corruption():
+    """r12 verdict stretch item 8: snappy (codec bits 2) and zstd (4)
+    batches ride pyarrow's codecs with the content size recovered from
+    the STREAM itself (snappy's leading uvarint; zstd's RFC 8878
+    Frame_Content_Size) — and corruption inside the compressed block
+    still fails the batch CRC, same as gzip."""
+    msgs = [(b"k" * 50, b"v" * 500), (None, b"x" * 500), (b"q", None)]
+    for codec, bits in (("snappy", 2), ("zstd", 4)):
+        buf = encode_record_batch_v2(msgs, compression=codec)
+        assert parse_record_batch_v2(buf) == msgs
+        attrs = int.from_bytes(buf[21:23], "big")
+        assert attrs & 0x07 == bits
+        assert len(buf) < len(encode_record_batch_v2(msgs))
+        bad = bytearray(buf)
+        bad[-3] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            parse_record_batch_v2(bytes(bad))
+
+
+def test_snappy_zstd_wire_roundtrip_over_tcp():
+    """Both new codecs through the full socket path: produce v3 with
+    compression, broker double decodes into the same log."""
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import WireBroker
+
+    for codec in ("snappy", "zstd"):
+        rows = [{"key": f"k{i}", "value": f"v{i}" * 40, "topic": f"t-{codec}"}
+                for i in range(25)]
+        with WireBroker() as b:
+            sent = produce_rows_v2(iter(rows), "127.0.0.1", b.port,
+                                   batch_size=10, compression=codec)
+            assert sent == 25
+            got = b.records(f"t-{codec}")
+            assert got == [(f"k{i}".encode(), (f"v{i}" * 40).encode())
+                           for i in range(25)]
