@@ -1,0 +1,151 @@
+"""Perceptual image dedup: dHash fingerprint math, PNG near-dup family
+recovery, pigeonhole banding completeness, dead-letter decodes, and the
+driver-fixture oracles (operators/image_dedup.py)."""
+
+import json
+import random
+
+import numpy as np
+import pytest
+
+from hyperswitch_data_backfill_spark.operators.codecs import encode_png
+from hyperswitch_data_backfill_spark.operators.image_dedup import (
+    DHASH_MAX_HAMMING,
+    _dhash_of,
+    fingerprint_pairs,
+    image_dhash,
+    neardup_images,
+)
+from tests.conftest import SF_DIR, assert_oracle_match
+
+MEDIA_DDL = "media_id bigint, kind string, payload binary, meta_json string"
+
+
+def _raw_row(media_id: int, img: np.ndarray):
+    h, w = img.shape
+    return (media_id, "image", bytearray(img.tobytes()),
+            json.dumps({"width": w, "height": h}))
+
+
+def test_dhash_hand_computed_tiny_case():
+    """2x9 image sampled at grid 8: rows repeat, so the top row's 8
+    comparisons replicate down all 8 grid rows — hand-checkable pack."""
+    top = np.array([5, 9, 2, 2, 7, 1, 8, 8, 3], dtype=np.uint8)
+    img = np.vstack([top, top])
+    # xs = (c*9)//9 = identity; comparisons: 5>9 F, 9>2 T, 2>2 F, 2>7 F,
+    # 7>1 T, 1>8 F, 8>8 F, 8>3 T  ->  row bits 01001001 (bit1,4,7)
+    row_bits = 0b10010010
+    expect = 0
+    for r in range(8):
+        expect |= row_bits << (8 * r)
+    expect -= 1 << 64 if expect >= 1 << 63 else 0
+    assert _dhash_of(img, 8) == expect
+
+
+def test_dhash_invariant_to_small_noise_distinct_for_unrelated(spark):
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(64, 64), dtype=np.uint8).astype(np.uint8)
+    # near-dup: flip a couple of pixels far from each other
+    near = base.copy()
+    near[3, 3] ^= 0xFF
+    near[50, 50] ^= 0xFF
+    other = rng.integers(0, 256, size=(64, 64), dtype=np.uint8).astype(np.uint8)
+    media = spark.createDataFrame(
+        [_raw_row(1, base), _raw_row(2, near), _raw_row(3, other)], MEDIA_DDL)
+    fps = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    d_near = bin((fps[1] ^ fps[2]) & (1 << 64) - 1).count("1")
+    d_other = bin((fps[1] ^ fps[3]) & (1 << 64) - 1).count("1")
+    assert d_near <= DHASH_MAX_HAMMING
+    assert d_other > 10
+
+
+def test_png_near_dup_family_recovered(spark):
+    """The planted-family contract through the REAL PNG codec path:
+    re-encoded and lightly perturbed variants of one image pair up;
+    an unrelated image pairs with nothing."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(48, 48), dtype=np.uint8).astype(np.uint8)
+    v1 = base.copy(); v1[0, 0] ^= 0x80                      # 1-pixel nudge
+    v2 = base.copy(); v2[20:22, 20:22] ^= 0x01              # invisible tweak
+    other = rng.integers(0, 256, size=(48, 48), dtype=np.uint8).astype(np.uint8)
+    rows = [
+        (i, "image", bytearray(encode_png(img)), None)
+        for i, img in ((10, base), (11, v1), (12, v2), (99, other))
+    ]
+    media = spark.createDataFrame(rows, MEDIA_DDL)
+    pairs = {(r.id_a, r.id_b) for r in
+             neardup_images(media, codec="png").collect()}
+    assert {(10, 11), (10, 12), (11, 12)} <= pairs
+    assert not any(99 in p for p in pairs)
+
+
+def test_rgb_png_luma_collapse(spark):
+    """Color PNGs flow through the integer ITU-R 601 luma: a gray image
+    and its RGB self (equal channels) fingerprint identically."""
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(32, 32), dtype=np.uint8).astype(np.uint8)
+    rgb = np.stack([gray, gray, gray], axis=2)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(gray)), None),
+         (2, "image", bytearray(encode_png(rgb)), None)], MEDIA_DDL)
+    fps = {r.media_id: r.dhash for r in
+           image_dhash(media, codec="png").collect()}
+    assert fps[1] == fps[2] and fps[1] is not None
+
+
+def test_dead_letter_rows_yield_null_and_pair_with_nothing(spark):
+    good = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    media = spark.createDataFrame(
+        [
+            _raw_row(1, good),
+            (2, "image", bytearray(b"\x01\x02\x03"), json.dumps({"width": 8, "height": 8})),
+            (3, "image", bytearray(b""), None),
+        ],
+        MEDIA_DDL,
+    )
+    fps = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert fps[1] is not None and fps[2] is None and fps[3] is None
+    assert neardup_images(media).count() == 0  # NULLs excluded from banding
+
+
+def test_pigeonhole_completeness_on_planted_perturbations(spark):
+    """Every fingerprint pair within Hamming<=3 MUST surface through the
+    4x16 banding (completeness is a theorem; this pins the wiring):
+    200 random 64-bit fingerprints, each with a <=3-bit-flipped twin."""
+    rng = random.Random(13)
+    rows, expected = [], set()
+    for i in range(200):
+        fp = rng.getrandbits(64)
+        flips = rng.sample(range(64), rng.randint(0, 3))
+        twin = fp
+        for b in flips:
+            twin ^= 1 << b
+        def signed(v):
+            return v - (1 << 64) if v >= 1 << 63 else v
+        rows.append((2 * i, signed(fp)))
+        rows.append((2 * i + 1, signed(twin)))
+        expected.add((2 * i, 2 * i + 1))
+    sigs = spark.createDataFrame(rows, "media_id bigint, dhash bigint")
+    got = {(r.id_a, r.id_b) for r in fingerprint_pairs(sigs).collect()}
+    assert expected <= got
+
+
+def test_fingerprint_pairs_parameter_validation():
+    with pytest.raises(ValueError, match="pigeonhole"):
+        fingerprint_pairs(None, n_bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        fingerprint_pairs(None, n_bands=3, max_hamming=2)
+
+
+def test_dhash_fixture_oracles(spark, duck):
+    from hyperswitch_data_backfill_spark.registry import (
+        REGISTRY,
+        _load_all_operator_modules,
+    )
+
+    _load_all_operator_modules()
+    for key in ("dedup_image_dhash", "dedup_image_dhash_pairs"):
+        q = REGISTRY[key]
+        df = q.fn(spark, SF_DIR)
+        assert df.count() > 0
+        assert_oracle_match(df, duck, q.oracle, name=key)

@@ -252,3 +252,30 @@ def test_lsh_probe_depth_validated(spark):
         sim.lsh_cosine_pairs(emb, tables=4, bits=4, probes=5).count()
     # probes == bits is the legal maximum
     assert sim.lsh_cosine_pairs(emb, tables=4, bits=4, probes=4).count() >= 0
+
+
+def test_image_dhash_band_valve_trips(spark, monkeypatch):
+    """Perceptual image dedup shares the banded bucket-local emission
+    shape: a flat-fingerprint flood (identical images — every band
+    bucket hot) must RAISE in uncapped mode before the k-squared stage
+    and fall back to bucket drops in capped mode (r13: the image leg
+    gets the same executed valve contract as simhash/minhash/LSH)."""
+    import json
+
+    import numpy as np
+
+    from hyperswitch_data_backfill_spark.operators import image_dedup
+
+    monkeypatch.setattr(dedup, "MAX_POSTING_LIST", 8)
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rows = [
+        (i, "image", bytearray(img.tobytes()),
+         json.dumps({"width": 8, "height": 8}))
+        for i in range(12)
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary, meta_json string"
+    )
+    with pytest.raises(SparkRuntimeException, match="MAX_POSTING_LIST"):
+        image_dedup.neardup_images(media).count()
+    assert image_dedup.neardup_images(media, max_bucket_members=8).count() == 0
