@@ -42,10 +42,13 @@ from pyspark.sql.window import Window
 __all__ = [
     "ann_topk",
     "asof_join",
+    "bm25",
     "clean_corpus",
     "cluster_pairs",
     "dedup_incremental",
+    "neardup_images",
     "neardup_pairs",
+    "pagerank",
     "stable_split",
     "first_row_per_group",
     "topk_per_group",
@@ -406,6 +409,26 @@ def apply_changes(
             f"op_out {op_out!r} collides with a base column — pass a fresh "
             "name or op_out=None"
         )
+    if delete_op == "":
+        # the passthrough branch encodes "untouched" as a NULL op; an
+        # empty-string tombstone marker would alias it (r12 ADVICE)
+        raise ValueError("delete_op must be a non-empty marker")
+    # In-plan changelog validation (r12 ADVICE): a NULL-op change row
+    # could win the per-key max and then masquerade as an untouched key
+    # (the __op IS NULL output branch selects BASE columns — an all-NULL
+    # row for a key absent from base). Malformed changelogs fail loudly
+    # in the task instead; assert_true returns NULL on success, so the
+    # isNull() filter keeps every legal row at zero extra jobs.
+    changes = changes.filter(
+        F.assert_true(
+            F.col(op_col).isNotNull(),
+            F.lit(
+                f"apply_changes: NULL {op_col!r} in the changelog — every "
+                "change row must carry an op marker (I/U/D); NULL would "
+                "alias the untouched-key passthrough branch"
+            ),
+        ).isNull()
+    )
     payload = F.struct(
         F.col(op_col).alias("__op"), *[F.col(c) for c in vals]
     ).alias("__p")
@@ -987,4 +1010,188 @@ def histogram_equidepth(
             F.min(col).alias("lo"),
             F.max(col).alias("hi"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph / retrieval / image kernels (operators/graph.py graph_pagerank,
+# operators/text.py text_bm25, operators/image_dedup.py neardup_images
+# made generic — r12 verdict items 4/6)
+# ---------------------------------------------------------------------------
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+    base: int = 1_000_000,
+    undirected: bool = False,
+) -> DataFrame:
+    """Fixed-point PageRank over a caller edge list → (node, pr)
+    (graph.py:92 made generic; same determinism contract: integer
+    micro-unit ranks, ``floor(pr / deg)`` contributions, damping as an
+    integer percent — bit-reproducible across engines and runs).
+
+    ``undirected=True`` mirrors every edge first (the fixture's
+    co-purchase shape). Nodes = every src after mirroring; pure sinks
+    (dst-only nodes in a directed graph) receive contributions but are
+    not re-ranked — project them in as self-loop-free ``(node, node)``
+    edges if their rank matters. Laws pinned in test_api.py: teleport
+    floor (every pr >= floor(base*(100-damping)/100)), mass bound
+    (sum(pr) <= n*base — floor truncation only loses), regular-graph
+    fixpoint (cycle stays at base), fixture equivalence.
+
+    Scale shape: adjacency+degree materialized ONCE (localCheckpoint
+    — the in-session stand-in for landing the adjacency table), each
+    round = one shuffle join on src + one agg on dst, both keyed on
+    node id; O(nodes) state, fixed small round count."""
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    adj = e.join(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "src"
+    ).localCheckpoint(eager=True)
+    ranks = adj.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(base).cast("bigint").alias("pr")
+    )
+    teleport = int(base * (100 - damping_pct) / 100)
+    for _ in range(iters):
+        contrib = (
+            adj.join(ranks, adj.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.floor(F.col("pr") / F.col("deg")).cast("bigint").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.floor(
+                        F.coalesce(F.col("contrib"), F.lit(0))
+                        * damping_pct / 100.0
+                    ).cast("bigint")
+                ).alias("pr"),
+            )
+        )
+    return ranks
+
+
+def bm25(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = 50,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval over a caller corpus → (id_col,
+    score, rk) for one query-term set (text.py text_bm25 made generic;
+    Robertson/Sparck-Jones scoring, ROUND(·,6) for cross-engine float
+    stability). ``top_k=None`` returns every matching doc scored.
+
+    Same plan shape as the oracle-verified fixture: the per-(doc,term)
+    tf groupBy is the only corpus-sized shuffle (tf is checkpointed —
+    it feeds dl, df, and the score join); corpus stats are a 1-row
+    broadcast; query-term df is a query-sized broadcast; the final
+    top-k is a TakeOrderedAndProject, never a full sort. Docs with no
+    query term don't appear (their BM25 score is an empty sum). At
+    100 TB the posting shuffle is bounded by query-term document
+    frequency, not corpus size."""
+    from hyperswitch_data_backfill_spark.operators.text import tokens
+
+    terms = [t for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if top_k is not None and top_k < 1:
+        raise ValueError(f"top_k must be >= 1 or None, got {top_k}")
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(spread, id_col)
+        .select(F.col(id_col).alias("_id"),
+                F.explode(tokens(F.col(text_col))).alias("token"))
+    )
+    tf = (
+        tok.groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    df = (
+        tf.filter(F.col("token").isin(*terms))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(stats))  # 1-row corpus stats
+        .groupBy("_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                        + 1.0
+                    )
+                    * (F.col("tf") * (k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), "_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    if top_k is not None:
+        ranked = ranked.filter(F.col("rk") <= top_k)
+    return ranked.select(F.col("_id").alias(id_col), "score", "rk")
+
+
+def neardup_images(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    meta_col: str | None = "meta_json",
+    codec: str = "raw",
+    max_hamming: int = 3,
+    max_bucket_members: int | None = None,
+) -> DataFrame:
+    """Perceptual (dHash) image near-dup pairs over caller columns →
+    (id_a, id_b, hamming) — operators/image_dedup.py made generic,
+    same executed valve contract as neardup_pairs/neardup_embeddings
+    (uncapped: in-plan MAX_POSTING_LIST assert; capped: hot band
+    buckets dropped). ``meta_col`` may be None for self-describing
+    payloads (codec='png')."""
+    from hyperswitch_data_backfill_spark.operators import image_dedup
+
+    frame = media.select(
+        F.col(id_col).alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        (F.col(meta_col) if meta_col is not None else F.lit(None).cast("string"))
+        .alias("meta_json"),
+    )
+    return image_dedup.neardup_images(
+        frame, codec=codec, max_hamming=max_hamming,
+        max_bucket_members=max_bucket_members,
     )

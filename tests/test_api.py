@@ -1225,3 +1225,179 @@ def test_apply_changes_validation(spark):
         api.apply_changes(
             base, ch, key_cols="k", order_cols="seq", op_out="name"
         )
+
+
+def test_apply_changes_rejects_null_op_rows(spark):
+    """r12 ADVICE: a NULL-op change row must fail loudly in-plan, not
+    alias the untouched-key passthrough (which emits all-NULL rows for
+    keys absent from base); an empty delete_op marker is refused at
+    construction for the same aliasing reason."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    bad = spark.createDataFrame(
+        [(2, None, 1, "x")], "k bigint, op string, seq bigint, v string"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL 'op'"):
+        api.apply_changes(
+            base, bad, key_cols="k", order_cols="seq"
+        ).collect()
+    with pytest.raises(ValueError, match="non-empty marker"):
+        api.apply_changes(
+            base, bad, key_cols="k", order_cols="seq", delete_op=""
+        )
+
+
+# ---------------------------------------------------------------------------
+# pagerank / bm25 / neardup_images generic kernels (r12 verdict items 4/6)
+# ---------------------------------------------------------------------------
+
+def test_pagerank_equiv_to_registered_key(spark):
+    """Feeding the fixture's mirrored co-purchase edge list through the
+    generic kernel reproduces the driver-hashed graph_pagerank result
+    row-for-row (the generic path inherits the oracle evidence)."""
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.catalog import load_table
+    from hyperswitch_data_backfill_spark.operators.graph import (
+        PR_OFFSET,
+        graph_pagerank,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(PR_OFFSET) + F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    got = {(r.node, r.pr) for r in
+           api.pagerank(edges, undirected=True).collect()}
+    want = {(r.node, r.pr) for r in graph_pagerank(spark, SF_DIR).collect()}
+    assert got == want and got
+
+
+def test_pagerank_mass_and_teleport_laws(spark):
+    """Conservation laws on an arbitrary directed graph: every rank
+    >= the teleport floor, and total mass never exceeds n*base (floor
+    truncation only LOSES micro-units, never invents them)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], "src bigint, dst bigint"
+    )
+    base, damping = 1_000_000, 85
+    ranks = api.pagerank(edges, base=base, damping_pct=damping).collect()
+    n = len(ranks)
+    assert n == 4  # every src node ranked
+    floor = int(base * (100 - damping) / 100)
+    assert all(r.pr >= floor for r in ranks)
+    assert sum(r.pr for r in ranks) <= n * base
+
+
+def test_pagerank_regular_graph_fixpoint(spark):
+    """On a regular undirected graph (a cycle: deg 2 everywhere) the
+    uniform rank is a FIXPOINT of the integer iteration when base is
+    divisible by the degree — every node stays at exactly base."""
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src bigint, dst bigint"
+    )
+    ranks = api.pagerank(edges, undirected=True, base=1_000_000).collect()
+    assert {r.pr for r in ranks} == {1_000_000} and len(ranks) == n
+
+
+def test_pagerank_validation_and_empty_graph(spark):
+    import pytest
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert api.pagerank(edges).count() == 0  # empty in, empty out — no crash
+    with pytest.raises(ValueError, match="damping_pct"):
+        api.pagerank(edges, damping_pct=100)
+    with pytest.raises(ValueError, match="iters"):
+        api.pagerank(edges, iters=-1)
+
+
+def test_bm25_equiv_to_registered_key(spark):
+    """Same corpus, same query terms, same params → the generic kernel
+    reproduces the driver-hashed text_bm25 top-50 row-for-row."""
+    from hyperswitch_data_backfill_spark.catalog import load_table
+    from hyperswitch_data_backfill_spark.operators.text import (
+        BM25_QUERY_TERMS,
+        text_bm25,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {(r.doc_id, r.score, r.rk) for r in
+           api.bm25(docs, BM25_QUERY_TERMS).collect()}
+    want = {(r.doc_id, r.score, r.rk) for r in text_bm25(spark, SF_DIR).collect()}
+    assert got == want and got
+
+
+def test_bm25_idf_and_membership_laws(spark):
+    """Retrieval laws on a constructed corpus: only docs containing a
+    query term appear; equal-tf/equal-length docs rank rare-term doc
+    above common-term doc (IDF monotonicity); ranks are dense from 1
+    and ordered by score."""
+    docs = spark.createDataFrame(
+        [
+            (1, "rare alpha beta gamma"),
+            (2, "common alpha beta gamma"),
+            (3, "common delta epsilon zeta"),
+            (4, "common eta theta iota"),
+            (5, "nothing to see here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = api.bm25(docs, ["rare", "common"], top_k=None).collect()
+    ids = {r.doc_id for r in rows}
+    assert 5 not in ids and ids == {1, 2, 3, 4}
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].score > by_id[2].score  # rare beats common at same tf/dl
+    ranked = sorted(rows, key=lambda r: r.rk)
+    assert [r.rk for r in ranked] == list(range(1, len(rows) + 1))
+    assert all(
+        ranked[i].score >= ranked[i + 1].score for i in range(len(ranked) - 1)
+    )
+
+
+def test_bm25_caller_columns_and_validation(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(10, "x y x"), (20, "y z")], "uid bigint, body string"
+    )
+    rows = api.bm25(docs, ["x"], id_col="uid", text_col="body",
+                    top_k=1).collect()
+    assert [r.uid for r in rows] == [10]
+    assert set(rows[0].asDict()) == {"uid", "score", "rk"}
+    with pytest.raises(ValueError, match="non-empty"):
+        api.bm25(docs, [])
+    with pytest.raises(ValueError, match="top_k"):
+        api.bm25(docs, ["x"], top_k=0)
+
+
+def test_neardup_images_generic_equiv_and_renamed_columns(spark):
+    """The generic image kernel reproduces the driver-hashed
+    dedup_image_dhash_pairs result, and caller column names map
+    through."""
+    from hyperswitch_data_backfill_spark.operators.image_dedup import (
+        dedup_image_dhash_pairs,
+    )
+    from hyperswitch_data_backfill_spark.operators.multimodal import doc_media
+
+    media = doc_media(spark, SF_DIR)
+    want = {(r.id_a, r.id_b, r.hamming) for r in
+            dedup_image_dhash_pairs(spark, SF_DIR).collect()}
+    got = {(r.id_a, r.id_b, r.hamming) for r in
+           api.neardup_images(media).collect()}
+    assert got == want and got
+    renamed = media.selectExpr(
+        "media_id AS img", "payload AS blob", "meta_json AS dims")
+    got2 = {(r.id_a, r.id_b, r.hamming) for r in
+            api.neardup_images(
+                renamed, id_col="img", payload_col="blob", meta_col="dims"
+            ).collect()}
+    assert got2 == want

@@ -1081,3 +1081,24 @@ def test_lsh_pair_recall_floor_flag(spark):
     row = neardup_cosine_recall_floor(spark, SF_DIR).collect()[0]
     assert row["recall_ok"] is True
     assert row["n_exact_pairs"] == neardup_cosine(spark, SF_DIR).count()
+
+
+def test_recall_floor_tiers_resolve_by_corpus_size(spark):
+    """r13: the sim_topk floor tiers on corpus size inside the plan.
+    Pin the tier RESOLUTION (not just the happy flag): at the sf0.001
+    fixture (n=500) the n<=1000 tier applies — an impossible floor in
+    that tier flips the flag, an impossible floor in a SMALLER-n tier
+    is skipped."""
+    from hyperswitch_data_backfill_spark.operators.similarity import (
+        _recall_floor_frame,
+        sim_topk,
+    )
+
+    def flag(tiers):
+        return _recall_floor_frame(spark, SF_DIR, sim_topk, tiers).collect()[0][
+            "recall_ok"
+        ]
+
+    assert flag(((1000, 0.42), (None, 0.99))) is True      # the real shape
+    assert flag(((1000, 0.99), (None, 0.42))) is False     # n=500 hits tier 1
+    assert flag(((400, 0.99), (None, 0.42))) is True       # n=500 skips tier 1
