@@ -14,6 +14,12 @@ sweep read ~20% above the builder's idle number):
   carries ``contended: true`` + a ``contention_warning`` so the record
   itself says "machine was busy" instead of leaving it to post-hoc
   attribution essays;
+- the JSON record itself carries an ``isolated`` block (r12 verdict
+  item 4): every >10% slowdown mover vs the newest committed
+  BENCH_r*.json is re-timed min-of-5 in a fresh JVM and
+  ``value_adjusted`` substitutes those mins — the official
+  round-over-round number lives IN the artifact, not in
+  BENCH_NOTES archaeology; ``contended`` demotes only the raw walls;
 - ``python bench.py --reconcile`` additionally diffs this run against
   the newest committed BENCH_r*.json, min-of-8-isolates every >10%
   slowdown mover via tools/bench_reconcile.py, and appends the verdict
@@ -132,14 +138,99 @@ def main() -> None:
     if record["contended"]:
         record["contention_warning"] = (
             f"1-min loadavg {LOAD_AT_START[0]:.2f} > {CONTENTION_LOADAVG} "
-            "at start: wall numbers are machine-contaminated; reconcile "
-            "movers with tools/bench_reconcile.py (isolated min-of-8) "
-            "before treating any delta as a plan regression"
+            "at start: wall numbers are machine-contaminated; the "
+            "isolated block below carries the fresh-JVM min-of-N for "
+            "every slowdown mover — compare THAT round-over-round"
         )
-    print(json.dumps(record))
     spark.stop()
+    _attach_isolated(record)
+    print(json.dumps(record))
     if "--reconcile" in sys.argv:
         _reconcile(record)
+
+
+# The official-artifact isolation pass (r12 verdict item 4): four rounds
+# running, the honest signal lived in BENCH_NOTES.md while BENCH_r{N}
+# .json carried contended walls. Bounded: only >10% slowdown movers vs
+# the newest committed round are isolated, capped + logged (no silent
+# caps), min-of-5 fresh-JVM each.
+MAX_ISOLATED_MOVERS = 8
+ISOLATE_RUNS = 5
+
+
+def _newest_committed_bench() -> tuple[str, dict] | None:
+    """(basename, per-query walls) of the newest committed BENCH_r*.json
+    — same fullmatch-or-skip parse as _reconcile."""
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pat = re.compile(r"BENCH_r(\d+)\.json")
+    matched = []
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = pat.fullmatch(os.path.basename(p))
+        if m is not None:
+            matched.append((int(m.group(1)), p))
+    if not matched:
+        return None
+    path = max(matched)[1]
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d:  # driver wrapper
+        d = d["parsed"]
+    return os.path.basename(path), d.get("queries", {})
+
+
+def _attach_isolated(record: dict) -> None:
+    """Embed the isolated (fresh-JVM, min-of-N) numbers for every >10%
+    slowdown mover vs the newest committed round INTO the bench record,
+    plus ``value_adjusted`` = the headline total with each mover's wall
+    replaced by its isolated min when lower. ``contended`` demotes only
+    the raw walls; value_adjusted is the number to compare round-over-
+    round without BENCH_NOTES archaeology (r12 verdict item 4). Movers-
+    only, so an uncontended clean round pays zero extra runs."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prior = _newest_committed_bench()
+    iso: dict = {
+        "basis": prior[0] if prior else None,
+        "n_runs": ISOLATE_RUNS,
+        "queries": {},
+    }
+    adjusted = dict(record["queries"])
+    if prior is not None:
+        _name, oldq = prior
+        movers = sorted(
+            (
+                q
+                for q, sec in record["queries"].items()
+                if oldq.get(q, 0) > 0 and (sec - oldq[q]) / oldq[q] > 0.10
+            ),
+            key=lambda q: -(record["queries"][q] - oldq[q]) / oldq[q],
+        )
+        skipped = movers[MAX_ISOLATED_MOVERS:]
+        if skipped:  # no silent caps: the record says what was dropped
+            iso["movers_not_isolated"] = skipped
+        for q in movers[:MAX_ISOLATED_MOVERS]:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(repo, "tools", "isolate_bench.py"),
+                    q, "--n", str(ISOLATE_RUNS), "--sf-dir", SF_DIR,
+                ],
+                capture_output=True, text=True, cwd=repo,
+            )
+            try:
+                parsed = json.loads(out.stdout.strip().splitlines()[-1])
+                min_sec = parsed["min_sec"]
+            except (ValueError, LookupError, KeyError):
+                iso.setdefault("errors", []).append(q)
+                continue
+            iso["queries"][q] = min_sec
+            if min_sec < adjusted[q]:
+                adjusted[q] = min_sec
+    record["isolated"] = iso
+    record["value_adjusted"] = round(sum(adjusted.values()), 3)
 
 
 def reconcile_disposition(returncode: int, stdout: str) -> str:

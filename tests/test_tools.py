@@ -335,3 +335,56 @@ def test_bench_reconcile_disposition_contract():
     assert d(2, table) == "partial"
     assert d(1, "") == "skip"
     assert d(0, "   \n") == "skip"
+
+
+def test_bench_attach_isolated_contract(monkeypatch):
+    """r12 verdict item 4: BENCH_r{N}.json itself carries the isolated
+    block. Pins the mover rule (>10% vs newest committed), the rank-
+    and-cap with no silent drops, value_adjusted substitution (only
+    when the isolated min is lower), and the no-prior fallback."""
+    import bench as bench_mod
+
+    record = {"queries": {"a": 2.0, "b": 1.0, "c": 0.5, "d": 1.0},
+              "value": 4.5}
+
+    # no committed prior: zero isolation, adjusted == raw
+    monkeypatch.setattr(bench_mod, "_newest_committed_bench", lambda: None)
+    r = dict(record)
+    bench_mod._attach_isolated(r)
+    assert r["isolated"] == {"basis": None, "n_runs": 5, "queries": {}}
+    assert r["value_adjusted"] == 4.5
+
+    # prior: a regressed 2x (mover), b improved (not a mover), c new-ish
+    # key absent from prior (not a mover), d unchanged
+    monkeypatch.setattr(
+        bench_mod, "_newest_committed_bench",
+        lambda: ("BENCH_r99.json", {"a": 1.0, "b": 2.0, "d": 1.0}),
+    )
+    calls = []
+
+    class _Out:
+        returncode = 0
+        stdout = '{"query": "a", "min_sec": 1.05, "runs": [1.05]}'
+        stderr = ""
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        return _Out()
+
+    import subprocess
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    r = dict(record)
+    bench_mod._attach_isolated(r)
+    assert len(calls) == 1 and "a" in calls[0]
+    assert r["isolated"]["queries"] == {"a": 1.05}
+    assert r["value_adjusted"] == round(1.05 + 1.0 + 0.5 + 1.0, 3)
+
+    # the cap is logged, never silent
+    monkeypatch.setattr(
+        bench_mod, "_newest_committed_bench",
+        lambda: ("BENCH_r99.json", {q: 0.1 for q in record["queries"]}),
+    )
+    monkeypatch.setattr(bench_mod, "MAX_ISOLATED_MOVERS", 2)
+    r = dict(record)
+    bench_mod._attach_isolated(r)
+    assert len(r["isolated"]["movers_not_isolated"]) == 2
