@@ -1015,7 +1015,7 @@ def histogram_equidepth(
 
 # ---------------------------------------------------------------------------
 # graph / retrieval / image kernels (operators/graph.py graph_pagerank,
-# operators/text.py text_bm25, operators/image_dedup.py neardup_images
+# operators/text.py text_bm25, operators/perceptual.py neardup_images
 # made generic — r12 verdict items 4/6)
 # ---------------------------------------------------------------------------
 
@@ -1178,12 +1178,12 @@ def neardup_images(
     max_bucket_members: int | None = None,
 ) -> DataFrame:
     """Perceptual (dHash) image near-dup pairs over caller columns →
-    (id_a, id_b, hamming) — operators/image_dedup.py made generic,
+    (id_a, id_b, hamming) — operators/perceptual.py made generic,
     same executed valve contract as neardup_pairs/neardup_embeddings
     (uncapped: in-plan MAX_POSTING_LIST assert; capped: hot band
     buckets dropped). ``meta_col`` may be None for self-describing
     payloads (codec='png')."""
-    from hyperswitch_data_backfill_spark.operators import image_dedup
+    from hyperswitch_data_backfill_spark.operators import perceptual
 
     frame = media.select(
         F.col(id_col).alias("media_id"),
@@ -1191,7 +1191,7 @@ def neardup_images(
         (F.col(meta_col) if meta_col is not None else F.lit(None).cast("string"))
         .alias("meta_json"),
     )
-    return image_dedup.neardup_images(
+    return perceptual.neardup_images(
         frame, codec=codec, max_hamming=max_hamming,
         max_bucket_members=max_bucket_members,
     )

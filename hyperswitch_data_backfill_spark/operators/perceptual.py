@@ -1,14 +1,19 @@
-"""Perceptual image near-dup dedup — dHash fingerprints + Hamming-banded
-pairing (r12 verdict next-round item 2).
+"""Perceptual media near-dup dedup — image dHash and audio energy-hash
+fingerprints + Hamming-banded pairing (r12 verdict next-round item 2,
+extended to audio the same round).
 
 Dedup existed for text (shingles/minhash/simhash — dedup.py) and for
-embeddings (cosine LSH — similarity.py) but not for the decoded
-image payloads themselves. The standard LLM-corpus image-dedup stage is
+embeddings (cosine LSH — similarity.py) but not for the decoded media
+payloads themselves. The standard LLM-corpus image-dedup stage is
 a difference hash (dHash): downsample to a tiny grid, emit one bit per
 horizontally adjacent pixel pair (left > right), and call two images
 near-duplicates when the 64-bit fingerprints are within a small Hamming
 distance. Crops, re-encodes, and small pixel noise move few bits;
-unrelated images differ in ~32.
+unrelated images differ in ~32. The audio twin (``audio_ehash``) is the
+same construction over the ENERGY ENVELOPE: 65 equal time windows,
+one bit per adjacent-window energy comparison — robust to low-level
+noise and amplitude-preserving re-encodes, cheap enough to fingerprint
+a 100 TB audio corpus in one mapInPandas pass.
 
 Everything here is DETERMINISTIC INTEGER MATH — nearest-neighbor index
 gathers and byte comparisons — so, unlike minhash/simhash over token
@@ -137,7 +142,16 @@ def image_dhash(
                     out.append(_dhash_of(img, grid))
                 except Exception:
                     out.append(None)
-            yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": out})
+            # NULLABLE Int64, never inferred: a plain list with one None
+            # infers float64 and silently destroys the low ~11 bits of
+            # every fingerprint in the batch (float64 has a 53-bit
+            # mantissa) — caught by the audio twin's oracle, latent here
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(out, dtype="Int64"),
+                }
+            )
 
     return media.mapInPandas(gen, DHASH_SCHEMA)
 
@@ -322,3 +336,197 @@ def dedup_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hyperswitch_data_backfill_spark.operators.multimodal import doc_media
 
     return neardup_images(doc_media(spark, sf_dir))
+
+
+# ------------------------------------------------------------ audio twin
+
+EHASH_WINDOWS = 65      # 65 windows -> 64 adjacent energy comparisons
+
+EHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ehash", LongType(), True),  # NULL = undecodable/short
+    ]
+)
+
+
+def _ehash_of(samples) -> int:
+    """Energy-envelope hash: split the sample stream into EHASH_WINDOWS
+    equal windows (nearest-neighbor boundaries), bit k = energy of
+    window k > energy of window k+1, packed row-major like dHash.
+    Integer-only (int64 sums of int16 squares — exact below ~8.6e9
+    samples per payload, far past any single media file), so the
+    fingerprint is bit-reproducible across engines."""
+    import numpy as np
+
+    n = int(samples.size)
+    if n < EHASH_WINDOWS:
+        raise ValueError("too few samples for the energy envelope")
+    bounds = (np.arange(EHASH_WINDOWS + 1, dtype=np.int64) * n) // EHASH_WINDOWS
+    csum = np.concatenate(
+        ([0], np.cumsum(samples.astype(np.int64) ** 2))
+    )
+    energy = csum[bounds[1:]] - csum[bounds[:-1]]
+    bits = energy[:-1] > energy[1:]
+    fp = np.uint64(0)
+    for k in np.nonzero(bits)[0]:
+        fp |= np.uint64(1) << np.uint64(k)
+    return int(fp.astype(np.int64))
+
+
+def audio_ehash(
+    media: DataFrame, *, codec: str = "raw"
+) -> DataFrame:
+    """(media_id, ehash) energy-envelope fingerprints over a media frame
+    (mapInPandas, Arrow-batched; one vectorized cumsum per payload).
+
+    ``codec="raw"``: payload = little-endian int16 PCM (the fixture
+    convention, multimodal.py audio_window_features). ``codec="wav"``:
+    payload is a RIFF/WAV container decoded through codecs.decode_wav,
+    channels mixed by integer sum (deterministic). Payloads shorter
+    than EHASH_WINDOWS samples or undecodable dead-letter to NULL."""
+    if codec not in ("raw", "wav"):
+        raise ValueError(f"codec must be raw|wav, got {codec!r}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if codec == "wav":
+            from hyperswitch_data_backfill_spark.operators.codecs import decode_wav
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                try:
+                    raw = bytes(payload)
+                    if codec == "wav":
+                        pcm, _rate = decode_wav(raw)
+                        samples = pcm.astype(np.int64).sum(axis=1)
+                    else:
+                        samples = np.frombuffer(
+                            raw[: 2 * (len(raw) // 2)], dtype="<i2"
+                        )
+                    out.append(_ehash_of(samples))
+                except Exception:
+                    out.append(None)
+            # nullable Int64 — see image_dhash: float64 inference on a
+            # None-bearing batch truncates 64-bit fingerprints
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ehash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(gen, EHASH_SCHEMA)
+
+
+def neardup_audio(
+    media: DataFrame,
+    *,
+    codec: str = "raw",
+    max_hamming: int = DHASH_MAX_HAMMING,
+    max_bucket_members: int | None = None,
+) -> DataFrame:
+    """media frame -> (id_a, id_b, hamming) audio near-dup pairs —
+    the audio composition (decode -> energy hash -> banded pairing);
+    the banding/valve machinery is fingerprint_pairs, identical to the
+    image path."""
+    return fingerprint_pairs(
+        audio_ehash(media, codec=codec),
+        fp_col="ehash",
+        max_hamming=max_hamming,
+        max_bucket_members=max_bucket_members,
+        op="audio_ehash_pairs",
+    )
+
+
+# Oracle CTE: the fixture media frame reads document text bytes as
+# little-endian int16 PCM (the multimodal_audio_rms convention), so the
+# envelope arithmetic replays exactly: byte-pair sample reconstruction,
+# (k*n)//65 window boundaries, int64 square sums, two's-complement pack.
+_EHASH_ORACLE_FP_CTE = f"""
+    d AS (
+        SELECT doc_id, substr(text, 1, 8 * (strlen(text) // 8)) AS t
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_transform(range(0, strlen(t) // 2), i ->
+                   CASE WHEN ord(substr(t, 2*i + 2, 1)) >= 128
+                        THEN ord(substr(t, 2*i + 1, 1))
+                             + 256 * ord(substr(t, 2*i + 2, 1)) - 65536
+                        ELSE ord(substr(t, 2*i + 1, 1))
+                             + 256 * ord(substr(t, 2*i + 2, 1))
+                   END) AS smp
+        FROM d
+    ), e AS (
+        SELECT doc_id,
+               [list_sum(list_transform(
+                    list_slice(smp, (k * len(smp)) // {EHASH_WINDOWS} + 1,
+                               ((k + 1) * len(smp)) // {EHASH_WINDOWS}),
+                    x -> CAST(x AS BIGINT) * x))
+                FOR k IN range({EHASH_WINDOWS})] AS eng
+        FROM s WHERE len(smp) >= {EHASH_WINDOWS}
+    ), bits AS (
+        SELECT doc_id, k,
+               CASE WHEN eng[k + 1] > eng[k + 2] THEN 1 ELSE 0 END AS bit
+        FROM e, range(64) t(k)
+    ), fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN k < 63 THEN bit * (1::HUGEINT << k)
+                             ELSE -bit * (1::HUGEINT << 63) END) AS BIGINT)
+                   AS ehash
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dedup_audio_ehash",
+    oracle=f"""
+    WITH {_EHASH_ORACLE_FP_CTE}
+    SELECT s.doc_id AS media_id, fp.ehash
+    FROM s LEFT JOIN fp USING (doc_id)
+    """,
+    doc="L5/L2 bridge, audio: 64-bit energy-envelope fingerprints over "
+        "the documents-derived int16 PCM media frame — one vectorized "
+        "int64 cumsum per payload (mapInPandas); the oracle replays the "
+        "identical integer arithmetic in SQL (byte-pair sample "
+        "reconstruction, (k*n)//65 boundaries, square sums, "
+        "two's-complement pack). Sub-65-sample payloads dead-letter to "
+        "NULL on both engines.",
+)
+def dedup_audio_ehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hyperswitch_data_backfill_spark.operators.multimodal import doc_media
+
+    return audio_ehash(doc_media(spark, sf_dir)).select("media_id", "ehash")
+
+
+@register(
+    "dedup_audio_ehash_pairs",
+    oracle=f"""
+    WITH {_EHASH_ORACLE_FP_CTE},
+    bands AS (
+        SELECT doc_id, ehash, b, (ehash >> (b * 16)) & 65535 AS bits
+        FROM fp, range(4) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.ehash AS fa, b.ehash AS fb
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+    doc="L2 for audio: the Hamming<=3 energy-envelope near-dup pair set "
+        "— same banded 4x16-bit pigeonhole machinery (and executed "
+        "valve) as the image path; the oracle builds the SAME "
+        "fingerprints in SQL and band-joins, which pigeonhole makes "
+        "exactly the Hamming<=3 set, so banding completeness is "
+        "hash-checked for the audio leg too.",
+)
+def dedup_audio_ehash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hyperswitch_data_backfill_spark.operators.multimodal import doc_media
+
+    return neardup_audio(doc_media(spark, sf_dir))

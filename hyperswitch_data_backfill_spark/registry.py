@@ -113,9 +113,9 @@ _WINDOW_EVIDENCE_ROUND: int = max(_shipped_evidence_rounds(), default=0)
 
 # ROUND-13 WINDOW = rotation output at evidence pin r12 with the six
 # changed-implementation prepends (wire-parse hardening, apply_changes
-# changelog validation, the raised sim_topk floor), then the three NEW
-# round-13 keys (image dHash fingerprints + pairs, the Fetch-leg
-# roundtrip — never swept, so they rank first automatically), then the
+# changelog validation, the raised sim_topk floor), then the five NEW
+# round-13 keys (image dHash + audio energy-hash fingerprints/pairs,
+# the Fetch-leg roundtrip — never swept, so they rank first), then the
 # r9-vintage cohort oldest-first and the r10 fill.
 _DRIVER_WINDOW: list[str] = [
     "kafka_wire_roundtrip",  # green r10
@@ -124,6 +124,8 @@ _DRIVER_WINDOW: list[str] = [
     "cdc_apply_changes",  # green r11
     "sim_topk",  # rows_only r12
     "sim_topk_recall_floor",  # green r12
+    "dedup_audio_ehash",  # no evidence
+    "dedup_audio_ehash_pairs",  # no evidence
     "dedup_image_dhash",  # no evidence
     "dedup_image_dhash_pairs",  # no evidence
     "kafka_wire_fetch_roundtrip",  # no evidence
@@ -166,8 +168,6 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_clusters",  # green r10
     "dedup_exact_hashkey",  # green r10
     "dedup_survivors",  # green r10
-    "emb_centroid_per_label",  # green r10
-    "emb_quantize_int8",  # green r10
 ]
 
 
@@ -219,7 +219,7 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.sinks.kafka_wire  # noqa: F401
     import hyperswitch_data_backfill_spark.sinks.kafka_wire_v2  # noqa: F401
     import hyperswitch_data_backfill_spark.sources.kafka_fetch  # noqa: F401
-    import hyperswitch_data_backfill_spark.operators.image_dedup  # noqa: F401
+    import hyperswitch_data_backfill_spark.operators.perceptual  # noqa: F401
     import hyperswitch_data_backfill_spark.plans.spec  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.text  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.corpus  # noqa: F401

@@ -1383,7 +1383,7 @@ def test_neardup_images_generic_equiv_and_renamed_columns(spark):
     """The generic image kernel reproduces the driver-hashed
     dedup_image_dhash_pairs result, and caller column names map
     through."""
-    from hyperswitch_data_backfill_spark.operators.image_dedup import (
+    from hyperswitch_data_backfill_spark.operators.perceptual import (
         dedup_image_dhash_pairs,
     )
     from hyperswitch_data_backfill_spark.operators.multimodal import doc_media

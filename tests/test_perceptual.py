@@ -1,6 +1,6 @@
 """Perceptual image dedup: dHash fingerprint math, PNG near-dup family
 recovery, pigeonhole banding completeness, dead-letter decodes, and the
-driver-fixture oracles (operators/image_dedup.py)."""
+driver-fixture oracles (operators/perceptual.py)."""
 
 import json
 import random
@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from hyperswitch_data_backfill_spark.operators.codecs import encode_png
-from hyperswitch_data_backfill_spark.operators.image_dedup import (
+from hyperswitch_data_backfill_spark.operators.perceptual import (
     DHASH_MAX_HAMMING,
     _dhash_of,
     fingerprint_pairs,
@@ -145,6 +145,86 @@ def test_dhash_fixture_oracles(spark, duck):
 
     _load_all_operator_modules()
     for key in ("dedup_image_dhash", "dedup_image_dhash_pairs"):
+        q = REGISTRY[key]
+        df = q.fn(spark, SF_DIR)
+        assert df.count() > 0
+        assert_oracle_match(df, duck, q.oracle, name=key)
+
+
+# ------------------------------------------------------------ audio twin
+
+def test_ehash_hand_computed_tiny_case():
+    """65 windows of exactly 2 samples each (n=130): energies are
+    adjacent-pair square sums — hand-checkable envelope pack."""
+    import numpy as np
+
+    from hyperswitch_data_backfill_spark.operators.perceptual import _ehash_of
+
+    # energies strictly DEcreasing -> every comparison true -> all 64 bits
+    samples = np.repeat(np.arange(65, 0, -1, dtype=np.int16), 2)
+    assert _ehash_of(samples) == -1  # 64 one-bits = two's-complement -1
+    # strictly INcreasing -> no bits
+    assert _ehash_of(samples[::-1].copy()) == 0
+
+
+def test_ehash_null_dtype_precision_regression(spark):
+    """Regression for a real bug the audio oracle caught: a mapInPandas
+    batch containing one dead-letter None made pandas infer float64 for
+    the fingerprint column, silently destroying the low ~11 bits of
+    every OTHER fingerprint in the batch (53-bit mantissa). The column
+    must be nullable Int64 — exact values survive a mixed batch."""
+    import numpy as np
+
+    from hyperswitch_data_backfill_spark.operators.perceptual import (
+        _ehash_of,
+        audio_ehash,
+    )
+
+    rng = np.random.default_rng(5)
+    samples = rng.integers(-3000, 3000, size=999, dtype=np.int16)
+    rows = [
+        (1, "audio", bytearray(samples.tobytes()), None),
+        (2, "audio", bytearray(b"xy"), None),  # < 65 samples: dead-letter
+    ]
+    media = spark.createDataFrame(rows, MEDIA_DDL)
+    got = {r.media_id: r.ehash for r in audio_ehash(media).collect()}
+    assert got[2] is None
+    assert got[1] == _ehash_of(samples)  # exact, low bits intact
+
+
+def test_wav_near_dup_family_recovered(spark):
+    """Real WAV codec path: re-encoded and lightly perturbed variants of
+    one waveform pair up; an unrelated waveform pairs with nothing."""
+    import numpy as np
+
+    from hyperswitch_data_backfill_spark.operators.codecs import encode_wav
+    from hyperswitch_data_backfill_spark.operators.perceptual import neardup_audio
+
+    rng = np.random.default_rng(23)
+    t = np.arange(4000)
+    base = (3000 * np.sin(t / 25.0) * (1 + 0.5 * np.sin(t / 600.0))).astype(np.int16)
+    v1 = base.copy(); v1[100:110] += 40            # tiny local nudge
+    v2 = (base.astype(np.int32) * 99 // 100).astype(np.int16)  # -1% gain
+    other = rng.integers(-3000, 3000, size=4000, dtype=np.int16)
+    rows = [
+        (i, "audio", bytearray(encode_wav(w)), None)
+        for i, w in ((10, base), (11, v1), (12, v2), (99, other))
+    ]
+    media = spark.createDataFrame(rows, MEDIA_DDL)
+    pairs = {(r.id_a, r.id_b) for r in
+             neardup_audio(media, codec="wav").collect()}
+    assert {(10, 11), (10, 12), (11, 12)} <= pairs
+    assert not any(99 in p for p in pairs)
+
+
+def test_ehash_fixture_oracles(spark, duck):
+    from hyperswitch_data_backfill_spark.registry import (
+        REGISTRY,
+        _load_all_operator_modules,
+    )
+
+    _load_all_operator_modules()
+    for key in ("dedup_audio_ehash", "dedup_audio_ehash_pairs"):
         q = REGISTRY[key]
         df = q.fn(spark, SF_DIR)
         assert df.count() > 0

@@ -264,7 +264,7 @@ def test_image_dhash_band_valve_trips(spark, monkeypatch):
 
     import numpy as np
 
-    from hyperswitch_data_backfill_spark.operators import image_dedup
+    from hyperswitch_data_backfill_spark.operators import perceptual
 
     monkeypatch.setattr(dedup, "MAX_POSTING_LIST", 8)
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
@@ -277,5 +277,5 @@ def test_image_dhash_band_valve_trips(spark, monkeypatch):
         rows, "media_id bigint, kind string, payload binary, meta_json string"
     )
     with pytest.raises(SparkRuntimeException, match="MAX_POSTING_LIST"):
-        image_dedup.neardup_images(media).count()
-    assert image_dedup.neardup_images(media, max_bucket_members=8).count() == 0
+        perceptual.neardup_images(media).count()
+    assert perceptual.neardup_images(media, max_bucket_members=8).count() == 0
