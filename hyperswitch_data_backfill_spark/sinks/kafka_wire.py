@@ -100,11 +100,16 @@ _ERR_NOT_LEADER = 6
 # (Fetch v0 = message sets / v4 = record batches, ListOffsets v0 —
 # sources/kafka_fetch.py). Tests narrow it to prove the client-side
 # refusal paths in both directions.
+_API_OFFSET_COMMIT = 8
+_API_OFFSET_FETCH = 9
+
 _DEFAULT_API_VERSIONS: dict[int, tuple[int, int]] = {
     _API_PRODUCE: (0, 3),
     _API_FETCH: (0, 4),
     _API_LIST_OFFSETS: (0, 0),
     _API_METADATA: (0, 0),
+    _API_OFFSET_COMMIT: (0, 0),
+    _API_OFFSET_FETCH: (0, 0),
     _API_API_VERSIONS: (0, 0),
 }
 
@@ -935,6 +940,9 @@ class _ClusterMeta:
     pre-round-10 test relies on)."""
     brokers: dict[int, tuple[str, int]] = field(default_factory=dict)
     leaders: dict[str, dict[int, int]] = field(default_factory=dict)
+    # consumer-group cursors, (group, topic, partition) -> offset —
+    # cluster-shared like real Kafka's __consumer_offsets topic
+    group_offsets: dict[tuple[str, str, int], int] = field(default_factory=dict)
     lock: threading.Lock = field(default_factory=threading.Lock)
 
 
@@ -1134,6 +1142,37 @@ class WireBroker:
                 out[partition] = (0, offsets[:max(max_num, 0)])
         conn.sendall(_fetch.encode_list_offsets_response_v0(corr, data))
 
+    def _handle_offset_commit(self, conn: socket.socket, frame: bytes) -> None:
+        """Store consumer-group cursors (OffsetCommit v0). The double
+        models the offset STORE only — no group coordinator/rebalance
+        protocol (those arrive in v1+ of the real API); in a WireCluster
+        the store is shared cluster-wide via _ClusterMeta, like real
+        Kafka's __consumer_offsets topic being cluster-visible."""
+        from hyperswitch_data_backfill_spark.sources import kafka_fetch as _fetch
+
+        corr, group, offsets = _fetch.parse_offset_commit_request_v0(frame)
+        results: dict[str, dict[int, int]] = {}
+        with self.meta.lock:
+            for topic, parts in offsets.items():
+                for partition, offset in parts.items():
+                    self.meta.group_offsets[(group, topic, partition)] = offset
+                    results.setdefault(topic, {})[partition] = 0
+        conn.sendall(_fetch.encode_offset_commit_response_v0(corr, results))
+
+    def _handle_offset_fetch(self, conn: socket.socket, frame: bytes) -> None:
+        """Serve committed cursors (OffsetFetch v0): -1 + empty metadata
+        for a group-partition with no commit, per the protocol."""
+        from hyperswitch_data_backfill_spark.sources import kafka_fetch as _fetch
+
+        corr, group, parts_req = _fetch.parse_offset_fetch_request_v0(frame)
+        data: dict[str, dict[int, tuple[int, str | None, int]]] = {}
+        with self.meta.lock:
+            for topic, partitions in parts_req.items():
+                for partition in partitions:
+                    off = self.meta.group_offsets.get((group, topic, partition), -1)
+                    data.setdefault(topic, {})[partition] = (off, None, 0)
+        conn.sendall(_fetch.encode_offset_fetch_response_v0(corr, data))
+
     def _serve(self, conn: socket.socket) -> None:
         try:
             while not self._stop.is_set():
@@ -1157,6 +1196,12 @@ class WireBroker:
                         continue
                     if api_key == _API_LIST_OFFSETS:
                         self._handle_list_offsets(conn, frame)
+                        continue
+                    if api_key == _API_OFFSET_COMMIT:
+                        self._handle_offset_commit(conn, frame)
+                        continue
+                    if api_key == _API_OFFSET_FETCH:
+                        self._handle_offset_fetch(conn, frame)
                         continue
                     # Version dispatch, like a real broker's request
                     # pipeline: both dialects decode into the same

@@ -652,6 +652,10 @@ class _FetchOptions:
             raise ValueError("kafkawire requires .option('topic', <name>)")
         self.version = int(options.get("version", 0))
         self.max_bytes = int(options.get("maxbytesperfetch", 1 << 20))
+        # optional consumer group: the stream resumes from broker-side
+        # committed offsets and commits each finished batch back —
+        # kafka-native durable progress alongside Spark's checkpoint
+        self.group_id = options.get("groupid")
 
 
 class KafkaWireStreamReader(SimpleDataSourceStreamReader):
@@ -664,6 +668,14 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
     The simple reader runs driver-side and is meant for modest
     per-batch volumes (same documented stance as OplogStreamReader);
     the batch reader above is the executor-parallel path.
+
+    With ``.option("groupId", ...)`` the stream ALSO keeps its cursor
+    broker-side: ``initialOffset`` resumes from the group's committed
+    offsets (OffsetFetch v0; -1 → earliest, the auto.offset.reset
+    analogue) and ``commit`` writes each finished batch's end offsets
+    back (OffsetCommit v0) — kafka-native durable progress that
+    survives a wiped Spark checkpoint, exactly what the connector's
+    group id provides.
     """
 
     def __init__(self, options):
@@ -682,7 +694,22 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             boot.close()
 
     def initialOffset(self) -> dict:
-        return self._offsets(EARLIEST_TIMESTAMP)
+        start = self._offsets(EARLIEST_TIMESTAMP)
+        o = self._opts
+        if o.group_id is None:
+            return start
+        boot = _connect(o.host, o.port, version=o.version, timeout=30.0)
+        try:
+            committed = fetch_committed(
+                boot, o.group_id, {o.topic: [int(p) for p in start]}
+            ).get(o.topic, {})
+        finally:
+            boot.close()
+        # committed offset wins when present; -1 = none → earliest
+        return {
+            p: max(committed.get(int(p), -1), earliest)
+            for p, earliest in start.items()
+        }
 
     def _rows_between(self, start: dict, end: dict):
         o = self._opts
@@ -714,7 +741,17 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows_between(start, end))
 
     def commit(self, end: dict) -> None:
-        pass  # the double keeps no consumer-group cursor
+        o = self._opts
+        if o.group_id is None:
+            return  # no group: Spark's checkpoint is the only cursor
+        boot = _connect(o.host, o.port, version=o.version, timeout=30.0)
+        try:
+            commit_offsets(
+                boot, o.group_id,
+                {o.topic: {int(p): int(off) for p, off in end.items()}},
+            )
+        finally:
+            boot.close()
 
 
 class KafkaWireDataSource(DataSource):
@@ -837,3 +874,208 @@ def kafka_wire_fetch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("key", "value", "topic")
         .agg(F.countDistinct("read_version").cast("int").alias("n_reads"))
     )
+
+
+# --------------------------------------------- consumer-group offsets
+#
+# OffsetCommit (api_key 8) / OffsetFetch (api_key 9) v0 — the consumer-
+# group cursor, so a wire consumer can resume where it left off without
+# an external checkpoint store (the durable-progress leg Spark's own
+# checkpointing otherwise provides). v0 is the simplest dialect of the
+# grammar (group coordination/generation ids arrive in v1+, which this
+# double does not model — no rebalance protocol, by design).
+
+_API_OFFSET_COMMIT = 8
+_API_OFFSET_FETCH = 9
+
+
+def encode_offset_commit_request_v0(
+    correlation_id: int,
+    group_id: str,
+    offsets: dict[str, dict[int, int]],
+    *,
+    client_id: str = "spark-backfill-fetch",
+    metadata: str | None = None,
+) -> bytes:
+    """Size-prefixed OffsetCommit v0: group, topic -> partition -> offset."""
+    body = io.BytesIO()
+    body.write(struct.pack(">hhi", _API_OFFSET_COMMIT, 0, correlation_id))
+    body.write(_kstring(client_id))
+    body.write(_kstring(group_id))
+    body.write(struct.pack(">i", len(offsets)))
+    for topic, parts in offsets.items():
+        body.write(_kstring(topic))
+        body.write(struct.pack(">i", len(parts)))
+        for partition, offset in parts.items():
+            body.write(struct.pack(">iq", partition, offset))
+            body.write(_kstring(metadata))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_offset_commit_request_v0(
+    frame: bytes,
+) -> tuple[int, str, dict[str, dict[int, int]]]:
+    r = _Reader(frame)
+    api_key, version = r.i16(), r.i16()
+    if api_key != _API_OFFSET_COMMIT or version != 0:
+        raise ValueError(
+            f"not an OffsetCommit v0 request: key={api_key} v={version}")
+    corr = r.i32()
+    r.string()                                     # client_id
+    group = r.string() or ""
+    offsets: dict[str, dict[int, int]] = {}
+    for _ in range(r.i32()):
+        topic = r.string() or ""
+        for _p in range(r.i32()):
+            partition, offset = r.i32(), r.i64()
+            r.string()                             # metadata
+            offsets.setdefault(topic, {})[partition] = offset
+    return corr, group, offsets
+
+
+def encode_offset_commit_response_v0(
+    correlation_id: int, results: dict[str, dict[int, int]]
+) -> bytes:
+    """topic -> partition -> error_code."""
+    body = io.BytesIO()
+    body.write(struct.pack(">i", correlation_id))
+    body.write(struct.pack(">i", len(results)))
+    for topic, parts in results.items():
+        body.write(_kstring(topic))
+        body.write(struct.pack(">i", len(parts)))
+        for partition, error_code in parts.items():
+            body.write(struct.pack(">ih", partition, error_code))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_offset_commit_response_v0(frame: bytes) -> dict[str, dict[int, int]]:
+    r = _Reader(frame)
+    r.i32()
+    out: dict[str, dict[int, int]] = {}
+    for _ in range(r.i32()):
+        topic = r.string() or ""
+        for _p in range(r.i32()):
+            partition, error_code = r.i32(), r.i16()
+            out.setdefault(topic, {})[partition] = error_code
+    return out
+
+
+def encode_offset_fetch_request_v0(
+    correlation_id: int,
+    group_id: str,
+    parts: dict[str, list[int]],
+    *,
+    client_id: str = "spark-backfill-fetch",
+) -> bytes:
+    body = io.BytesIO()
+    body.write(struct.pack(">hhi", _API_OFFSET_FETCH, 0, correlation_id))
+    body.write(_kstring(client_id))
+    body.write(_kstring(group_id))
+    body.write(struct.pack(">i", len(parts)))
+    for topic, partitions in parts.items():
+        body.write(_kstring(topic))
+        body.write(struct.pack(">i", len(partitions)))
+        for partition in partitions:
+            body.write(struct.pack(">i", partition))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_offset_fetch_request_v0(
+    frame: bytes,
+) -> tuple[int, str, dict[str, list[int]]]:
+    r = _Reader(frame)
+    api_key, version = r.i16(), r.i16()
+    if api_key != _API_OFFSET_FETCH or version != 0:
+        raise ValueError(
+            f"not an OffsetFetch v0 request: key={api_key} v={version}")
+    corr = r.i32()
+    r.string()                                     # client_id
+    group = r.string() or ""
+    parts: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        topic = r.string() or ""
+        parts[topic] = [r.i32() for _p in range(r.i32())]
+    return corr, group, parts
+
+
+def encode_offset_fetch_response_v0(
+    correlation_id: int,
+    data: dict[str, dict[int, tuple[int, str | None, int]]],
+) -> bytes:
+    """topic -> partition -> (offset, metadata, error_code); offset -1 =
+    no committed offset for this group-partition (the protocol's "start
+    from your auto.offset.reset policy" signal)."""
+    body = io.BytesIO()
+    body.write(struct.pack(">i", correlation_id))
+    body.write(struct.pack(">i", len(data)))
+    for topic, parts in data.items():
+        body.write(_kstring(topic))
+        body.write(struct.pack(">i", len(parts)))
+        for partition, (offset, metadata, error_code) in parts.items():
+            body.write(struct.pack(">iq", partition, offset))
+            body.write(_kstring(metadata))
+            body.write(struct.pack(">h", error_code))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_offset_fetch_response_v0(
+    frame: bytes,
+) -> dict[str, dict[int, tuple[int, str | None, int]]]:
+    r = _Reader(frame)
+    r.i32()
+    out: dict[str, dict[int, tuple[int, str | None, int]]] = {}
+    for _ in range(r.i32()):
+        topic = r.string() or ""
+        for _p in range(r.i32()):
+            partition = r.i32()
+            offset = r.i64()
+            metadata = r.string()
+            error_code = r.i16()
+            out.setdefault(topic, {})[partition] = (offset, metadata, error_code)
+    return out
+
+
+def commit_offsets(
+    sock: socket.socket,
+    group_id: str,
+    offsets: dict[str, dict[int, int]],
+    *,
+    correlation_id: int = 0,
+) -> None:
+    """Commit consumer-group offsets; raises on any partition error."""
+    sock.sendall(
+        encode_offset_commit_request_v0(correlation_id, group_id, offsets))
+    results = parse_offset_commit_response_v0(_recv_frame(sock))
+    errs = [
+        (t, p, ec)
+        for t, parts in results.items()
+        for p, ec in parts.items()
+        if ec != 0
+    ]
+    if errs:
+        raise FetchError(errs[0][0], errs[0][1], errs[0][2])
+
+
+def fetch_committed(
+    sock: socket.socket,
+    group_id: str,
+    parts: dict[str, list[int]],
+    *,
+    correlation_id: int = 0,
+) -> dict[str, dict[int, int]]:
+    """Committed offsets for a group: topic -> partition -> offset
+    (-1 = none committed — caller applies its reset policy)."""
+    sock.sendall(
+        encode_offset_fetch_request_v0(correlation_id, group_id, parts))
+    data = parse_offset_fetch_response_v0(_recv_frame(sock))
+    out: dict[str, dict[int, int]] = {}
+    for topic, partitions in data.items():
+        for partition, (offset, _meta, error_code) in partitions.items():
+            if error_code != 0:
+                raise FetchError(topic, partition, error_code)
+            out.setdefault(topic, {})[partition] = offset
+    return out

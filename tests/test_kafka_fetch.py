@@ -321,3 +321,62 @@ def test_fetch_roundtrip_fixture_matches_oracle(spark, duck):
     df = q.fn(spark, SF_DIR)
     assert df.count() > 0
     assert_oracle_match(df, duck, q.oracle, name="kafka_wire_fetch_roundtrip")
+
+
+# ----------------------------------------------- consumer-group offsets
+
+def test_offset_commit_fetch_codec_roundtrip():
+    frame = kf.encode_offset_commit_request_v0(5, "g1", {"t": {0: 17, 2: 3}})
+    corr, group, offs = kf.parse_offset_commit_request_v0(frame[4:])
+    assert (corr, group, offs) == (5, "g1", {"t": {0: 17, 2: 3}})
+    resp = kf.encode_offset_commit_response_v0(5, {"t": {0: 0, 2: 0}})
+    assert kf.parse_offset_commit_response_v0(resp[4:]) == {"t": {0: 0, 2: 0}}
+    freq = kf.encode_offset_fetch_request_v0(6, "g1", {"t": [0, 2]})
+    corr, group, parts = kf.parse_offset_fetch_request_v0(freq[4:])
+    assert (corr, group, parts) == (6, "g1", {"t": [0, 2]})
+    fresp = kf.encode_offset_fetch_response_v0(
+        6, {"t": {0: (17, None, 0), 2: (-1, None, 0)}})
+    assert kf.parse_offset_fetch_response_v0(fresp[4:]) == {
+        "t": {0: (17, None, 0), 2: (-1, None, 0)}}
+
+
+def test_broker_group_offset_store_roundtrip():
+    """Commit then fetch through the broker double: per-group isolation,
+    -1 for never-committed partitions, last write wins."""
+    with WireBroker() as b:
+        produce_rows(iter(_rows("t", 5)), "127.0.0.1", b.port)
+        sock = kf._connect("127.0.0.1", b.port, version=0, timeout=5)
+        try:
+            assert kf.fetch_committed(sock, "g1", {"t": [0]}) == {"t": {0: -1}}
+            kf.commit_offsets(sock, "g1", {"t": {0: 3}})
+            assert kf.fetch_committed(sock, "g1", {"t": [0]}) == {"t": {0: 3}}
+            kf.commit_offsets(sock, "g1", {"t": {0: 5}})
+            assert kf.fetch_committed(sock, "g1", {"t": [0]}) == {"t": {0: 5}}
+            # a different group sees its own (empty) cursor
+            assert kf.fetch_committed(sock, "g2", {"t": [0]}) == {"t": {0: -1}}
+        finally:
+            sock.close()
+
+
+def test_stream_reader_group_resume_and_commit(spark):
+    """The groupId option makes progress broker-durable: a FRESH stream
+    reader (no Spark checkpoint carried over) resumes from the group's
+    committed offsets instead of re-reading the whole topic."""
+    with WireBroker() as b:
+        produce_rows(iter(_rows("t", 30)), "127.0.0.1", b.port)
+        opts = {"port": str(b.port), "topic": "t", "groupid": "cg"}
+        r1 = kf.KafkaWireStreamReader(dict(opts))
+        start = r1.initialOffset()
+        assert start == {"0": 0}  # nothing committed yet -> earliest
+        rows, end = r1.read(start)
+        assert len(list(rows)) == 30 and end == {"0": 30}
+        r1.commit(end)
+        # fresh reader, same group: resumes at the committed cursor
+        r2 = kf.KafkaWireStreamReader(dict(opts))
+        assert r2.initialOffset() == {"0": 30}
+        produce_rows(iter(_rows("t", 4, prefix="x")), "127.0.0.1", b.port)
+        rows2, end2 = r2.read(r2.initialOffset())
+        assert len(list(rows2)) == 4 and end2 == {"0": 34}
+        # group-less reader still starts from earliest
+        r3 = kf.KafkaWireStreamReader({"port": str(b.port), "topic": "t"})
+        assert r3.initialOffset() == {"0": 0}

@@ -227,7 +227,8 @@ def test_negotiation_against_live_broker():
         versions = negotiate_api_versions(s, 1, required={0: 0, 3: 0, 18: 0})
         s.close()
         handshakes = broker.api_versions_requests
-    assert versions == {0: (0, 3), 1: (0, 4), 2: (0, 0), 3: (0, 0), 18: (0, 0)}
+    assert versions == {0: (0, 3), 1: (0, 4), 2: (0, 0), 3: (0, 0),
+                        8: (0, 0), 9: (0, 0), 18: (0, 0)}
     assert handshakes == 1
 
 
