@@ -158,9 +158,9 @@ MAX_ISOLATED_MOVERS = 8
 ISOLATE_RUNS = 5
 
 
-def _newest_committed_bench() -> tuple[str, dict] | None:
-    """(basename, per-query walls) of the newest committed BENCH_r*.json
-    — same fullmatch-or-skip parse as _reconcile."""
+def _newest_committed_bench() -> tuple[str, dict, float] | None:
+    """(basename, per-query walls, sf) of the newest committed
+    BENCH_r*.json — same fullmatch-or-skip parse as _reconcile."""
     import glob
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -177,7 +177,7 @@ def _newest_committed_bench() -> tuple[str, dict] | None:
         d = json.load(f)
     if "parsed" in d:  # driver wrapper
         d = d["parsed"]
-    return os.path.basename(path), d.get("queries", {})
+    return os.path.basename(path), d.get("queries", {}), d.get("sf", -1.0)
 
 
 def _attach_isolated(record: dict) -> None:
@@ -198,8 +198,18 @@ def _attach_isolated(record: dict) -> None:
         "queries": {},
     }
     adjusted = dict(record["queries"])
+    if prior is not None and prior[2] != record.get("sf"):
+        # an sf1 (or any off-default) run vs an sf0.1 committed round is
+        # apples-to-oranges: EVERY query reads as a mover and the
+        # isolation pass burns fresh JVMs proving nothing (caught live
+        # on the first sf1 bench after this feature shipped)
+        iso["skipped"] = (
+            f"sf mismatch: this run sf={record.get('sf')} vs "
+            f"{prior[0]} sf={prior[2]} — movers not comparable"
+        )
+        prior = None
     if prior is not None:
-        _name, oldq = prior
+        _name, oldq, _sf = prior
         movers = sorted(
             (
                 q

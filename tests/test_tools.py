@@ -345,7 +345,7 @@ def test_bench_attach_isolated_contract(monkeypatch):
     import bench as bench_mod
 
     record = {"queries": {"a": 2.0, "b": 1.0, "c": 0.5, "d": 1.0},
-              "value": 4.5}
+              "value": 4.5, "sf": 0.1}
 
     # no committed prior: zero isolation, adjusted == raw
     monkeypatch.setattr(bench_mod, "_newest_committed_bench", lambda: None)
@@ -354,11 +354,23 @@ def test_bench_attach_isolated_contract(monkeypatch):
     assert r["isolated"] == {"basis": None, "n_runs": 5, "queries": {}}
     assert r["value_adjusted"] == 4.5
 
+    # prior at a DIFFERENT sf: movers are apples-to-oranges — no
+    # isolation, and the record says why (caught live on the first
+    # sf1 bench after this feature shipped)
+    monkeypatch.setattr(
+        bench_mod, "_newest_committed_bench",
+        lambda: ("BENCH_r99.json", {"a": 0.1}, 1.0),
+    )
+    r = dict(record)
+    bench_mod._attach_isolated(r)
+    assert r["isolated"]["queries"] == {} and "sf mismatch" in r["isolated"]["skipped"]
+    assert r["value_adjusted"] == 4.5
+
     # prior: a regressed 2x (mover), b improved (not a mover), c new-ish
     # key absent from prior (not a mover), d unchanged
     monkeypatch.setattr(
         bench_mod, "_newest_committed_bench",
-        lambda: ("BENCH_r99.json", {"a": 1.0, "b": 2.0, "d": 1.0}),
+        lambda: ("BENCH_r99.json", {"a": 1.0, "b": 2.0, "d": 1.0}, 0.1),
     )
     calls = []
 
@@ -382,7 +394,7 @@ def test_bench_attach_isolated_contract(monkeypatch):
     # the cap is logged, never silent
     monkeypatch.setattr(
         bench_mod, "_newest_committed_bench",
-        lambda: ("BENCH_r99.json", {q: 0.1 for q in record["queries"]}),
+        lambda: ("BENCH_r99.json", {q: 0.1 for q in record["queries"]}, 0.1),
     )
     monkeypatch.setattr(bench_mod, "MAX_ISOLATED_MOVERS", 2)
     r = dict(record)
