@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from hyperswitch_data_backfill_spark.catalog import load_table
 from hyperswitch_data_backfill_spark.operators.dedup import guard_posting_buckets
 from hyperswitch_data_backfill_spark.registry import register
 
@@ -530,3 +531,251 @@ def dedup_audio_ehash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hyperswitch_data_backfill_spark.operators.multimodal import doc_media
 
     return neardup_audio(doc_media(spark, sf_dir))
+
+
+# ------------------------------------------------------------ video twin
+
+VHASH_SAMPLE_FRAMES = 4   # frames sampled per video (nearest-neighbor)
+# composite frame-id stride: media_id * stride + sampled-slot index.
+# Valid while media_id < 2^53 / stride — asserted at plan build.
+_VHASH_ID_STRIDE = 1 << 10
+
+VHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), True),  # ORIGINAL frame index
+        StructField("slot", LongType(), True),       # sampled-slot ordinal
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+
+def video_frame_dhash(
+    media: DataFrame, *, sample_frames: int = VHASH_SAMPLE_FRAMES
+) -> DataFrame:
+    """(media_id, frame_idx, slot, dhash) — per-sampled-frame dHash over
+    raw video payloads: frame-major ``frames x height x width`` uint8
+    bytes with ``{"width","height","frames"}`` in meta_json. Frame
+    sampling is nearest-neighbor over the frame axis ((s*f)//n), the
+    video analogue of the dHash pixel grid — a re-encoded or slightly
+    perturbed clip samples the SAME frames and lands Hamming-near per
+    slot. Undecodable/short payloads dead-letter to one NULL row (the
+    decode-stage contract). One row per sampled frame: fan-out is the
+    fixed ``sample_frames``, not clip length."""
+    if sample_frames < 1:
+        raise ValueError("sample_frames must be >= 1")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fidx, slots, hashes = [], [], [], []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta_json"]
+            ):
+                try:
+                    m = json.loads(meta) if meta else {}
+                    w, h, f = int(m["width"]), int(m["height"]), int(m["frames"])
+                    vid = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    if vid.size != w * h * f or min(w, h, f) <= 0:
+                        raise ValueError("payload size != width*height*frames")
+                    vid = vid.reshape(f, h, w)
+                    picks = (np.arange(sample_frames, dtype=np.int64) * f) // sample_frames
+                    for slot, fi in enumerate(picks):
+                        ids.append(int(media_id))
+                        fidx.append(int(fi))
+                        slots.append(slot)
+                        hashes.append(_dhash_of(vid[fi], DHASH_GRID))
+                except Exception:
+                    ids.append(int(media_id))
+                    fidx.append(None)
+                    slots.append(None)
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(fidx, dtype="Int64"),
+                    "slot": pd.array(slots, dtype="Int64"),
+                    # nullable Int64 — the audio-oracle lesson: float64
+                    # inference truncates 64-bit fingerprints
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(gen, VHASH_SCHEMA)
+
+
+def neardup_videos(
+    media: DataFrame,
+    *,
+    sample_frames: int = VHASH_SAMPLE_FRAMES,
+    max_hamming: int = DHASH_MAX_HAMMING,
+    min_frame_matches: int = 1,
+    max_bucket_members: int | None = None,
+) -> DataFrame:
+    """media frame -> (id_a, id_b, n_frame_matches) video near-dup
+    pairs: per-sampled-frame dHash, frame-level Hamming banding
+    (fingerprint_pairs over a composite frame id — same machinery and
+    executed valve as the image/audio legs), then pairs aggregated to
+    the video level counting DISTINCT matching frame-slot pairs. Frames
+    may match across different slots (a clipped or re-cut video aligns
+    its content at a different sampled position), same-video frame
+    collisions are dropped. ``min_frame_matches`` is the clip-level
+    confidence knob: 1 = any shared frame (containment detection),
+    sample_frames = whole-clip duplication."""
+    if sample_frames > _VHASH_ID_STRIDE:
+        raise ValueError(
+            f"sample_frames={sample_frames} exceeds the composite-id "
+            f"stride {_VHASH_ID_STRIDE}"
+        )
+    frames = video_frame_dhash(media, sample_frames=sample_frames)
+    composite = (
+        frames.filter(F.col("dhash").isNotNull())
+        # in-plan guard, the guard_posting_buckets idiom (assert_true is
+        # NULL on success, so isNull() keeps every legal row and the
+        # filter can't be constant-folded away): composite frame ids
+        # must be collision-free
+        .filter(
+            F.assert_true(
+                (F.col("media_id") >= 0)
+                & (F.col("media_id") < F.lit((1 << 53) // _VHASH_ID_STRIDE)),
+                F.lit(
+                    "neardup_videos: media_id out of the collision-free "
+                    f"composite-id range [0, 2^53/{_VHASH_ID_STRIDE})"
+                ),
+            ).isNull()
+        )
+        .select(
+            (F.col("media_id") * _VHASH_ID_STRIDE + F.col("slot")).alias("fid"),
+            "dhash",
+        )
+    )
+    pairs = fingerprint_pairs(
+        composite,
+        id_col="fid",
+        max_hamming=max_hamming,
+        max_bucket_members=max_bucket_members,
+        op="video_vhash_pairs",
+    )
+    vid_a = F.expr(f"id_a div {_VHASH_ID_STRIDE}")   # integer div, no
+    vid_b = F.expr(f"id_b div {_VHASH_ID_STRIDE}")   # double round-trip
+    return (
+        pairs.select(
+            F.least(vid_a, vid_b).alias("va"),
+            F.greatest(vid_a, vid_b).alias("vb"),
+            F.col("id_a").alias("fa"),
+            F.col("id_b").alias("fb"),
+        )
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy(F.col("va").alias("id_a"), F.col("vb").alias("id_b"))
+        .agg(F.count_distinct("fa", "fb").cast("bigint").alias("n_frame_matches"))
+        .filter(F.col("n_frame_matches") >= min_frame_matches)
+    )
+
+
+def doc_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → raw-video media frame: payload = text bytes truncated
+    to 2 frames x frame_h x 8 (the doc_media convention extended with a
+    frame axis), meta carries {width, height, frames}. Docs shorter
+    than two 8-byte scanlines (frame_h = 0) keep their full payload and
+    an invalid meta — the operator dead-letters them, mirroring the
+    oracle's NULL row."""
+    docs = load_table(spark, sf_dir, "documents")
+    fh = F.expr("(octet_length(text) div 8) div 2")
+    usable = fh * 16
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.expr(
+            "substring(text, 1, 16 * ((octet_length(text) div 8) div 2))"
+        ), "UTF-8").alias("payload"),
+        F.to_json(
+            F.struct(
+                F.lit(8).alias("width"),
+                fh.cast("int").alias("height"),
+                F.lit(2).alias("frames"),
+            )
+        ).alias("meta_json"),
+    )
+
+
+_VHASH_ORACLE_FP_CTE = """
+    d AS (
+        SELECT doc_id, text, ((strlen(text) // 8) // 2) AS fh FROM documents
+    ), fr AS (
+        SELECT doc_id, text, fh, fi FROM d, range(2) t(fi) WHERE fh > 0
+    ), bits AS (
+        SELECT doc_id, fi, k,
+               CASE WHEN ord(substr(text,
+                        fi * 8 * fh + (((k // 8) * fh) // 8) * 8
+                        + (((k % 8) * 8) // 9) + 1, 1))
+                   > ord(substr(text,
+                        fi * 8 * fh + (((k // 8) * fh) // 8) * 8
+                        + ((((k % 8) + 1) * 8) // 9) + 1, 1))
+               THEN 1 ELSE 0 END AS bit
+        FROM fr, range(64) t(k)
+    ), fp AS (
+        SELECT doc_id, fi,
+               CAST(SUM(CASE WHEN k < 63 THEN bit * (1::HUGEINT << k)
+                             ELSE -bit * (1::HUGEINT << 63) END) AS BIGINT)
+                   AS dhash
+        FROM bits GROUP BY doc_id, fi
+    )
+"""
+
+
+@register(
+    "dedup_video_vhash",
+    oracle=f"""
+    WITH {_VHASH_ORACLE_FP_CTE}
+    SELECT d.doc_id AS media_id, fp.fi AS frame_idx, fp.fi AS slot, fp.dhash
+    FROM d LEFT JOIN fp USING (doc_id)
+    """,
+    doc="L5/L2 bridge, video: per-sampled-frame dHash over the "
+        "documents-derived 2-frame raw-video media frame (one fan-out "
+        "row per sampled frame, mapInPandas); the oracle replays the "
+        "byte arithmetic with the frame-offset term, so the frame "
+        "sampling + per-frame fingerprint math is hash-checked. "
+        "Sub-2-scanline docs dead-letter to one NULL row on both "
+        "engines.",
+)
+def dedup_video_vhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return video_frame_dhash(doc_video(spark, sf_dir), sample_frames=2)
+
+
+@register(
+    "dedup_video_vhash_pairs",
+    oracle=f"""
+    WITH {_VHASH_ORACLE_FP_CTE},
+    bands AS (
+        SELECT doc_id, fi, dhash, b, (dhash >> (b * 16)) & 65535 AS bits
+        FROM fp, range(4) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, a.fi AS sa, a.dhash AS fa,
+                        b.doc_id AS db, b.fi AS sb, b.dhash AS fb
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bits = b.bits
+         AND (a.doc_id * 1024 + a.fi) < (b.doc_id * 1024 + b.fi)
+        WHERE a.doc_id <> b.doc_id
+    )
+    SELECT LEAST(da, db) AS id_a, GREATEST(da, db) AS id_b,
+           CAST(COUNT(DISTINCT CAST(da * 1024 + sa AS VARCHAR) || ':'
+                               || CAST(db * 1024 + sb AS VARCHAR)) AS BIGINT)
+               AS n_frame_matches
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    GROUP BY 1, 2
+    """,
+    doc="L2 for video: clip-level near-dup pairs — per-frame dHash, "
+        "frame-level 4x16 Hamming banding over composite frame ids "
+        "(same machinery and executed valve as image/audio), pairs "
+        "aggregated per video with the DISTINCT matching-frame count; "
+        "cross-slot matches allowed (a re-cut clip aligns content at a "
+        "different sampled position). The oracle band-joins the SAME "
+        "frame fingerprints, so frame-banding completeness AND the "
+        "clip-level aggregation are hash-checked.",
+)
+def dedup_video_vhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_videos(
+        doc_video(spark, sf_dir), sample_frames=2, min_frame_matches=1
+    )

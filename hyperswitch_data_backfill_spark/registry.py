@@ -113,9 +113,10 @@ _WINDOW_EVIDENCE_ROUND: int = max(_shipped_evidence_rounds(), default=0)
 
 # ROUND-13 WINDOW = rotation output at evidence pin r12 with the six
 # changed-implementation prepends (wire-parse hardening, apply_changes
-# changelog validation, the raised sim_topk floor), then the five NEW
-# round-13 keys (image dHash + audio energy-hash fingerprints/pairs,
-# the Fetch-leg roundtrip — never swept, so they rank first), then the
+# changelog validation, the raised sim_topk floor), then the seven NEW
+# round-13 keys (image dHash / audio energy-hash / video frame-dHash
+# fingerprints+pairs, the Fetch-leg roundtrip — never swept, so they
+# rank first), then the
 # r9-vintage cohort oldest-first and the r10 fill.
 _DRIVER_WINDOW: list[str] = [
     "kafka_wire_roundtrip",  # green r10
@@ -128,6 +129,8 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_audio_ehash_pairs",  # no evidence
     "dedup_image_dhash",  # no evidence
     "dedup_image_dhash_pairs",  # no evidence
+    "dedup_video_vhash",  # no evidence
+    "dedup_video_vhash_pairs",  # no evidence
     "kafka_wire_fetch_roundtrip",  # no evidence
     "dedup_minhash",  # rows_only r9
     "emb_pq_quantize",  # rows_only r9
@@ -166,8 +169,6 @@ _DRIVER_WINDOW: list[str] = [
     "date_trunc_bucket",  # green r10
     "decontam_ngram",  # green r10
     "dedup_clusters",  # green r10
-    "dedup_exact_hashkey",  # green r10
-    "dedup_survivors",  # green r10
 ]
 
 

@@ -229,3 +229,88 @@ def test_ehash_fixture_oracles(spark, duck):
         df = q.fn(spark, SF_DIR)
         assert df.count() > 0
         assert_oracle_match(df, duck, q.oracle, name=key)
+
+
+# ------------------------------------------------------------ video twin
+
+def _video_row(media_id, frames_arr):
+    import numpy as np
+
+    f, h, w = frames_arr.shape
+    return (media_id, "video", bytearray(frames_arr.astype(np.uint8).tobytes()),
+            json.dumps({"width": w, "height": h, "frames": f}))
+
+
+def test_video_family_recovered_including_cross_slot(spark):
+    """Planted clip family: a lightly perturbed re-encode matches on
+    every sampled frame; a RE-CUT clip (content shifted by a frame)
+    still matches cross-slot; an unrelated clip pairs with nothing."""
+    import numpy as np
+
+    from hyperswitch_data_backfill_spark.operators.perceptual import (
+        neardup_videos,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 256, size=(8, 32, 32), dtype=np.uint8)
+    noisy = base.copy(); noisy[:, 5, 5] ^= 0x01           # invisible tweak
+    # shifted by one SAMPLING STRIDE (8 frames / 4 samples = 2), so the
+    # recut's sampled frames are base content at different slots
+    recut = np.concatenate([base[2:], base[:2]])
+    other = rng.integers(0, 256, size=(8, 32, 32), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [_video_row(1, base), _video_row(2, noisy),
+         _video_row(3, recut), _video_row(9, other)],
+        MEDIA_DDL.replace("meta_json string", "meta_json string"),
+    )
+    got = {(r.id_a, r.id_b): r.n_frame_matches for r in
+           neardup_videos(media, sample_frames=4).collect()}
+    assert got.get((1, 2)) == 4          # all sampled frames match
+    assert (1, 3) in got                 # cross-slot containment found
+    assert not any(9 in p for p in got)
+
+
+def test_video_dead_letter_and_composite_guard(spark):
+    import numpy as np
+
+    from pyspark.errors import SparkRuntimeException
+
+    from hyperswitch_data_backfill_spark.operators.perceptual import (
+        neardup_videos,
+        video_frame_dhash,
+    )
+
+    good = np.arange(2 * 8 * 8, dtype=np.uint8).reshape(2, 8, 8)
+    media = spark.createDataFrame(
+        [
+            _video_row(1, good),
+            (2, "video", bytearray(b"\x00\x01"), json.dumps(
+                {"width": 8, "height": 8, "frames": 2})),
+        ],
+        MEDIA_DDL,
+    )
+    rows = video_frame_dhash(media, sample_frames=2).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 2 and all(r.dhash is not None for r in by_id[1])
+    assert len(by_id[2]) == 1 and by_id[2][0].dhash is None
+    # composite-id guard: an id outside the collision-free range raises
+    huge = spark.createDataFrame(
+        [_video_row((1 << 53) // 1024 + 7, good)], MEDIA_DDL)
+    with pytest.raises(SparkRuntimeException, match="composite-id range"):
+        neardup_videos(huge, sample_frames=2).count()
+
+
+def test_vhash_fixture_oracles(spark, duck):
+    from hyperswitch_data_backfill_spark.registry import (
+        REGISTRY,
+        _load_all_operator_modules,
+    )
+
+    _load_all_operator_modules()
+    for key in ("dedup_video_vhash", "dedup_video_vhash_pairs"):
+        q = REGISTRY[key]
+        df = q.fn(spark, SF_DIR)
+        assert df.count() > 0
+        assert_oracle_match(df, duck, q.oracle, name=key)

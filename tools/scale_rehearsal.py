@@ -465,6 +465,90 @@ def pairs_mode() -> None:
     spark.stop()
 
 
+def perceptual_mode() -> None:
+    """Fifth rehearsal axis (r13): the perceptual fingerprint family as
+    the MEDIA corpus grows Nx. Replicas ride inflate_docs' token
+    salting — salted text bytes are different pixels/samples, so the
+    dHash/ehash fingerprints are new points, a corpus n× BIGGER, not a
+    duplicate flood (the flood case is the valve tests' job). Records
+    per scale: 16-bit band-bucket occupancy (max/p99 members), the
+    band-shuffle max-partition share, candidate-pair volume, and the
+    full image+audio pair wall. Flat shares while N grows = the
+    banding shuffle balances at any corpus size."""
+    from hyperswitch_data_backfill_spark.operators.multimodal import doc_media
+    from hyperswitch_data_backfill_spark.operators.perceptual import (
+        audio_ehash,
+        image_dhash,
+        neardup_audio,
+        neardup_images,
+    )
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [1, 4, 16]
+    spark = get_spark(app_name="scale-rehearsal-perceptual")
+    base = load_table(spark, sf_dir, "documents")
+
+    print("| N | media | dhash band buckets (max/p99 members) | band-shuffle "
+          "max-part share | cand pairs | ehash max bucket | image+audio "
+          "pair wall s |")
+    print("|---|---|---|---|---|---|---|")
+    for n in factors:
+        docs = inflate_docs(base, n).localCheckpoint(eager=True)
+        docs.createOrReplaceTempView("documents_inflated")
+        n_docs = docs.count()
+        # doc_media reads the documents table; rebuild its frame inline
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode(F.expr(
+                "substring(text, 1, 8 * (octet_length(text) div 8))"
+            ), "UTF-8").alias("payload"),
+            F.to_json(F.struct(
+                F.lit(8).alias("width"),
+                F.expr("octet_length(text) div 8").cast("int").alias("height"),
+            )).alias("meta_json"),
+        ).localCheckpoint(eager=True)
+
+        fps = image_dhash(media)
+        bands = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("dhash"), b * 16)
+                .bitwiseAND(F.lit(65535)).alias("bits"),
+            ) for b in range(4)
+        ])
+        banded = fps.filter(F.col("dhash").isNotNull()).select(
+            "media_id", F.explode(bands).alias("b")
+        ).select("media_id", "b.band", "b.bits")
+        buckets = banded.groupBy("band", "bits").agg(
+            F.count(F.lit(1)).alias("members"))
+        _, mx_m, p99_m = bucket_stats(buckets, F.col("members"))
+        _, _, share = part_hist(buckets)
+        cand = buckets.filter(F.col("members") > 1).select(
+            F.sum((F.col("members") * (F.col("members") - 1) / 2)
+                  .cast("bigint")).alias("p")
+        ).collect()[0]["p"] or 0
+
+        eb = audio_ehash(media).filter(F.col("ehash").isNotNull()).select(
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.shiftright(F.col("ehash"), b * 16)
+                         .bitwiseAND(F.lit(65535)).alias("bits"))
+                for b in range(4)
+            ])).alias("b")
+        ).groupBy("b.band", "b.bits").agg(F.count(F.lit(1)).alias("m"))
+        mx_e = eb.agg(F.max("m")).collect()[0][0]
+
+        t0 = time.perf_counter()
+        n_pairs = (neardup_images(media).count()
+                   + neardup_audio(media).count())
+        wall = time.perf_counter() - t0
+        print(f"| {n} | {n_docs} | {mx_m}/{p99_m:.0f} | {share:.3f} "
+              f"| {cand} | {mx_e} | {wall:.1f} (pairs={n_pairs}) |")
+        docs.unpersist()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_mode()
@@ -472,5 +556,7 @@ if __name__ == "__main__":
         embeddings_mode()
     elif len(sys.argv) > 1 and sys.argv[1] == "--pairs":
         pairs_mode()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--perceptual":
+        perceptual_mode()
     else:
         main()
