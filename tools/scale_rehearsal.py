@@ -468,13 +468,20 @@ def pairs_mode() -> None:
 def perceptual_mode() -> None:
     """Fifth rehearsal axis (r13): the perceptual fingerprint family as
     the MEDIA corpus grows Nx. Replicas ride inflate_docs' token
-    salting — salted text bytes are different pixels/samples, so the
-    dHash/ehash fingerprints are new points, a corpus n× BIGGER, not a
-    duplicate flood (the flood case is the valve tests' job). Records
-    per scale: 16-bit band-bucket occupancy (max/p99 members), the
-    band-shuffle max-partition share, candidate-pair volume, and the
-    full image+audio pair wall. Flat shares while N grows = the
-    banding shuffle balances at any corpus size."""
+    salting — and unlike shingle space (where salting separates
+    replicas), per-token suffixes are SMALL byte perturbations of the
+    same pixels/samples, so the inflated corpus carries growing
+    NEAR-DUP FAMILIES: the adversarial case for Hamming banding, where
+    candidate volume grows quadratically in family size. What the
+    table proves is the design's headroom under that stress: band
+    buckets stay far below the MAX_POSTING_LIST valve (measured 400 max
+    members at 80k media vs the 4096 cap), and the full image+audio
+    pair wall grows sub-linearly in candidates. Records per scale:
+    16-bit band-bucket occupancy (max/p99 members), the band-shuffle
+    max-partition share (reads 1.0 at these sizes — AQE coalesces the
+    tiny bucket shuffle to one partition; the occupancy columns are
+    the real skew signal), candidate-pair volume, ehash max bucket,
+    and the pair wall."""
     from hyperswitch_data_backfill_spark.operators.multimodal import doc_media
     from hyperswitch_data_backfill_spark.operators.perceptual import (
         audio_ehash,
