@@ -46,8 +46,10 @@ __all__ = [
     "clean_corpus",
     "cluster_pairs",
     "dedup_incremental",
+    "neardup_audio",
     "neardup_images",
     "neardup_pairs",
+    "neardup_videos",
     "pagerank",
     "stable_split",
     "first_row_per_group",
@@ -1193,5 +1195,59 @@ def neardup_images(
     )
     return perceptual.neardup_images(
         frame, codec=codec, max_hamming=max_hamming,
+        max_bucket_members=max_bucket_members,
+    )
+
+
+def neardup_audio(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    codec: str = "raw",
+    max_hamming: int = 3,
+    max_bucket_members: int | None = None,
+) -> DataFrame:
+    """Audio near-dup pairs over caller columns → (id_a, id_b, hamming)
+    — the energy-envelope twin of neardup_images (same valve
+    contract). Payloads are int16 PCM (``codec='raw'``) or WAV
+    containers (``codec='wav'``)."""
+    from hyperswitch_data_backfill_spark.operators import perceptual
+
+    frame = media.select(
+        F.col(id_col).alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+    return perceptual.neardup_audio(
+        frame, codec=codec, max_hamming=max_hamming,
+        max_bucket_members=max_bucket_members,
+    )
+
+
+def neardup_videos(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    meta_col: str = "meta_json",
+    sample_frames: int = 4,
+    max_hamming: int = 3,
+    min_frame_matches: int = 1,
+    max_bucket_members: int | None = None,
+) -> DataFrame:
+    """Clip-level near-dup pairs over caller columns → (id_a, id_b,
+    n_frame_matches): per-sampled-frame dHash + frame-level banding +
+    clip aggregation (operators/perceptual.py made generic; cross-slot
+    matches included, so re-cut clips are found)."""
+    from hyperswitch_data_backfill_spark.operators import perceptual
+
+    frame = media.select(
+        F.col(id_col).alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.col(meta_col).alias("meta_json"),
+    )
+    return perceptual.neardup_videos(
+        frame, sample_frames=sample_frames, max_hamming=max_hamming,
+        min_frame_matches=min_frame_matches,
         max_bucket_members=max_bucket_members,
     )

@@ -1401,3 +1401,33 @@ def test_neardup_images_generic_equiv_and_renamed_columns(spark):
                 renamed, id_col="img", payload_col="blob", meta_col="dims"
             ).collect()}
     assert got2 == want
+
+
+def test_neardup_audio_and_videos_generic_equiv(spark):
+    """The audio/video generic kernels reproduce their driver-hashed
+    fixture twins row-for-row through renamed caller columns."""
+    from hyperswitch_data_backfill_spark.operators.multimodal import doc_media
+    from hyperswitch_data_backfill_spark.operators.perceptual import (
+        dedup_audio_ehash_pairs,
+        dedup_video_vhash_pairs,
+        doc_video,
+    )
+
+    media = doc_media(spark, SF_DIR).selectExpr(
+        "media_id AS clip", "payload AS pcm")
+    want_a = {(r.id_a, r.id_b, r.hamming) for r in
+              dedup_audio_ehash_pairs(spark, SF_DIR).collect()}
+    got_a = {(r.id_a, r.id_b, r.hamming) for r in
+             api.neardup_audio(media, id_col="clip", payload_col="pcm").collect()}
+    assert got_a == want_a and got_a
+
+    vid = doc_video(spark, SF_DIR).selectExpr(
+        "media_id AS clip", "payload AS blob", "meta_json AS dims")
+    want_v = {(r.id_a, r.id_b, r.n_frame_matches) for r in
+              dedup_video_vhash_pairs(spark, SF_DIR).collect()}
+    got_v = {(r.id_a, r.id_b, r.n_frame_matches) for r in
+             api.neardup_videos(
+                 vid, id_col="clip", payload_col="blob", meta_col="dims",
+                 sample_frames=2,
+             ).collect()}
+    assert got_v == want_v and got_v
