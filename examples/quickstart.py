@@ -11,6 +11,10 @@ Run: python examples/quickstart.py [sf_dir]   (default sf0.001, ~1 min)
    PNG decode in mapInPandas (round 5).
 6. Encrypted config boot — enc:<hex> secrets decrypted at load with a
    master key (round 5, ≙ the reference's KMS resolution).
+7. The generic library API — the same kernels on caller tables/columns.
+8. Kafka wire loop — produce + fetch back over real TCP, both dialects
+   (round 13).
+9. Perceptual media dedup — image dHash near-dup pairs (round 13).
 
 Every pipeline stop is also a registered fixture query verified against
 a DuckDB oracle (see INVENTORY.md); this script is the human-facing
@@ -125,6 +129,33 @@ def main() -> int:
         on="ts", by="user_id", value_cols=["purchase_value"],
         tiebreak="event_id",
     ).show(3)
+
+    print("=== 8. Kafka wire loop: produce -> fetch back over real TCP ===")
+    # Both dialects through the from-spec wire layer and the kafkawire
+    # Spark source (round 13) — with the connector jar this is
+    # format('kafka') on both ends.
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        WireBroker,
+        write_kafka_wire,
+    )
+    from hyperswitch_data_backfill_spark.sources.kafka_fetch import (
+        read_kafka_wire,
+    )
+
+    events = REGISTRY["kafka_payload_shape"].fn(spark, sf_dir).limit(200)
+    with WireBroker() as broker:
+        write_kafka_wire(events.repartition(2), "127.0.0.1", broker.port)
+        fetched = read_kafka_wire(
+            spark, "127.0.0.1", broker.port, "orders-events", version=4
+        )
+        fetched.selectExpr(
+            "cast(key as string) key", "partition", "offset"
+        ).show(3, truncate=40)
+
+    print("=== 9. Perceptual media dedup (image dHash near-dups) ===")
+    from hyperswitch_data_backfill_spark.operators.multimodal import doc_media
+
+    api.neardup_images(doc_media(spark, sf_dir)).show(5)
 
     spark.stop()
     return 0
