@@ -630,11 +630,62 @@ def _read_span(p: KafkaWirePartition):
 class KafkaWireReader(DataSourceReader):
     def __init__(self, options):
         self._opts = _FetchOptions(options)
+        self._partition_filter: set[int] | None = None
+        self._min_offset: int | None = None
+
+    def pushFilters(self, filters):
+        """Prune at the PLANNING level from predicates on the source's
+        own coordinates — the Python analogue of Kafka-connector offset
+        pruning:
+
+        - ``partition = n`` / ``partition IN (...)`` drops whole
+          InputPartitions (no socket is even dialed for them);
+        - ``offset >= / > lo`` lifts each surviving partition's fetch
+          START, so a resume-style read ("everything after offset X")
+          fetches only the tail instead of scanning from earliest.
+
+        Everything (used filters included) is returned as residual, the
+        oplog source's stance: Spark re-applies the predicates
+        row-level, so the prune is purely an optimization and can never
+        under-filter."""
+        from pyspark.sql.datasource import EqualTo, GreaterThan, GreaterThanOrEqual, In
+
+        for f in filters:
+            if isinstance(f, EqualTo) and tuple(f.attribute) == ("partition",):
+                vals = {int(f.value)}
+            elif isinstance(f, In) and tuple(f.attribute) == ("partition",):
+                vals = {int(v) for v in f.value}
+            elif (isinstance(f, GreaterThanOrEqual)
+                    and tuple(f.attribute) == ("offset",)):
+                lo = int(f.value)
+                self._min_offset = (
+                    lo if self._min_offset is None else max(self._min_offset, lo)
+                )
+                continue
+            elif isinstance(f, GreaterThan) and tuple(f.attribute) == ("offset",):
+                lo = int(f.value) + 1
+                self._min_offset = (
+                    lo if self._min_offset is None else max(self._min_offset, lo)
+                )
+                continue
+            else:
+                continue
+            self._partition_filter = (
+                vals if self._partition_filter is None
+                else self._partition_filter & vals
+            )
+        return iter(filters)
 
     def partitions(self):
         o = self._opts
-        return _plan_partitions(
+        plans = _plan_partitions(
             o.host, o.port, o.topic, version=o.version, max_bytes=o.max_bytes)
+        if self._partition_filter is not None:
+            plans = [p for p in plans if p.partition in self._partition_filter]
+        if self._min_offset is not None:
+            for p in plans:
+                p.start = max(p.start, min(self._min_offset, p.end))
+        return plans
 
     def read(self, partition: KafkaWirePartition):
         yield from _read_span(partition)
@@ -775,7 +826,11 @@ class KafkaWireDataSource(DataSource):
 
 
 def register_kafka_wire_source(spark: SparkSession) -> None:
-    """Idempotent registration of the kafkawire batch+stream source."""
+    """Idempotent registration of the kafkawire batch+stream source.
+    Python-source filter pushdown is a runtime conf, self-applied here
+    exactly like register_oplog_source: without it Spark 4.1 refuses to
+    initialize any reader that implements pushFilters."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(KafkaWireDataSource)
 
 

@@ -380,3 +380,44 @@ def test_stream_reader_group_resume_and_commit(spark):
         # group-less reader still starts from earliest
         r3 = kf.KafkaWireStreamReader({"port": str(b.port), "topic": "t"})
         assert r3.initialOffset() == {"0": 0}
+
+
+def test_kafkawire_filter_pushdown_prunes_partitions_and_offsets(spark):
+    """Planning-level pruning from pushed predicates: a partition
+    equality drops whole InputPartitions (their leaders are never
+    dialed), an offset lower bound lifts each fetch start — and because
+    every filter stays residual, results are exactly the plain filtered
+    read (prune = optimization, never semantics)."""
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        write_kafka_wire_routed,
+    )
+
+    df = spark.createDataFrame(
+        _rows("pay", 160), "key string, value string, topic string")
+    with WireCluster(n_brokers=2, topics={"pay": 4}) as cluster:
+        host, port = cluster.bootstrap
+        write_kafka_wire_routed(df.repartition(4), host, port, batch_size=32)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        src = kf.read_kafka_wire(spark, host, port, "pay", version=4)
+
+        only_p2 = src.filter("partition = 2")
+        rows = only_p2.collect()
+        assert rows and all(r.partition == 2 for r in rows)
+        # planner-level proof: a pruned reader plans exactly one split
+        reader = kf.KafkaWireReader(
+            {"port": str(port), "host": host, "topic": "pay", "version": "4"})
+        from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+        residual = list(reader.pushFilters(
+            [EqualTo(("partition",), 2), GreaterThanOrEqual(("offset",), 5)]))
+        assert len(residual) == 2  # everything stays residual
+        plans = reader.partitions()
+        assert [p.partition for p in plans] == [2]
+        assert plans[0].start == 5
+
+        # equivalence: pushed-down read == plain read filtered after
+        want = {(bytes(r.key), r.partition, r.offset)
+                for r in src.collect()
+                if r.partition == 2 and r.offset >= 5}
+        got = {(bytes(r.key), r.partition, r.offset)
+               for r in src.filter("partition = 2 AND offset >= 5").collect()}
+        assert got == want and got
