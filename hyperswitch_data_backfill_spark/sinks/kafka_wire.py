@@ -969,11 +969,18 @@ class WireBroker:
         self,
         *,
         fail_requests: int = 0,
+        fail_fetches: int = 0,
         node_id: int = 0,
         meta: _ClusterMeta | None = None,
         api_versions: dict[int, tuple[int, int]] | None = None,
     ):
         self._fail_budget = fail_requests
+        # same lifetime-budget discipline as fail_requests, for the
+        # consume side: the first N Fetch requests answer
+        # REQUEST_TIMED_OUT (retriable) and drop the connection, so
+        # tests can prove _read_span's reconnect-resume path is
+        # exactly-once within its span.
+        self._fail_fetch_budget = fail_fetches
         self._logs: dict[tuple[str, int], _TopicLog] = {}
         self._lock = threading.Lock()
         self.connections = 0
@@ -1077,6 +1084,22 @@ class WireBroker:
         from hyperswitch_data_backfill_spark.sources import kafka_fetch as _fetch
 
         req = _fetch.parse_fetch_request(frame)
+        with self._lock:
+            inject_failure = self._fail_fetch_budget > 0
+            if inject_failure:
+                self._fail_fetch_budget -= 1
+        if inject_failure:
+            data = {
+                topic: {
+                    partition: (_fetch._ERR_REQUEST_TIMED_OUT, -1, b"")
+                    for partition in parts
+                }
+                for topic, parts in req.parts.items()
+            }
+            conn.sendall(_fetch.encode_fetch_response(
+                req.correlation_id, data, version=req.api_version))
+            conn.close()               # rdkafka-style: error then drop
+            return
         with self.meta.lock:
             leaders = {t: dict(p) for t, p in self.meta.leaders.items()}
         data: dict[str, dict[int, tuple[int, int, bytes]]] = {}

@@ -411,7 +411,13 @@ def parse_list_offsets_response_v0(
 
 #: Kafka protocol error names for the codes this leg can surface.
 _ERR_NAMES = {1: "OFFSET_OUT_OF_RANGE", 3: "UNKNOWN_TOPIC_OR_PARTITION",
-              6: "NOT_LEADER_FOR_PARTITION"}
+              6: "NOT_LEADER_FOR_PARTITION", 7: "REQUEST_TIMED_OUT"}
+
+_ERR_REQUEST_TIMED_OUT = 7
+#: fetch errors a consumer should retry (possibly after re-resolving
+#: the leader); everything else — OFFSET_OUT_OF_RANGE above all — is a
+#: caller bug or a truncated log and must surface, not loop.
+_RETRIABLE_FETCH_ERRORS = frozenset({6, 7})
 
 
 class FetchError(RuntimeError):
@@ -604,19 +610,55 @@ def _plan_partitions(
         boot.close()
 
 
-def _read_span(p: KafkaWirePartition):
+def _read_span(p: KafkaWirePartition, max_retries: int = 2):
     """Executor-side: fetch-loop one partition's planned [start, end)
-    span from its leader, yielding connector-schema tuples."""
+    span from its leader, yielding connector-schema tuples.
+
+    Fault tolerance (round 13): a dropped connection or a retriable
+    fetch error (REQUEST_TIMED_OUT, NOT_LEADER) reconnects and resumes
+    from the current cursor — up to ``max_retries`` reconnects per
+    span. This is EXACTLY-once within the span, not just at-least-once:
+    records are only yielded after a fetch parses whole, and the cursor
+    only advances past yielded records, so a resume re-fetches nothing
+    it already emitted. NOT_LEADER additionally re-resolves the leader
+    via Metadata (any node answers for the whole cluster) before
+    re-dialing — a mid-span reassignment follows the partition to its
+    new home instead of failing the Spark task."""
     if p.start >= p.end:
         return
-    sock = _connect(p.host, p.port, version=p.version, timeout=30.0)
+    host, port = p.host, p.port
+    retries = 0
+    sock = _connect(host, port, version=p.version, timeout=30.0)
     try:
         offset = p.start
         while offset < p.end:
-            result = fetch_partition(
-                sock, p.topic, p.partition, offset,
-                version=p.version, max_bytes=p.max_bytes,
-            )
+            try:
+                result = fetch_partition(
+                    sock, p.topic, p.partition, offset,
+                    version=p.version, max_bytes=p.max_bytes,
+                )
+            except (ConnectionError, OSError, FetchError) as exc:
+                if (isinstance(exc, FetchError)
+                        and exc.error_code not in _RETRIABLE_FETCH_ERRORS):
+                    raise
+                if retries >= max_retries:
+                    raise
+                retries += 1
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+                if (isinstance(exc, FetchError)
+                        and exc.error_code == _ERR_NOT_LEADER):
+                    meta_sock = _connect(
+                        p.host, p.port, version=p.version, timeout=30.0)
+                    try:
+                        brokers, leaders = _topic_metadata(meta_sock, p.topic)
+                        host, port = brokers[leaders[p.partition]]
+                    finally:
+                        meta_sock.close()
+                sock = _connect(host, port, version=p.version, timeout=30.0)
+                continue
             if not result.records:
                 raise FetchError(p.topic, p.partition, -1)  # no progress
             for off, key, value in result.records:
@@ -707,6 +749,14 @@ class _FetchOptions:
         # committed offsets and commits each finished batch back —
         # kafka-native durable progress alongside Spark's checkpoint
         self.group_id = options.get("groupid")
+        # streaming admission control — the connector's
+        # maxOffsetsPerTrigger: cap the TOTAL records a micro-batch may
+        # take across partitions (0 = unbounded). Without it, a stream
+        # resuming after downtime swallows its whole backlog in one
+        # giant batch — the classic recovery OOM at 100 TB/day rates.
+        self.max_records_per_batch = int(options.get("maxrecordsperbatch", 0))
+        if self.max_records_per_batch < 0:
+            raise ValueError("maxRecordsPerBatch must be >= 0")
 
 
 class KafkaWireStreamReader(SimpleDataSourceStreamReader):
@@ -727,22 +777,43 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
     back (OffsetCommit v0) — kafka-native durable progress that
     survives a wiped Spark checkpoint, exactly what the connector's
     group id provides.
+
+    Leader routing: ListOffsets and Fetch both go to each partition's
+    CURRENT leader (metadata re-resolved per call — stale leadership
+    raises NOT_LEADER on the next wire call and Spark's batch retry
+    re-plans), matching the batch reader's ``_plan_partitions``
+    topology. Only group-cursor calls (OffsetCommit/OffsetFetch) use
+    the bootstrap node — the double's group store is cluster-shared,
+    like the real __consumer_offsets coordinator.
     """
 
     def __init__(self, options):
         self._opts = _FetchOptions(options)
 
-    def _offsets(self, timestamp: int) -> dict[str, int]:
+    def _leaders(self) -> dict[int, tuple[str, int]]:
+        """partition -> current leader (host, port), via the bootstrap."""
         o = self._opts
         boot = _connect(o.host, o.port, version=o.version, timeout=30.0)
         try:
-            _brokers, leaders = _topic_metadata(boot, o.topic)
-            return {
-                str(p): list_offset(boot, o.topic, p, timestamp=timestamp)
-                for p in sorted(leaders)
-            }
+            brokers, leaders = _topic_metadata(boot, o.topic)
+            return {p: brokers[leaders[p]] for p in leaders}
         finally:
             boot.close()
+
+    def _offsets(self, timestamp: int) -> dict[str, int]:
+        o = self._opts
+        by_addr: dict[tuple[str, int], list[int]] = {}
+        for p, addr in self._leaders().items():
+            by_addr.setdefault(addr, []).append(p)
+        out: dict[str, int] = {}
+        for (host, port), parts in sorted(by_addr.items()):
+            sock = _connect(host, port, version=o.version, timeout=30.0)
+            try:
+                for p in sorted(parts):
+                    out[str(p)] = list_offset(sock, o.topic, p, timestamp=timestamp)
+            finally:
+                sock.close()
+        return out
 
     def initialOffset(self) -> dict:
         start = self._offsets(EARLIEST_TIMESTAMP)
@@ -764,24 +835,55 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
 
     def _rows_between(self, start: dict, end: dict):
         o = self._opts
+        leaders = self._leaders()
         rows = []
         for pstr, hi in sorted(end.items()):
             lo = int(start.get(pstr, 0))
             hi = int(hi)
             if lo >= hi:
                 continue
+            try:
+                host, port = leaders[int(pstr)]
+            except KeyError:
+                # a checkpointed partition the broker no longer reports
+                raise FetchError(o.topic, int(pstr), 3)  # UNKNOWN_TOPIC
             p = KafkaWirePartition(
-                o.topic, int(pstr), o.host, o.port, lo, hi, o.version,
+                o.topic, int(pstr), host, port, lo, hi, o.version,
                 o.max_bytes,
             )
             rows.extend(_read_span(p))
         return rows
+
+    def _admit(self, start: dict, end: dict) -> dict:
+        """Apply maxRecordsPerBatch: cap the batch's total take across
+        partitions, allocating the budget proportionally to each
+        partition's backlog (largest backlogs absorb the rounding
+        remainder) — the connector's maxOffsetsPerTrigger policy, so a
+        post-downtime backlog drains in bounded micro-batches instead
+        of one giant one."""
+        cap = self._opts.max_records_per_batch
+        backlog = {
+            p: max(0, int(end[p]) - int(start.get(p, 0))) for p in end
+        }
+        total = sum(backlog.values())
+        if not cap or total <= cap:
+            return end
+        alloc = {p: b * cap // total for p, b in backlog.items()}
+        rem = cap - sum(alloc.values())
+        for p in sorted(backlog, key=lambda x: (-backlog[x], x)):
+            if rem <= 0:
+                break
+            if alloc[p] < backlog[p]:
+                alloc[p] += 1
+                rem -= 1
+        return {p: int(start.get(p, 0)) + alloc[p] for p in end}
 
     def read(self, start: dict):
         end = self._offsets(LATEST_TIMESTAMP)
         # carry forward partitions the watermark snapshot didn't see
         for pstr, off in start.items():
             end.setdefault(pstr, off)
+        end = self._admit(start, end)
         if end == start:
             return iter(()), start
         # materialized list: Spark's prefetch cache copy.copy()s the
@@ -1134,3 +1236,128 @@ def fetch_committed(
                 raise FetchError(topic, partition, error_code)
             out.setdefault(topic, {})[partition] = offset
     return out
+
+
+# -------------------------------------- streaming-over-the-wire fixture
+#
+# stream_tumbling_replay (operators/windows.py) proved the watermarked
+# streaming agg engine against the oracle, but its source was the file
+# stand-in. This key runs the SAME watermark/window semantics with the
+# kafkawire streaming source underneath — Structured Streaming micro-
+# batches whose rows arrive over real TCP from the broker double — so
+# the full readStream → decode → withWatermark → window → append-sink
+# pipeline a Kafka-backed deployment runs is driver-hash-verified
+# end-to-end (consume twin of main.rs:146-153 compiled to a stream).
+
+@register(
+    "stream_kafka_wire_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_id % 41 = 5
+      AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) FROM events WHERE event_id % 41 = 5)
+             - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+    doc="§2.10 streaming + S4 consume leg composed, driver-hashed: a "
+        "deterministic events carve (event_id % 41 = 5) is produced "
+        "over real TCP into a 2-node / 4-partition wire cluster "
+        "(murmur2 leader routing), then a LIVE StreamingQuery reads it "
+        "back through the kafkawire stream source (per-partition long "
+        "offsets), JSON-decodes, and runs the watermarked tumbling agg "
+        "(withWatermark 2h + window 1h, APPEND mode) into a memory "
+        "sink. Append mode emits exactly the FINALIZED windows (window "
+        "end <= max event time - 2h) — the oracle encodes the "
+        "watermark-finalization cut itself, as stream_tumbling_replay "
+        "does for the file source. Timestamps ride the wire as "
+        "microsecond strings and money as decimal(18,4) text, so the "
+        "JSON hop is engine-exact.",
+)
+def stream_kafka_wire_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream-from-the-wire: the streaming layer's Kafka-shaped
+    source exercised under the oracle gate, not just pytest.
+
+    At-least-once stance: the batch roundtrip keys dedup per-read sets,
+    but a streaming count cannot — here a produce-task retry would
+    surface as a row-count/hash mismatch (detection, not masking).
+    Over the in-process loopback cluster a produce retry only follows a
+    real fault, which is itself a failure worth flagging. Scale: state
+    is O(active windows) via the watermark; the memory sink holds the
+    finalized aggregate (tiny), never the stream.
+
+    Trigger note: availableNow over a Python SimpleDataSourceStreamReader
+    drains in one batch and terminates WITHOUT the no-data flush batch
+    append mode needs (measured; the file source flushes because its
+    multi-file replay keeps triggering). So this runs the query
+    continuously (processingTime trigger — the production shape) and
+    stops once a committed batch reports the final watermark
+    (max event time − 2h, computed from the carve), i.e. once every
+    finalizable window has been emitted."""
+    import time
+    import uuid
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.catalog import load_table
+    from hyperswitch_data_backfill_spark.sinks.kafka import event_frame
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        WireCluster,
+        write_kafka_wire_routed,
+    )
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        decode_event_stream,
+        read_kafka_wire_stream,
+        tumbling_event_counts,
+    )
+
+    carve = load_table(spark, sf_dir, "events").where("event_id % 41 = 5")
+    payload = [
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("event_type"),
+        F.col("value").cast("decimal(18,4)").cast("string").alias("value"),
+    ]
+    frame = event_frame(carve, ["event_id"], "events-stream", payload_cols=payload)
+    max_ts = carve.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    # engine watermark stats are ms-precision: floor before subtracting
+    target_wm = max_ts.replace(microsecond=max_ts.microsecond // 1000 * 1000) - timedelta(hours=2)
+    name = f"wire_tumbling_{uuid.uuid4().hex[:8]}"
+    with WireCluster(n_brokers=2, topics={"events-stream": 4}) as cluster:
+        host, port = cluster.bootstrap
+        write_kafka_wire_routed(frame.repartition(4), host, port, batch_size=512)
+        records = read_kafka_wire_stream(spark, host, port, "events-stream")
+        events = decode_event_stream(
+            records, "ts string, event_type string, value decimal(18,4)"
+        )
+        q = (
+            tumbling_event_counts(events)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 300
+            while True:
+                lp = q.lastProgress
+                wm = (lp or {}).get("eventTime", {}).get("watermark")
+                if wm is not None:
+                    committed = datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ")
+                    if committed >= target_wm:
+                        break
+                if q.exception() is not None:
+                    raise q.exception()
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        "stream_kafka_wire_tumbling: watermark never reached "
+                        f"{target_wm} (last progress: {wm})"
+                    )
+                time.sleep(0.25)
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+    return spark.table(name)

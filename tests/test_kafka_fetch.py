@@ -421,3 +421,150 @@ def test_kafkawire_filter_pushdown_prunes_partitions_and_offsets(spark):
         got = {(bytes(r.key), r.partition, r.offset)
                for r in src.filter("partition = 2 AND offset >= 5").collect()}
         assert got == want and got
+
+
+# ------------------------------------- multi-node streaming leader routing
+
+def test_stream_reader_routes_to_leaders_in_cluster(spark):
+    """Regression (round 13): the stream reader used to send ListOffsets
+    and Fetch for EVERY partition to the bootstrap node — against a
+    multi-node cluster the non-led partitions refused with NOT_LEADER.
+    Both _offsets and _rows_between must resolve each partition's
+    current leader from metadata, like the batch planner."""
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        produce_rows_routed,
+    )
+
+    with WireCluster(n_brokers=2, topics={"pay": 4}) as cluster:
+        host, port = cluster.bootstrap
+        produce_rows_routed(iter(_rows("pay", 60)), host, port, batch_size=16)
+        reader = kf.KafkaWireStreamReader(
+            {"host": host, "port": str(port), "topic": "pay"})
+        start = reader.initialOffset()
+        assert set(start) == {"0", "1", "2", "3"}
+        rows, end = reader.read(start)
+        rows = list(rows)
+        assert len(rows) == 60
+        assert {r[3] for r in rows} == {0, 1, 2, 3}
+        assert sum(int(end[p]) for p in end) == 60
+        # exact replay crosses brokers too
+        again = list(reader.readBetweenOffsets(start, end))
+        assert sorted(again) == sorted(rows)
+
+
+def test_stream_kafka_wire_tumbling_fixture_matches_oracle(spark, duck):
+    """The streaming-over-the-wire driver key end-to-end at the pytest
+    sf: produce → readStream(kafkawire) → watermarked tumbling agg →
+    append sink, hash-compared to the watermark-finalization oracle."""
+    from hyperswitch_data_backfill_spark.registry import (
+        REGISTRY,
+        _load_all_operator_modules,
+    )
+
+    _load_all_operator_modules()
+    q = REGISTRY["stream_kafka_wire_tumbling"]
+    df = q.fn(spark, SF_DIR)
+    assert df.count() > 0
+    assert_oracle_match(df, duck, q.oracle, name="stream_kafka_wire_tumbling")
+
+
+# --------------------------------------------- fetch-side fault injection
+
+def test_read_span_survives_fetch_faults_exactly_once():
+    """fail_fetches=2: the broker answers the first two Fetch requests
+    REQUEST_TIMED_OUT and drops the connection; _read_span reconnects,
+    resumes from its cursor, and still yields the planned span exactly
+    once — no loss, no duplicates."""
+    with WireBroker(fail_fetches=2) as b:
+        produce_rows(iter(_rows("t", 25)), "127.0.0.1", b.port)
+        p = kf.KafkaWirePartition("t", 0, "127.0.0.1", b.port, 0, 25, 0, 1 << 20)
+        got = list(kf._read_span(p))
+        assert [r[4] for r in got] == list(range(25))
+        assert [r[0] for r in got] == [f"k{i}".encode() for i in range(25)]
+
+
+def test_read_span_fault_budget_exhausted_raises():
+    """More injected faults than reconnect budget: the span read raises
+    (and the Spark task retry takes over) instead of spinning."""
+    with WireBroker(fail_fetches=10) as b:
+        produce_rows(iter(_rows("t", 5)), "127.0.0.1", b.port)
+        p = kf.KafkaWirePartition("t", 0, "127.0.0.1", b.port, 0, 5, 0, 1 << 20)
+        with pytest.raises((kf.FetchError, ConnectionError, OSError)):
+            list(kf._read_span(p, max_retries=2))
+
+
+def test_read_span_offset_out_of_range_not_retried():
+    """A non-retriable fetch error surfaces immediately — retrying an
+    OFFSET_OUT_OF_RANGE can never succeed and must not burn the
+    reconnect budget."""
+    with WireBroker() as b:
+        produce_rows(iter(_rows("t", 3)), "127.0.0.1", b.port)
+        p = kf.KafkaWirePartition("t", 0, "127.0.0.1", b.port, 7, 9, 0, 1 << 20)
+        with pytest.raises(kf.FetchError, match="OFFSET_OUT_OF_RANGE"):
+            list(kf._read_span(p))
+
+
+def test_read_span_follows_not_leader_to_true_leader():
+    """A span planned against a stale/wrong leader address recovers:
+    NOT_LEADER → Metadata refresh (any node answers for the cluster) →
+    re-dial the true leader → full span."""
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        produce_rows_routed,
+    )
+
+    with WireCluster(n_brokers=2, topics={"pay": 2}) as cluster:
+        host, port = cluster.bootstrap
+        produce_rows_routed(iter(_rows("pay", 40)), host, port, batch_size=8)
+        # how many landed in partition 0, and who leads it
+        true_leader = cluster.meta.leaders["pay"][0]
+        wrong = next(b for b in cluster.brokers if b.node_id != true_leader)
+        n0 = len(cluster.brokers[true_leader]._logs[("pay", 0)].messages)
+        assert n0 > 0
+        p = kf.KafkaWirePartition(
+            "pay", 0, "127.0.0.1", wrong.port, 0, n0, 0, 1 << 20)
+        got = list(kf._read_span(p))
+        assert [r[4] for r in got] == list(range(n0))
+
+
+# ------------------------------------------------- streaming admission
+
+def test_stream_reader_max_records_per_batch_chunks_backlog():
+    """maxRecordsPerBatch bounds each micro-batch's total take and the
+    cursor chain drains the backlog without loss or duplication — the
+    maxOffsetsPerTrigger recovery behavior."""
+    with WireBroker() as b:
+        produce_rows(iter(_rows("t", 35)), "127.0.0.1", b.port)
+        reader = kf.KafkaWireStreamReader(
+            {"port": str(b.port), "topic": "t", "maxrecordsperbatch": "10"})
+        cursor = reader.initialOffset()
+        seen = []
+        batches = 0
+        while True:
+            rows, nxt = reader.read(cursor)
+            rows = list(rows)
+            if not rows and nxt == cursor:
+                break
+            batches += 1
+            assert len(rows) <= 10
+            seen.extend(rows)
+            cursor = nxt
+        assert batches == 4                      # 10+10+10+5
+        assert [r[4] for r in seen] == list(range(35))
+
+
+def test_stream_reader_admission_proportional_across_partitions():
+    """The per-batch budget splits proportionally to partition backlog
+    (largest backlogs soak up the rounding remainder)."""
+    reader = kf.KafkaWireStreamReader(
+        {"port": "1", "topic": "t", "maxrecordsperbatch": "10"})
+    start = {"0": 0, "1": 0, "2": 0}
+    end = {"0": 30, "1": 10, "2": 0}
+    capped = reader._admit(start, end)
+    assert sum(capped[p] - start[p] for p in capped) == 10
+    assert capped["0"] > capped["1"] >= capped["2"] == 0
+    # unbounded when cap=0 or backlog fits
+    r2 = kf.KafkaWireStreamReader({"port": "1", "topic": "t"})
+    assert r2._admit(start, end) == end
+    with pytest.raises(ValueError, match="maxRecordsPerBatch"):
+        kf.KafkaWireStreamReader(
+            {"port": "1", "topic": "t", "maxrecordsperbatch": "-1"})
