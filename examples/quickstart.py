@@ -152,6 +152,29 @@ def main() -> int:
             "cast(key as string) key", "partition", "offset"
         ).show(3, truncate=40)
 
+        # ... and the same topic as a LIVE stream: per-partition long
+        # offsets, broker-durable groupId cursor, and maxRecordsPerBatch
+        # admission so a resumed backlog drains in bounded micro-batches.
+        import time
+
+        from hyperswitch_data_backfill_spark.streaming.pipeline import (
+            read_kafka_wire_stream,
+        )
+
+        stream = read_kafka_wire_stream(
+            spark, "127.0.0.1", broker.port, "orders-events",
+            group_id="quickstart", max_records_per_batch=64,
+        )
+        sq = (stream.selectExpr("cast(key as string) key", "offset")
+              .writeStream.format("memory").queryName("qs_stream")
+              .trigger(processingTime="250 milliseconds").start())
+        deadline = time.time() + 60
+        while spark.table("qs_stream").count() < 200 and time.time() < deadline:
+            time.sleep(0.25)
+        sq.stop()
+        print(f"streamed {spark.table('qs_stream').count()} records "
+              f"in micro-batches of <=64")
+
     print("=== 9. Perceptual media dedup (image dHash near-dups) ===")
     from hyperswitch_data_backfill_spark.operators.multimodal import doc_media
 

@@ -357,3 +357,132 @@ def apply_latest_changes(base: DataFrame, latest: DataFrame) -> DataFrame:
             F.col("op").alias("last_op"),
         )
     )
+
+
+@register(
+    "stream_cdc_kafka_maintained",
+    oracle="""
+    WITH ch AS (
+        SELECT o_custkey AS k,
+               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS new_bal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+        WHERE o_orderkey % 59 = 3
+    ), latest AS (
+        SELECT k, op, new_bal FROM ch WHERE rn = 1
+    )
+    SELECT COALESCE(b.c_custkey, l.k) AS c_custkey,
+           b.c_name,
+           CASE WHEN l.op = 'U' THEN l.new_bal
+                ELSE CAST(ROUND(b.c_acctbal * 100) AS BIGINT)
+           END AS acctbal_cents,
+           b.c_mktsegment,
+           l.op AS last_op
+    FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.k
+    WHERE COALESCE(l.op, '') <> 'D'
+    """,
+    doc="The reference's downstream, end-to-end over real TCP: the "
+        "orders changelog carve (o_orderkey % 59 = 3) is PRODUCED to "
+        "the wire broker as JSON (the payment-event topics of "
+        "main.rs:146-153), then a LIVE StreamingQuery consumes it back "
+        "through the kafkawire stream source — maxRecordsPerBatch "
+        "admission slices the backlog into multiple real micro-batches "
+        "— and foreachBatch(cdc_snapshot_maintainer) maintains the "
+        "versioned snapshot state, exactly what the reference's "
+        "ClickHouse consumer does with these topics [dep]. Because the "
+        "collapse aggregate is idempotent/commutative/associative, the "
+        "wire-sliced live replay must equal the one-shot "
+        "cdc_apply_changes — the same oracle applies, restricted to "
+        "the carve. Composes four driver-proven layers (wire produce, "
+        "stream source, admission, CDC maintainer) into one "
+        "hash-checked result.",
+)
+def stream_cdc_kafka_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped CDC ingestion: produce changelog → live capped
+    stream → foreachBatch state maintenance → snapshot apply.
+
+    Scale: the wire carve bounds loopback volume (the 100 TB path is
+    the connector jar + a real broker); the maintainer state is O(live
+    keys) per micro-batch with map-side collapse; at-least-once replay
+    is safe because both the collapse (idempotent max) and the state
+    writer (own-version overwrite) are replay-invariant — so this key,
+    unlike the count-shaped roundtrips, needs no dedup stance at all."""
+    import tempfile
+    import time
+    import uuid
+
+    from hyperswitch_data_backfill_spark.sinks.kafka import event_frame
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        WireBroker,
+        write_kafka_wire,
+    )
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        cdc_snapshot_maintainer,
+        read_kafka_wire_stream,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").where("o_orderkey % 59 = 3")
+    base = load_table(spark, sf_dir, "customer")
+    changes = orders_changelog(orders)
+    total = changes.count()
+    payload = [
+        F.date_format("ch.o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        F.col("ch.o_orderkey").alias("o_orderkey"),
+        F.col("ch.op").alias("op"),
+        F.col("ch.new_bal").alias("new_bal"),
+    ]
+    frame = event_frame(changes, ["k"], "orders-cdc", payload_cols=payload)
+    state_dir = tempfile.mkdtemp(prefix=f"hsdb_cdc_wire_{uuid.uuid4().hex[:6]}_")
+    writer = cdc_snapshot_maintainer(state_dir)
+    with WireBroker() as broker:
+        write_kafka_wire(frame.repartition(4), "127.0.0.1", broker.port,
+                         batch_size=512)
+        records = read_kafka_wire_stream(
+            spark, "127.0.0.1", broker.port, "orders-cdc",
+            max_records_per_batch=total // 4 + 1,   # >= 4 real micro-batches
+        )
+        # rebuild the (k, ch) contract; the string-formatted timestamp
+        # sorts chronologically, so the struct's lexicographic order is
+        # unchanged across the JSON hop
+        decoded = records.select(
+            F.col("key").cast("string").cast("bigint").alias("k"),
+            F.from_json(
+                F.col("value").cast("string"),
+                "o_orderdate string, o_orderkey bigint, op string, "
+                "new_bal bigint, tenant_id string",
+            ).alias("p"),
+        ).select(
+            "k",
+            F.struct(
+                "p.o_orderdate", "p.o_orderkey", "p.op", "p.new_bal"
+            ).alias("ch"),
+        )
+        q = (
+            decoded.writeStream.foreachBatch(writer)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 300
+            seen: dict[int, int] = {}
+            while sum(seen.values()) < total:
+                for p in q.recentProgress:
+                    seen[p["batchId"]] = p["numInputRows"]
+                if q.exception() is not None:
+                    raise q.exception()
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"stream_cdc_kafka_maintained: drained "
+                        f"{sum(seen.values())}/{total} rows in 300s"
+                    )
+                time.sleep(0.25)
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+    state = writer.current_state(spark)
+    assert state is not None, "no committed state version"
+    return apply_latest_changes(base, state)

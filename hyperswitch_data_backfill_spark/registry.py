@@ -113,10 +113,11 @@ _WINDOW_EVIDENCE_ROUND: int = max(_shipped_evidence_rounds(), default=0)
 
 # ROUND-13 WINDOW = rotation output at evidence pin r12 with the six
 # changed-implementation prepends (wire-parse hardening, apply_changes
-# changelog validation, the raised sim_topk floor), then the eight NEW
+# changelog validation, the raised sim_topk floor), then the nine NEW
 # round-13 keys (image dHash / audio energy-hash / video frame-dHash
-# fingerprints+pairs, the Fetch-leg roundtrip, and the streaming-over-
-# the-wire tumbling agg — never swept, so they rank first), then the
+# fingerprints+pairs, the Fetch-leg roundtrip, the CDC-over-the-wire
+# maintained snapshot, and the streaming-over-the-wire tumbling agg —
+# never swept, so they rank first), then the
 # r9-vintage cohort oldest-first and the r10 fill.
 _DRIVER_WINDOW: list[str] = [
     "kafka_wire_roundtrip",  # green r10
@@ -132,6 +133,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_video_vhash",  # no evidence
     "dedup_video_vhash_pairs",  # no evidence
     "kafka_wire_fetch_roundtrip",  # no evidence
+    "stream_cdc_kafka_maintained",  # no evidence
     "stream_kafka_wire_tumbling",  # no evidence
     "dedup_minhash",  # rows_only r9
     "emb_pq_quantize",  # rows_only r9
@@ -168,7 +170,6 @@ _DRIVER_WINDOW: list[str] = [
     "array_ops",  # green r10
     "compact_latest",  # green r10
     "date_trunc_bucket",  # green r10
-    "decontam_ngram",  # green r10
 ]
 
 

@@ -568,3 +568,123 @@ def test_stream_reader_admission_proportional_across_partitions():
     with pytest.raises(ValueError, match="maxRecordsPerBatch"):
         kf.KafkaWireStreamReader(
             {"port": "1", "topic": "t", "maxrecordsperbatch": "-1"})
+
+
+def test_stream_chunked_with_group_commit(spark):
+    """The full admission + durable-cursor shape end-to-end: a capped
+    LIVE stream drains a 60-record backlog in multiple micro-batches,
+    committing each one broker-side; after the query stops, the
+    group's committed cursor equals the high watermark, so a FRESH
+    reader (wiped checkpoint) starts at the end instead of re-reading."""
+    import time
+
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        read_kafka_wire_stream,
+    )
+
+    with WireBroker() as b:
+        produce_rows(iter(_rows("ev", 60)), "127.0.0.1", b.port, batch_size=16)
+        stream = read_kafka_wire_stream(
+            spark, "127.0.0.1", b.port, "ev",
+            group_id="cg-chunk", max_records_per_batch=25,
+        )
+        q = (stream.writeStream.format("memory").queryName("wire_chunked")
+             .trigger(processingTime="250 milliseconds").start())
+        try:
+            deadline = time.time() + 120
+            while spark.table("wire_chunked").count() < 60:
+                assert q.exception() is None, q.exception()
+                assert time.time() < deadline, "backlog did not drain"
+                time.sleep(0.25)
+            # a second wave: the later triggers it causes also flush the
+            # earlier batches' source commits (commit() lags a trigger —
+            # the group cursor is at-least-once, like a real consumer)
+            produce_rows(iter(_rows("ev", 15, prefix="x")),
+                         "127.0.0.1", b.port, batch_size=16)
+            while spark.table("wire_chunked").count() < 75:
+                assert q.exception() is None, q.exception()
+                assert time.time() < deadline, "second wave did not drain"
+                time.sleep(0.25)
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+        assert spark.table("wire_chunked").count() == 75
+        # admission respected: no micro-batch exceeded the cap
+        assert all(p["numInputRows"] <= 25 for p in q.recentProgress)
+        # and the first backlog alone needed >= 3 batches at cap 25
+        assert sum(1 for p in q.recentProgress if p["numInputRows"]) >= 3
+        # durable cursor: everything up to the second wave is committed
+        # broker-side (the wave's own tail may lag — at-least-once), so
+        # a FRESH reader (wiped checkpoint) resumes past the first
+        # backlog instead of re-reading from 0.
+        r2 = kf.KafkaWireStreamReader(
+            {"port": str(b.port), "topic": "ev", "groupid": "cg-chunk"})
+        resumed = int(r2.initialOffset()["0"])
+        assert 60 <= resumed <= 75
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill-and-resume: a capped stream writes a parquet sink with a
+    real checkpoint, is stopped mid-backlog, and a SECOND query resumes
+    from the same checkpoint. The sink must end with every record
+    exactly once — Spark replays the in-flight batch through
+    readBetweenOffsets (exact [start,end) re-fetch) and the file sink's
+    transaction log dedups the overlap. This is the recovery contract
+    a 100 TB deployment leans on."""
+    import time
+
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        read_kafka_wire_stream,
+    )
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        stream = read_kafka_wire_stream(
+            spark, "127.0.0.1", b.port, "ev", max_records_per_batch=20)
+        return (stream.selectExpr("CAST(key AS STRING) AS key", "offset")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="250 milliseconds")
+                .start())
+
+    def sink_count():
+        try:
+            return spark.read.parquet(sink).count()
+        except Exception:
+            return 0
+
+    with WireBroker() as b:
+        produce_rows(iter(_rows("ev", 60)), "127.0.0.1", b.port, batch_size=16)
+        q1 = start_query()
+        try:
+            deadline = time.time() + 120
+            # let it make partial progress (>= 1 batch, < full backlog)
+            while not any(p["numInputRows"] for p in q1.recentProgress):
+                assert q1.exception() is None, q1.exception()
+                assert time.time() < deadline
+                time.sleep(0.1)
+        finally:
+            q1.stop()           # crash stand-in: stop without draining
+        q1.awaitTermination(60)
+        partial = sink_count()
+        assert partial < 60, "stopped query should not have drained all 60"
+
+        q2 = start_query()
+        try:
+            deadline = time.time() + 120
+            while sink_count() < 60:
+                assert q2.exception() is None, q2.exception()
+                assert time.time() < deadline, "resume did not drain backlog"
+                time.sleep(0.25)
+        finally:
+            q2.stop()
+        q2.awaitTermination(60)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 60                       # no loss, no dup
+    assert out.select("key").distinct().count() == 60
+    offs = sorted(r.offset for r in out.collect())
+    assert offs == list(range(60))

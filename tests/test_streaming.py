@@ -1139,3 +1139,21 @@ def test_crash_between_sink_write_and_checkpoint_commit_replays_exactly_once(
     assert got.select("event_id").distinct().count() == 300
     # every batch directory holds exactly the rows of its final write
     assert got.select("batch_id").distinct().count() == len(set(seen_batches))
+
+
+def test_stream_cdc_kafka_maintained_fixture_matches_oracle(spark, duck):
+    """The CDC-over-the-wire composition at the pytest sf: changelog
+    produced to the broker double, consumed back by a LIVE capped
+    stream, state maintained via foreachBatch, snapshot hash-equal to
+    the one-shot cdc_apply_changes oracle restricted to the carve."""
+    from hyperswitch_data_backfill_spark.registry import (
+        REGISTRY,
+        _load_all_operator_modules,
+    )
+    from tests.conftest import SF_DIR, assert_oracle_match
+
+    _load_all_operator_modules()
+    q = REGISTRY["stream_cdc_kafka_maintained"]
+    df = q.fn(spark, SF_DIR)
+    assert df.count() > 0
+    assert_oracle_match(df, duck, q.oracle, name="stream_cdc_kafka_maintained")
