@@ -688,3 +688,35 @@ def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert out.select("key").distinct().count() == 60
     offs = sorted(r.offset for r in out.collect())
     assert offs == list(range(60))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    backlog=st.dictionaries(
+        st.integers(min_value=0, max_value=7).map(str),
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1, max_size=8,
+    ),
+    starts=st.integers(min_value=0, max_value=1 << 40),
+    cap=st.integers(min_value=0, max_value=5_000),
+)
+def test_admission_allocation_properties(backlog, starts, cap):
+    """_admit invariants for any backlog shape: (1) total take =
+    min(cap, backlog) when capped, full backlog otherwise; (2) no
+    partition is taken past its own backlog; (3) cursors never move
+    backwards; (4) idempotent on its own output."""
+    start = {p: starts + i for i, p in enumerate(sorted(backlog))}
+    end = {p: start[p] + b for p, b in backlog.items()}
+    opts = {"port": "1", "topic": "t"}
+    if cap:
+        opts["maxrecordsperbatch"] = str(cap)
+    reader = kf.KafkaWireStreamReader(opts)
+    admitted = reader._admit(start, end)
+    takes = {p: admitted[p] - start[p] for p in end}
+    total = sum(backlog.values())
+    want = min(cap, total) if cap else total
+    assert sum(takes.values()) == want
+    assert all(0 <= takes[p] <= backlog[p] for p in end)
+    # re-admitting from the admitted cursor takes the next slice
+    admitted2 = reader._admit(admitted, end)
+    assert all(admitted[p] <= admitted2[p] <= end[p] for p in end)

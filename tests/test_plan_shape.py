@@ -491,3 +491,66 @@ def test_apply_changes_collapse_is_partial_agg_not_window(spark):
     )
     assert "partial_max" in p, p
     assert "Window" not in p, p
+
+
+def test_wire_stream_tumbling_plan_shape(spark):
+    """The streaming micro-batch plan's load-bearing properties
+    (PLANS.md round-13 audit): exactly ONE exchange keyed for the
+    stateful operator, a map-side partial aggregate BELOW it (shuffle
+    volume is O(active windows), not O(rows)), watermark-bounded state
+    (StateStoreRestore/Save), and the JSON decode in codegen — no
+    Python except the source scan itself."""
+    import time
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        WireBroker,
+        produce_rows,
+    )
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        decode_event_stream,
+        read_kafka_wire_stream,
+        tumbling_event_counts,
+    )
+
+    rows = [
+        {"key": str(i),
+         "value": ('{"ts":"2024-01-01 0%d:00:01.000000",'
+                   '"event_type":"a","value":"1.0000"}' % (i % 8)),
+         "topic": "plan_ev"}
+        for i in range(40)
+    ]
+    with WireBroker() as b:
+        produce_rows(iter(rows), "127.0.0.1", b.port)
+        stream = read_kafka_wire_stream(spark, "127.0.0.1", b.port, "plan_ev")
+        events = decode_event_stream(
+            stream, "ts string, event_type string, value decimal(18,4)")
+        q = (
+            tumbling_event_counts(events)
+            .writeStream.format("memory").queryName("plan_shape_probe")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while not q.recentProgress:
+                assert q.exception() is None, q.exception()
+                assert time.time() < deadline, "no batch completed"
+                time.sleep(0.25)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                q.explain()
+            text = buf.getvalue()
+        finally:
+            q.stop()
+        q.awaitTermination(30)
+
+    assert text.count("Exchange hashpartitioning") == 1
+    assert "REQUIRED_BY_STATEFUL_OPERATOR" in text
+    assert "StateStoreSave" in text and "StateStoreRestore" in text
+    assert "EventTimeWatermark" in text
+    # partial aggregation happens BELOW the exchange (map-side combine)
+    exch = text.index("Exchange hashpartitioning")
+    assert "partial_count" in text[exch:], "partial agg must feed the shuffle"
+    # no Python evaluation nodes beyond the source scan
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text

@@ -556,6 +556,77 @@ def perceptual_mode() -> None:
     spark.stop()
 
 
+def wire_mode() -> None:
+    """Sixth rehearsal axis (r13 continuation): raw wire-stack
+    throughput as record volume grows — no Spark, just the from-spec
+    codecs + real loopback sockets, so the numbers isolate what the
+    produce/fetch legs themselves cost. Per scale: produce wall
+    (v0 message sets and v3 record batches), batch consume wall
+    (Fetch v0 and v4), and a capped stream-reader drain (the
+    maxRecordsPerBatch cursor loop — the driver-side simple-reader
+    path). Linear walls across N confirm the verification-carve stance:
+    the loopback leg is O(records) with no superlinear parse/encode
+    cost hiding anywhere; the 100 TB path is the connector jar, these
+    codecs are the bounded evidence harness."""
+    import time as _t
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        WireBroker,
+        produce_rows,
+    )
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import (
+        produce_rows_v2,
+    )
+    from hyperswitch_data_backfill_spark.sources import kafka_fetch as kf
+
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    factors = [int(x) for x in sys.argv[3:]] or [1, 4, 16]
+    print("| N | records | produce v0 (s / krec/s) | produce v3 "
+          "(s / krec/s) | fetch v0 (s / krec/s) | fetch v4 (s / krec/s) "
+          "| stream drain cap=N/8 (s / batches) |")
+    print("|---|---|---|---|---|---|---|")
+    for n in factors:
+        total = base * n
+        rows = [{"key": f"k{i}", "value": f'{{"i":{i},"pad":"{"x" * 48}"}}',
+                 "topic": "w0"} for i in range(total)]
+        rows_v2 = [dict(r, topic="w2") for r in rows]
+        with WireBroker() as b:
+            t0 = _t.time()
+            produce_rows(iter(rows), "127.0.0.1", b.port, batch_size=1000)
+            p0 = _t.time() - t0
+            t0 = _t.time()
+            produce_rows_v2(iter(rows_v2), "127.0.0.1", b.port,
+                            batch_size=1000)
+            p3 = _t.time() - t0
+            t0 = _t.time()
+            got0 = kf.consume_topic("127.0.0.1", b.port, "w0", version=0)
+            f0 = _t.time() - t0
+            t0 = _t.time()
+            got4 = kf.consume_topic("127.0.0.1", b.port, "w2", version=4)
+            f4 = _t.time() - t0
+            assert len(got0) == total and len(got4) == total
+            reader = kf.KafkaWireStreamReader({
+                "port": str(b.port), "topic": "w0",
+                "maxrecordsperbatch": str(max(1, total // 8)),
+            })
+            t0 = _t.time()
+            cursor = reader.initialOffset()
+            drained, batches = 0, 0
+            while drained < total:
+                out, cursor = reader.read(cursor)
+                out = list(out)
+                if not out:
+                    break
+                drained += len(out)
+                batches += 1
+            sd = _t.time() - t0
+            assert drained == total
+        def rate(w: float) -> str:
+            return f"{w:.2f} / {total / w / 1000:.0f}"
+        print(f"| {n} | {total} | {rate(p0)} | {rate(p3)} | {rate(f0)} "
+              f"| {rate(f4)} | {sd:.2f} / {batches} |")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_mode()
@@ -565,5 +636,7 @@ if __name__ == "__main__":
         pairs_mode()
     elif len(sys.argv) > 1 and sys.argv[1] == "--perceptual":
         perceptual_mode()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--wire":
+        wire_mode()
     else:
         main()
