@@ -391,7 +391,8 @@ def apply_latest_changes(base: DataFrame, latest: DataFrame) -> DataFrame:
         "main.rs:146-153), then a LIVE StreamingQuery consumes it back "
         "through the kafkawire stream source — maxRecordsPerBatch "
         "admission slices the backlog into multiple real micro-batches "
-        "— and foreachBatch(cdc_snapshot_maintainer) maintains the "
+        "— fetched EXECUTOR-side via the parallel reader protocol — "
+        "and foreachBatch(cdc_snapshot_maintainer) maintains the "
         "versioned snapshot state, exactly what the reference's "
         "ClickHouse consumer does with these topics [dep]. Because the "
         "collapse aggregate is idempotent/commutative/associative, the "
@@ -444,6 +445,7 @@ def stream_cdc_kafka_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         records = read_kafka_wire_stream(
             spark, "127.0.0.1", broker.port, "orders-cdc",
             max_records_per_batch=total // 4 + 1,   # >= 4 real micro-batches
+            parallel=True,    # executor-side fetches (full reader protocol)
         )
         # rebuild the (k, ch) contract; the string-formatted timestamp
         # sorts chronologically, so the struct's lexicographic order is

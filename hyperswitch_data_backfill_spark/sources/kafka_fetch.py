@@ -55,10 +55,12 @@ import struct
 import zlib
 from dataclasses import dataclass
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -759,6 +761,12 @@ class _FetchOptions:
             raise ValueError("maxRecordsPerBatch must be >= 0")
 
 
+def _sorted_offsets(offsets: dict) -> dict[str, int]:
+    """Canonical offset-dict key order (ascending partition). Spark
+    compares stream offsets via JSON text, so order IS identity."""
+    return {p: int(offsets[p]) for p in sorted(offsets, key=int)}
+
+
 class KafkaWireStreamReader(SimpleDataSourceStreamReader):
     """Streaming leg: per-partition long offsets, exactly the
     spark-sql-kafka offset model. ``read`` advances each partition to
@@ -801,6 +809,11 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             boot.close()
 
     def _offsets(self, timestamp: int) -> dict[str, int]:
+        # NOTE: every offset dict this source returns to Spark is built
+        # in ascending-partition key order — the engine compares stream
+        # offsets by their JSON serialization, so a semantically-equal
+        # dict in a different key order would read as "new offsets" and
+        # trigger spurious empty batches forever.
         o = self._opts
         by_addr: dict[tuple[str, int], list[int]] = {}
         for p, addr in self._leaders().items():
@@ -813,7 +826,7 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
                     out[str(p)] = list_offset(sock, o.topic, p, timestamp=timestamp)
             finally:
                 sock.close()
-        return out
+        return _sorted_offsets(out)
 
     def initialOffset(self) -> dict:
         start = self._offsets(EARLIEST_TIMESTAMP)
@@ -828,10 +841,10 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         finally:
             boot.close()
         # committed offset wins when present; -1 = none → earliest
-        return {
+        return _sorted_offsets({
             p: max(committed.get(int(p), -1), earliest)
             for p, earliest in start.items()
-        }
+        })
 
     def _rows_between(self, start: dict, end: dict):
         o = self._opts
@@ -867,7 +880,7 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         }
         total = sum(backlog.values())
         if not cap or total <= cap:
-            return end
+            return _sorted_offsets(end)
         alloc = {p: b * cap // total for p, b in backlog.items()}
         rem = cap - sum(alloc.values())
         for p in sorted(backlog, key=lambda x: (-backlog[x], x)):
@@ -876,7 +889,8 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             if alloc[p] < backlog[p]:
                 alloc[p] += 1
                 rem -= 1
-        return {p: int(start.get(p, 0)) + alloc[p] for p in end}
+        return _sorted_offsets(
+            {p: int(start.get(p, 0)) + alloc[p] for p in end})
 
     def read(self, start: dict):
         end = self._offsets(LATEST_TIMESTAMP)
@@ -907,11 +921,97 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             boot.close()
 
 
+class KafkaWireParallelStreamReader(DataSourceStreamReader):
+    """Executor-parallel streaming leg (``.option("parallel", "true")``):
+    the full DataSourceStreamReader protocol — the driver plans one
+    InputPartition per topic-partition per micro-batch (leader-direct,
+    exact [start, end) spans) and the FETCHES run on executors via
+    ``_read_span``, the same topology as the batch reader and the real
+    connector. This is the 100 TB streaming path; the simple reader
+    (driver-side prefetch) stays the default because its per-batch
+    read() sees the true batch start, giving exact admission semantics.
+
+    Admission here caps against the reader's own lifetime cursor
+    (advanced by latestOffset, corrected by commit), seeded exactly
+    like initialOffset — group-committed offsets when groupId is set,
+    else earliest. For a fresh query the cursor equals the batch
+    start, so caps are exact. After a checkpoint RESTART without a
+    groupId the seed may trail Spark's checkpointed start; planning
+    clamps every span non-negative, so the reader just burns a few
+    capped no-op batches catching up — never an oversized batch, never
+    a corrupted span. Pair parallel mode with groupId to resume the
+    cursor broker-side and skip the catch-up.
+    """
+
+    def __init__(self, options):
+        self._inner = KafkaWireStreamReader(options)
+        self._opts = self._inner._opts
+        self._cursor: dict | None = None
+
+    def initialOffset(self) -> dict:
+        start = self._inner.initialOffset()
+        self._cursor = dict(start)
+        return start
+
+    def latestOffset(self) -> dict:
+        latest = self._inner._offsets(LATEST_TIMESTAMP)
+        if self._cursor is None:
+            # The engine is NOT guaranteed to call initialOffset on
+            # this instance (with a checkpoint it never does; measured:
+            # even a fresh query may ask latestOffset first). Seed the
+            # lifetime cursor the same way initialOffset would — the
+            # group's committed offsets when configured, else earliest
+            # — so admission caps hold from the very first batch.
+            self._cursor = dict(self._inner.initialOffset())
+        for pstr, off in self._cursor.items():
+            latest.setdefault(pstr, off)
+        end = self._inner._admit(self._cursor, latest)
+        self._cursor = dict(end)
+        return end
+
+    def partitions(self, start: dict, end: dict):
+        o = self._opts
+        leaders = self._inner._leaders()
+        plans = []
+        for pstr, hi in sorted(end.items()):
+            lo = int(start.get(pstr, 0))
+            hi = int(hi)
+            if hi <= lo:
+                continue            # empty or stale span: plan nothing
+            try:
+                host, port = leaders[int(pstr)]
+            except KeyError:
+                raise FetchError(o.topic, int(pstr), 3)  # UNKNOWN_TOPIC
+            plans.append(KafkaWirePartition(
+                o.topic, int(pstr), host, port, lo, hi, o.version,
+                o.max_bytes))
+        if not plans:
+            # a degenerate all-empty batch still needs one (no-op) task
+            host, port = o.host, o.port
+            plans.append(KafkaWirePartition(
+                o.topic, 0, host, port, 0, 0, o.version, o.max_bytes))
+        return plans
+
+    def read(self, partition: KafkaWirePartition):
+        yield from _read_span(partition)
+
+    def commit(self, end: dict) -> None:
+        # keep the lifetime cursor at least as far as the committed
+        # batch (covers cursorless restarts that processed batches)
+        if self._cursor is not None:
+            for pstr, off in end.items():
+                cur = int(self._cursor.get(pstr, 0))
+                self._cursor[pstr] = max(cur, int(off))
+        self._inner.commit(end)
+
+
 class KafkaWireDataSource(DataSource):
     """``spark.read.format("kafkawire")`` / ``spark.readStream.format(
     "kafkawire")`` — options: port (required), topic (required), host,
     version (0 = message sets | 4 = record batches),
-    maxBytesPerFetch."""
+    maxBytesPerFetch; streaming adds groupId, maxRecordsPerBatch and
+    parallel (executor-side fetches via the full stream-reader
+    protocol; default = the driver-side simple reader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -922,6 +1022,15 @@ class KafkaWireDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return KafkaWireReader(self.options)
+
+    def streamReader(self, schema: StructType) -> "DataSourceStreamReader":
+        if str(self.options.get("parallel", "false")).lower() != "true":
+            # tell the runner to fall back to simpleStreamReader
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return KafkaWireParallelStreamReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> KafkaWireStreamReader:
         return KafkaWireStreamReader(self.options)

@@ -41,6 +41,7 @@ def read_kafka_wire_stream(
     version: int = 0,
     group_id: str | None = None,
     max_records_per_batch: int = 0,
+    parallel: bool = False,
 ) -> DataFrame:
     """Kafka-shaped stream source over the executed wire leg (r12
     verdict item 1: the streaming layer's Kafka stand-in was a file
@@ -54,7 +55,10 @@ def read_kafka_wire_stream(
     ``group_id`` keeps the cursor broker-side too (resume survives a
     wiped Spark checkpoint); ``max_records_per_batch`` bounds each
     micro-batch's total take (the maxOffsetsPerTrigger analogue — use
-    it whenever the stream may restart onto a deep backlog)."""
+    it whenever the stream may restart onto a deep backlog);
+    ``parallel`` switches to the full stream-reader protocol, fetching
+    each partition on executors (the connector topology — the 100 TB
+    path; default is the driver-side simple reader)."""
     from hyperswitch_data_backfill_spark.sources.kafka_fetch import (
         register_kafka_wire_source,
     )
@@ -71,6 +75,8 @@ def read_kafka_wire_stream(
         reader = reader.option("groupId", group_id)
     if max_records_per_batch:
         reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
+    if parallel:
+        reader = reader.option("parallel", "true")
     return reader.load()
 
 

@@ -720,3 +720,84 @@ def test_admission_allocation_properties(backlog, starts, cap):
     # re-admitting from the admitted cursor takes the next slice
     admitted2 = reader._admit(admitted, end)
     assert all(admitted[p] <= admitted2[p] <= end[p] for p in end)
+
+
+# ------------------------------------------- executor-parallel stream
+
+def test_parallel_stream_reader_cluster_e2e(spark):
+    """.option('parallel','true') switches to the full stream-reader
+    protocol: driver plans leader-direct per-partition spans, fetches
+    run executor-side (_read_span). A capped live query over a 2-node/
+    4-partition cluster drains the backlog completely and respects the
+    per-batch admission cap."""
+    import time
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        produce_rows_routed,
+    )
+
+    with WireCluster(n_brokers=2, topics={"pay": 4}) as cluster:
+        host, port = cluster.bootstrap
+        produce_rows_routed(iter(_rows("pay", 120)), host, port, batch_size=32)
+        kf.register_kafka_wire_source(spark)
+        stream = (
+            spark.readStream.format("kafkawire")
+            .option("host", host).option("port", str(port))
+            .option("topic", "pay")
+            .option("parallel", "true")
+            .option("maxRecordsPerBatch", "50")
+            .load()
+        )
+        q = (stream.selectExpr(
+                "CAST(key AS STRING) key", "partition", "offset")
+             .writeStream.format("memory").queryName("par_stream")
+             .trigger(processingTime="250 milliseconds").start())
+        try:
+            deadline = time.time() + 120
+            while spark.table("par_stream").count() < 120:
+                assert q.exception() is None, q.exception()
+                assert time.time() < deadline, "parallel stream stalled"
+                time.sleep(0.25)
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+        got = spark.table("par_stream")
+        assert got.count() == 120
+        assert got.select("key").distinct().count() == 120
+        assert {r.partition for r in got.collect()} == {0, 1, 2, 3}
+        assert all(p["numInputRows"] <= 50 for p in q.recentProgress)
+        assert sum(1 for p in q.recentProgress if p["numInputRows"]) >= 3
+
+
+def test_parallel_reader_offset_model_unit():
+    """Unit-level contract: latestOffset advances the lifetime cursor
+    by at most the cap; partitions() plans leader-direct clamped spans;
+    a cursorless restart without a group admits everything once."""
+    with WireBroker() as b:
+        produce_rows(iter(_rows("t", 40)), "127.0.0.1", b.port)
+        opts = {"port": str(b.port), "topic": "t",
+                "maxrecordsperbatch": "15", "parallel": "true"}
+        r = kf.KafkaWireParallelStreamReader(dict(opts))
+        start = r.initialOffset()
+        assert start == {"0": 0}
+        e1 = r.latestOffset()
+        assert e1 == {"0": 15}
+        e2 = r.latestOffset()
+        assert e2 == {"0": 30}
+        plans = r.partitions(e1, e2)
+        assert len(plans) == 1 and (plans[0].start, plans[0].end) == (15, 30)
+        rows = list(r.read(plans[0]))
+        assert [x[4] for x in rows] == list(range(15, 30))
+        # stale span clamps to a no-op plan, never a negative read
+        noop = r.partitions({"0": 30}, {"0": 30})
+        assert len(noop) == 1 and noop[0].start >= noop[0].end
+        # cursorless start (engine may never call initialOffset —
+        # measured): the cursor self-seeds at earliest, caps hold from
+        # the very first batch
+        r2 = kf.KafkaWireParallelStreamReader(dict(opts))
+        assert r2.latestOffset() == {"0": 15}
+        # commit() fast-forwards the cursor (e.g. checkpoint replayed
+        # further than our seed), so later caps resume from there
+        r2.commit({"0": 40})
+        produce_rows(iter(_rows("t", 30, prefix="y")), "127.0.0.1", b.port)
+        assert r2.latestOffset() == {"0": 55}  # 40 + cap
