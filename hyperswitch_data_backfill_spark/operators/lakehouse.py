@@ -446,6 +446,8 @@ def stream_cdc_kafka_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, "127.0.0.1", broker.port, "orders-cdc",
             max_records_per_batch=total // 4 + 1,   # >= 4 real micro-batches
             parallel=True,    # executor-side fetches (full reader protocol)
+            group_id="cdc-maintainer",  # capped parallel mode requires a
+            # broker-durable cursor (restart-duplication guard)
         )
         # rebuild the (k, ch) contract; the string-formatted timestamp
         # sorts chronologically, so the struct's lexicographic order is

@@ -571,14 +571,22 @@ def consume_topic(
 class KafkaWirePartition(InputPartition):
     """One Spark task = one topic-partition read from its leader: the
     connector topology, so a 64-partition topic fetches with 64-way
-    executor parallelism and per-partition retry granularity."""
+    executor parallelism and per-partition retry granularity.
+
+    ``boot_host``/``boot_port`` carry the bootstrap address alongside
+    the planned leader — a real client's fallback contact list. If the
+    planned leader dies mid-span (the common cause of reassignment),
+    the executor can still reach Metadata through the bootstrap node
+    and follow the partition to its new leader."""
 
     def __init__(self, topic: str, partition: int, host: str, port: int,
-                 start: int, end: int, version: int, max_bytes: int):
+                 start: int, end: int, version: int, max_bytes: int,
+                 boot_host: str | None = None, boot_port: int | None = None):
         self.topic, self.partition = topic, partition
         self.host, self.port = host, port
         self.start, self.end = start, end
         self.version, self.max_bytes = version, max_bytes
+        self.boot_host, self.boot_port = boot_host, boot_port
 
 
 def _plan_partitions(
@@ -606,7 +614,8 @@ def _plan_partitions(
                 if sock is not boot:
                     sock.close()
             plans.append(KafkaWirePartition(
-                topic, partition, bhost, bport, start, end, version, max_bytes))
+                topic, partition, bhost, bport, start, end, version,
+                max_bytes, boot_host=host, boot_port=port))
         return plans
     finally:
         boot.close()
@@ -630,36 +639,59 @@ def _read_span(p: KafkaWirePartition, max_retries: int = 2):
         return
     host, port = p.host, p.port
     retries = 0
-    sock = _connect(host, port, version=p.version, timeout=30.0)
+    sock: socket.socket | None = None
     try:
         offset = p.start
         while offset < p.end:
             try:
+                if sock is None:
+                    sock = _connect(host, port, version=p.version, timeout=30.0)
                 result = fetch_partition(
                     sock, p.topic, p.partition, offset,
                     version=p.version, max_bytes=p.max_bytes,
                 )
             except (ConnectionError, OSError, FetchError) as exc:
+                # the redial above sits INSIDE the try, so a dead
+                # leader's ConnectionRefusedError burns retry budget
+                # and falls through to leader re-resolution instead of
+                # failing the task outright
                 if (isinstance(exc, FetchError)
                         and exc.error_code not in _RETRIABLE_FETCH_ERRORS):
                     raise
                 if retries >= max_retries:
                     raise
                 retries += 1
-                try:
-                    sock.close()
-                except OSError:
-                    pass
-                if (isinstance(exc, FetchError)
-                        and exc.error_code == _ERR_NOT_LEADER):
-                    meta_sock = _connect(
-                        p.host, p.port, version=p.version, timeout=30.0)
+                if sock is not None:
+                    try:
+                        sock.close()
+                    except OSError:
+                        pass
+                    sock = None
+                # Re-resolve the leader on NOT_LEADER *and* on
+                # connection-level failures (the common cause of a
+                # reassignment is the old leader dying — redialing its
+                # corpse forever would never recover). Any reachable
+                # known node answers Metadata for the whole cluster —
+                # current address, planned leader, then the bootstrap
+                # fallback; if none responds, keep the old address and
+                # let the next attempt spend the remaining budget.
+                candidates = [(host, port), (p.host, p.port)]
+                if getattr(p, "boot_host", None) is not None:
+                    candidates.append((p.boot_host, p.boot_port))
+                for mh, mp in dict.fromkeys(candidates):
+                    try:
+                        meta_sock = _connect(
+                            mh, mp, version=p.version, timeout=30.0)
+                    except (ConnectionError, OSError):
+                        continue
                     try:
                         brokers, leaders = _topic_metadata(meta_sock, p.topic)
                         host, port = brokers[leaders[p.partition]]
+                        break
+                    except (ConnectionError, OSError, KeyError):
+                        continue
                     finally:
                         meta_sock.close()
-                sock = _connect(host, port, version=p.version, timeout=30.0)
                 continue
             if not result.records:
                 raise FetchError(p.topic, p.partition, -1)  # no progress
@@ -668,7 +700,8 @@ def _read_span(p: KafkaWirePartition, max_retries: int = 2):
                     yield (key, value, p.topic, p.partition, off)
             offset = result.records[-1][0] + 1
     finally:
-        sock.close()
+        if sock is not None:
+            sock.close()
 
 
 class KafkaWireReader(DataSourceReader):
@@ -808,7 +841,10 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         finally:
             boot.close()
 
-    def _offsets(self, timestamp: int) -> dict[str, int]:
+    def _offsets(
+        self, timestamp: int,
+        leaders: dict[int, tuple[str, int]] | None = None,
+    ) -> dict[str, int]:
         # NOTE: every offset dict this source returns to Spark is built
         # in ascending-partition key order — the engine compares stream
         # offsets by their JSON serialization, so a semantically-equal
@@ -816,7 +852,7 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         # trigger spurious empty batches forever.
         o = self._opts
         by_addr: dict[tuple[str, int], list[int]] = {}
-        for p, addr in self._leaders().items():
+        for p, addr in (leaders or self._leaders()).items():
             by_addr.setdefault(addr, []).append(p)
         out: dict[str, int] = {}
         for (host, port), parts in sorted(by_addr.items()):
@@ -846,9 +882,13 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             for p, earliest in start.items()
         })
 
-    def _rows_between(self, start: dict, end: dict):
+    def _rows_between(
+        self, start: dict, end: dict,
+        leaders: dict[int, tuple[str, int]] | None = None,
+    ):
         o = self._opts
-        leaders = self._leaders()
+        if leaders is None:
+            leaders = self._leaders()
         rows = []
         for pstr, hi in sorted(end.items()):
             lo = int(start.get(pstr, 0))
@@ -862,7 +902,7 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
                 raise FetchError(o.topic, int(pstr), 3)  # UNKNOWN_TOPIC
             p = KafkaWirePartition(
                 o.topic, int(pstr), host, port, lo, hi, o.version,
-                o.max_bytes,
+                o.max_bytes, boot_host=o.host, boot_port=o.port,
             )
             rows.extend(_read_span(p))
         return rows
@@ -893,7 +933,10 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             {p: int(start.get(p, 0)) + alloc[p] for p in end})
 
     def read(self, start: dict):
-        end = self._offsets(LATEST_TIMESTAMP)
+        # one metadata resolve serves the offsets AND the span reads —
+        # per-trigger socket churn halved (round-13 review finding)
+        leaders = self._leaders()
+        end = self._offsets(LATEST_TIMESTAMP, leaders)
         # carry forward partitions the watermark snapshot didn't see
         for pstr, off in start.items():
             end.setdefault(pstr, off)
@@ -902,7 +945,7 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             return iter(()), start
         # materialized list: Spark's prefetch cache copy.copy()s the
         # iterator for replay (same note as OplogStreamReader.read)
-        return iter(self._rows_between(start, end)), end
+        return iter(self._rows_between(start, end, leaders)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._rows_between(start, end))
@@ -931,22 +974,33 @@ class KafkaWireParallelStreamReader(DataSourceStreamReader):
     (driver-side prefetch) stays the default because its per-batch
     read() sees the true batch start, giving exact admission semantics.
 
-    Admission here caps against the reader's own lifetime cursor
-    (advanced by latestOffset, corrected by commit), seeded exactly
-    like initialOffset — group-committed offsets when groupId is set,
-    else earliest. For a fresh query the cursor equals the batch
-    start, so caps are exact. After a checkpoint RESTART without a
-    groupId the seed may trail Spark's checkpointed start; planning
-    clamps every span non-negative, so the reader just burns a few
-    capped no-op batches catching up — never an oversized batch, never
-    a corrupted span. Pair parallel mode with groupId to resume the
-    cursor broker-side and skip the catch-up.
+    Admission in parallel mode REQUIRES a groupId (validated here):
+    the cap is applied against the reader's lifetime cursor, and the
+    engine is not guaranteed to call initialOffset on the runner's
+    instance — on a checkpoint restart the only durable seed is the
+    group's broker-side committed offsets. Seeding from earliest
+    instead would return end offsets BEHIND Spark's checkpointed
+    start; the engine adopts whatever end the source returns, so the
+    stream would silently re-emit the whole topic in capped chunks
+    (caught in round-13 review). With the group seed the overlap is
+    bounded by the group-commit lag — at most the one in-flight batch,
+    Kafka's own at-least-once consumer stance. Without a cap there is
+    no cursor at all: latestOffset returns the true high watermark,
+    which can never regress, and Spark's checkpoint alone gives
+    exactly-once.
     """
 
     def __init__(self, options):
         self._inner = KafkaWireStreamReader(options)
         self._opts = self._inner._opts
+        if self._opts.max_records_per_batch and self._opts.group_id is None:
+            raise ValueError(
+                "kafkawire parallel mode: maxRecordsPerBatch needs a "
+                "broker-durable cursor to survive checkpoint restarts — "
+                "set .option('groupId', ...) or drop the cap"
+            )
         self._cursor: dict | None = None
+        self._last_leaders: dict[int, tuple[str, int]] | None = None
 
     def initialOffset(self) -> dict:
         start = self._inner.initialOffset()
@@ -954,14 +1008,20 @@ class KafkaWireParallelStreamReader(DataSourceStreamReader):
         return start
 
     def latestOffset(self) -> dict:
-        latest = self._inner._offsets(LATEST_TIMESTAMP)
+        # one metadata resolve per trigger: offsets now, spans in the
+        # immediately following partitions() call
+        self._last_leaders = self._inner._leaders()
+        latest = self._inner._offsets(LATEST_TIMESTAMP, self._last_leaders)
+        if not self._opts.max_records_per_batch:
+            return latest        # no cap, no cursor: pure high watermark
         if self._cursor is None:
             # The engine is NOT guaranteed to call initialOffset on
             # this instance (with a checkpoint it never does; measured:
             # even a fresh query may ask latestOffset first). Seed the
-            # lifetime cursor the same way initialOffset would — the
-            # group's committed offsets when configured, else earliest
-            # — so admission caps hold from the very first batch.
+            # lifetime cursor the way initialOffset would — the group's
+            # committed offsets (guaranteed configured, see __init__) —
+            # so caps hold from the very first batch and a restart
+            # resumes at most one committed batch behind.
             self._cursor = dict(self._inner.initialOffset())
         for pstr, off in self._cursor.items():
             latest.setdefault(pstr, off)
@@ -971,7 +1031,10 @@ class KafkaWireParallelStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         o = self._opts
-        leaders = self._inner._leaders()
+        # latestOffset (same trigger) just resolved leadership; a move
+        # in the microseconds since lands on _read_span's NOT_LEADER
+        # recovery, so reuse beats a second metadata dial per batch
+        leaders = self._last_leaders or self._inner._leaders()
         plans = []
         for pstr, hi in sorted(end.items()):
             lo = int(start.get(pstr, 0))
@@ -984,7 +1047,7 @@ class KafkaWireParallelStreamReader(DataSourceStreamReader):
                 raise FetchError(o.topic, int(pstr), 3)  # UNKNOWN_TOPIC
             plans.append(KafkaWirePartition(
                 o.topic, int(pstr), host, port, lo, hi, o.version,
-                o.max_bytes))
+                o.max_bytes, boot_host=o.host, boot_port=o.port))
         if not plans:
             # a degenerate all-empty batch still needs one (no-op) task
             host, port = o.host, o.port
@@ -1430,9 +1493,22 @@ def stream_kafka_wire_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(18,4)").cast("string").alias("value"),
     ]
     frame = event_frame(carve, ["event_id"], "events-stream", payload_cols=payload)
-    max_ts = carve.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
-    # engine watermark stats are ms-precision: floor before subtracting
-    target_wm = max_ts.replace(microsecond=max_ts.microsecond // 1000 * 1000) - timedelta(hours=2)
+    # The watermark string in query progress is UTC; collect()ing a
+    # TimestampType would convert through the OS-LOCAL timezone (the
+    # session's UTC pin does not govern that Python-side conversion),
+    # silently skewing the stop target on any non-UTC host (round-13
+    # review finding). Format the max in session time (pinned UTC) and
+    # parse it naive instead — also ms-floored, matching the engine's
+    # event-time stats precision.
+    max_str = carve.agg(
+        F.date_format(
+            F.max(F.col("ts").cast("timestamp")), "yyyy-MM-dd HH:mm:ss.SSS"
+        )
+    ).collect()[0][0]
+    target_wm = (
+        datetime.strptime(max_str, "%Y-%m-%d %H:%M:%S.%f")
+        - timedelta(hours=2)
+    )
     name = f"wire_tumbling_{uuid.uuid4().hex[:8]}"
     with WireCluster(n_brokers=2, topics={"events-stream": 4}) as cluster:
         host, port = cluster.bootstrap

@@ -745,6 +745,7 @@ def test_parallel_stream_reader_cluster_e2e(spark):
             .option("host", host).option("port", str(port))
             .option("topic", "pay")
             .option("parallel", "true")
+            .option("groupId", "par-e2e")   # required with a cap
             .option("maxRecordsPerBatch", "50")
             .load()
         )
@@ -775,7 +776,13 @@ def test_parallel_reader_offset_model_unit():
     a cursorless restart without a group admits everything once."""
     with WireBroker() as b:
         produce_rows(iter(_rows("t", 40)), "127.0.0.1", b.port)
-        opts = {"port": str(b.port), "topic": "t",
+        # a cap without a group refuses at construction: a checkpoint
+        # restart would otherwise silently re-emit the topic (review)
+        with pytest.raises(ValueError, match="broker-durable cursor"):
+            kf.KafkaWireParallelStreamReader(
+                {"port": str(b.port), "topic": "t",
+                 "maxrecordsperbatch": "15", "parallel": "true"})
+        opts = {"port": str(b.port), "topic": "t", "groupid": "par-unit",
                 "maxrecordsperbatch": "15", "parallel": "true"}
         r = kf.KafkaWireParallelStreamReader(dict(opts))
         start = r.initialOffset()
@@ -792,8 +799,8 @@ def test_parallel_reader_offset_model_unit():
         noop = r.partitions({"0": 30}, {"0": 30})
         assert len(noop) == 1 and noop[0].start >= noop[0].end
         # cursorless start (engine may never call initialOffset —
-        # measured): the cursor self-seeds at earliest, caps hold from
-        # the very first batch
+        # measured): the cursor self-seeds from the group's committed
+        # offsets (none yet -> earliest), caps hold from the first batch
         r2 = kf.KafkaWireParallelStreamReader(dict(opts))
         assert r2.latestOffset() == {"0": 15}
         # commit() fast-forwards the cursor (e.g. checkpoint replayed
@@ -801,3 +808,37 @@ def test_parallel_reader_offset_model_unit():
         r2.commit({"0": 40})
         produce_rows(iter(_rows("t", 30, prefix="y")), "127.0.0.1", b.port)
         assert r2.latestOffset() == {"0": 55}  # 40 + cap
+
+
+def test_read_span_recovers_via_bootstrap_when_planned_leader_dead():
+    """The planned leader address is a corpse (connection refused); the
+    span still completes: the reconnect failure burns retry budget
+    inside the guarded loop, metadata falls back to the bootstrap
+    address carried in the partition plan, and the fetch follows the
+    partition to its live leader."""
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        produce_rows_routed,
+    )
+
+    # a port that is guaranteed closed: bind, grab, release
+    dead = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    dead.bind(("127.0.0.1", 0))
+    dead_port = dead.getsockname()[1]
+    dead.close()
+
+    with WireCluster(n_brokers=2, topics={"pay": 2}) as cluster:
+        host, port = cluster.bootstrap
+        produce_rows_routed(iter(_rows("pay", 40)), host, port, batch_size=8)
+        leader = cluster.meta.leaders["pay"][0]
+        n0 = len(cluster.brokers[leader]._logs[("pay", 0)].messages)
+        assert n0 > 0
+        p = kf.KafkaWirePartition(
+            "pay", 0, "127.0.0.1", dead_port, 0, n0, 0, 1 << 20,
+            boot_host=host, boot_port=port)
+        got = list(kf._read_span(p))
+        assert [r[4] for r in got] == list(range(n0))
+        # without the bootstrap fallback the same span must fail
+        p2 = kf.KafkaWirePartition(
+            "pay", 0, "127.0.0.1", dead_port, 0, n0, 0, 1 << 20)
+        with pytest.raises((ConnectionError, OSError)):
+            list(kf._read_span(p2))
