@@ -792,20 +792,38 @@ def agg_approx_percentile_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The referee runs on a deterministic md5 carve of the KEY SPACE, not
+# the full table: an exact two-phase countDistinct over every key at
+# sf1 dominated the whole sweep tail (172 s wall for a 3-row envelope —
+# r13 verdict item 5) while proving nothing the carve doesn't. Keeping
+# 1/APPROX_DISTINCT_CARVE_MOD of custkeys (selected by md5, so the same
+# keys at every sf and in every engine) bounds the referee leg to
+# O(rows/8) with the SAME claim: the sketch and the exact count see the
+# identical carved key population, so a wiring regression (wrong column,
+# wrong rsd, broken merge) still flips the flag. The full-population
+# bound is carried by the sketch's rsd guarantee, as the 100 TB
+# deployment note below says.
+APPROX_DISTINCT_CARVE_MOD = 8
+
+
 @register(
     "agg_approx_distinct_err",
     oracle="SELECT o_orderstatus, TRUE AS within_bound FROM orders GROUP BY o_orderstatus",
     doc="A3c-err: error envelope for agg_approx_distinct — per group, "
         "|HLL++(rsd=0.01) − exact| / exact ≤ "
-        f"{APPROX_DISTINCT_REL_BOUND}. Exact countDistinct is the "
-        "in-plan referee (expands to a two-phase distinct aggregate); at "
-        "100 TB the referee leg is dropped and the bound is carried by "
-        "the sketch's rsd guarantee — this key exists to pin that the "
-        "wiring (not the math) is right.",
+        f"{APPROX_DISTINCT_REL_BOUND}, checked on a deterministic md5 "
+        f"carve (1/{APPROX_DISTINCT_CARVE_MOD} of custkeys) so the "
+        "exact-countDistinct referee stays O(seconds) at every sf; at "
+        "100 TB the referee leg is dropped entirely and the bound is "
+        "carried by the sketch's rsd guarantee — this key exists to pin "
+        "that the wiring (not the math) is right.",
 )
 def agg_approx_distinct_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    per = orders.groupBy("o_orderstatus").agg(
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("long") % APPROX_DISTINCT_CARVE_MOD
+    per = orders.where(bucket == 0).groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("ap"),
         F.countDistinct("o_custkey").alias("ex"),
     )

@@ -49,6 +49,8 @@ def sniff(payload: bytes) -> str:
         return "jpeg"
     if payload.startswith(RIFF_MAGIC) and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(RIFF_MAGIC) and payload[8:12] == b"AVI ":
+        return "avi"
     return "raw"
 
 
@@ -284,3 +286,194 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(
             "non-WAV audio decode requires soundfile/librosa; WAV works natively"
         ) from exc
+
+
+# ---------------------------------------------------------------- AVI --
+#
+# Real video CONTAINER ingest (r13 verdict stretch item 8): the video
+# perceptual leg previously read frame-major raw clips only. AVI is the
+# RIFF container (public OpenDML/Microsoft AVI spec): LIST 'hdrl'
+# (avih main header + one 'strl' stream with strh/strf), LIST 'movi'
+# with one '00db'/'00dc' chunk per frame, optional 'idx1'. Two codecs:
+#
+# - uncompressed DIB frames ('DIB '/biCompression=0): decoded NATIVELY
+#   (numpy only) — 8-bit palettized (bottom-up rows, 4-byte stride,
+#   palette-mapped to gray) and 24-bit BGR (integer-mean gray);
+# - MJPG frames (each chunk a standalone JPEG): via PIL when
+#   importable, else the per-format capability error — same gate as
+#   decode_image's JPEG leg.
+#
+# The matching encoder writes standard 8-bit-DIB AVIs (grayscale
+# palette, idx1 index) so tests and fixtures can round-trip real
+# container bytes end to end, the PNG/WAV discipline.
+
+AVI_DIB_FOURCC = b"DIB "
+AVI_MJPG_FOURCC = b"MJPG"
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, data_start, data_size) walking a RIFF chunk run;
+    chunks are word-aligned (odd sizes padded by one byte)."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        data_start = pos + 8
+        if data_start + size > end:
+            raise ValueError(
+                f"AVI: chunk {fourcc!r} overruns its parent "
+                f"({data_start}+{size} > {end})")
+        yield fourcc, data_start, size
+        pos = data_start + size + (size & 1)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(f, h, w) uint8 grayscale → a standard uncompressed-DIB AVI
+    (8-bit palettized video stream, grayscale palette, bottom-up rows
+    padded to 4 bytes, idx1 keyframe index)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 3:
+        raise ValueError("encode_avi expects (frames, height, width)")
+    f, h, w = frames.shape
+    stride = (w + 3) & ~3
+    frame_size = stride * h
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),        # dwMicroSecPerFrame
+        frame_size * fps,                # dwMaxBytesPerSec
+        0,                               # dwPaddingGranularity
+        0x10,                            # AVIF_HASINDEX
+        f, 0, 1, frame_size,             # totalframes/initial/streams/bufsz
+        w, h, 0, 0, 0, 0,                # width/height/reserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", AVI_DIB_FOURCC, 0, 0, 0, 0,
+        1, fps,                          # dwScale / dwRate → fps
+        0, f, frame_size, 0xFFFFFFFF & -1, 0,
+        0, 0, w & 0xFFFF, h & 0xFFFF,    # rcFrame
+    )
+    palette = b"".join(bytes((g, g, g, 0)) for g in range(256))
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_size, 0, 0, 256, 0
+    ) + palette
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = []
+    idx_entries = []
+    offset = 4                           # relative to the 'movi' fourcc
+    for i in range(f):
+        rows = frames[i]
+        if stride != w:
+            rows = np.pad(rows, ((0, 0), (0, stride - w)))
+        data = rows[::-1].tobytes()      # bottom-up, per BMP convention
+        movi_frames.append(chunk(b"00db", data))
+        idx_entries.append(struct.pack(
+            b"<4sIII", b"00db", 0x10, offset, len(data)))
+        offset += 8 + len(data) + (len(data) & 1)
+    movi = lst(b"movi", b"".join(movi_frames))
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _dib_frame_to_gray(
+    data: bytes, w: int, h: int, bitcount: int, palette: np.ndarray | None
+) -> np.ndarray:
+    """One uncompressed DIB frame → (h, w) uint8 gray. Bottom-up rows,
+    stride padded to 4 bytes; 8-bit via palette lookup, 24-bit BGR via
+    integer mean."""
+    if bitcount == 8:
+        stride = (w + 3) & ~3
+        if len(data) < stride * h:
+            raise ValueError("AVI: 8-bit DIB frame shorter than h*stride")
+        img = np.frombuffer(data, np.uint8, stride * h).reshape(h, stride)
+        img = img[::-1, :w]
+        if palette is not None:
+            # integer mean of the palette's (r, g, b) — identity for a
+            # grayscale palette, deterministic for any other
+            gray_lut = palette.astype(np.uint32).sum(axis=1) // 3
+            img = gray_lut.astype(np.uint8)[img]
+        return img
+    if bitcount == 24:
+        stride = (w * 3 + 3) & ~3
+        if len(data) < stride * h:
+            raise ValueError("AVI: 24-bit DIB frame shorter than h*stride")
+        img = np.frombuffer(data, np.uint8, stride * h).reshape(h, stride)
+        bgr = img[::-1, : w * 3].reshape(h, w, 3).astype(np.uint32)
+        return ((bgr[..., 0] + bgr[..., 1] + bgr[..., 2]) // 3).astype(np.uint8)
+    raise NotImplementedError(
+        f"AVI DIB bitcount {bitcount} not supported (8 and 24 are)")
+
+
+def decode_avi(payload: bytes) -> np.ndarray:
+    """AVI bytes → (frames, h, w) uint8 grayscale. Native for
+    uncompressed DIB streams; MJPG via PIL (capability-gated)."""
+    if sniff(payload) != "avi":
+        raise ValueError("not an AVI container (RIFF/AVI magic missing)")
+    end = 8 + struct.unpack_from("<I", payload, 4)[0]
+    end = min(end, len(payload))
+    width = height = bitcount = compression = None
+    palette = None
+    movi_span = None
+    for fourcc, dstart, dsize in _riff_chunks(payload, 12, end):
+        if fourcc != b"LIST":
+            continue
+        kind = payload[dstart : dstart + 4]
+        if kind == b"hdrl":
+            for f2, s2, z2 in _riff_chunks(payload, dstart + 4, dstart + dsize):
+                if f2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                    for f3, s3, z3 in _riff_chunks(payload, s2 + 4, s2 + z2):
+                        if f3 == b"strf" and z3 >= 40:
+                            (_bisz, width, height, _planes, bitcount,
+                             comp4) = struct.unpack_from("<IiiHHI", payload, s3)
+                            compression = comp4
+                            n_colors = (z3 - 40) // 4
+                            if n_colors > 0 and bitcount == 8:
+                                pal = np.frombuffer(
+                                    payload, np.uint8, n_colors * 4, s3 + 40
+                                ).reshape(n_colors, 4)
+                                # RGBQUAD is (b, g, r, reserved) → (r, g, b)
+                                palette = np.zeros((256, 3), np.uint8)
+                                palette[:n_colors] = pal[:, 2::-1]
+        elif kind == b"movi":
+            movi_span = (dstart + 4, dstart + dsize)
+    if width is None or movi_span is None:
+        raise ValueError("AVI: missing strf header or movi list")
+    height = abs(int(height))
+    width = int(width)
+    frames = []
+    for fourcc, dstart, dsize in _riff_chunks(payload, *movi_span):
+        tag = fourcc[2:4]
+        if tag not in (b"db", b"dc"):
+            continue                      # non-video chunk (audio, rec )
+        data = payload[dstart : dstart + dsize]
+        if compression == 0:
+            frames.append(_dib_frame_to_gray(
+                data, width, height, bitcount, palette))
+        elif data[:3] == JPEG_MAGIC or compression in (
+            struct.unpack("<I", AVI_MJPG_FOURCC)[0],
+        ):
+            try:
+                from PIL import Image  # optional dependency, per-format gate
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "MJPG AVI decode requires PIL (pip install pillow); "
+                    "uncompressed-DIB AVIs work natively"
+                ) from exc
+            frames.append(np.asarray(
+                Image.open(io.BytesIO(data)).convert("L")))
+        else:
+            raise NotImplementedError(
+                f"AVI compression 0x{compression:08x} not supported "
+                "(uncompressed DIB native, MJPG via PIL)")
+    if not frames:
+        raise ValueError("AVI: no video frames in movi list")
+    return np.stack(frames)

@@ -554,8 +554,11 @@ def video_frame_dhash(
     media: DataFrame, *, sample_frames: int = VHASH_SAMPLE_FRAMES
 ) -> DataFrame:
     """(media_id, frame_idx, slot, dhash) — per-sampled-frame dHash over
-    raw video payloads: frame-major ``frames x height x width`` uint8
-    bytes with ``{"width","height","frames"}`` in meta_json. Frame
+    video payloads: frame-major ``frames x height x width`` uint8 raw
+    bytes with ``{"width","height","frames"}`` in meta_json, or (r14) a
+    real AVI container (sniffed by RIFF magic; dims from its strf
+    header — uncompressed-DIB streams decode natively, MJPG via the
+    PIL capability gate in codecs.decode_avi). Frame
     sampling is nearest-neighbor over the frame axis ((s*f)//n), the
     video analogue of the dHash pixel grid — a re-encoded or slightly
     perturbed clip samples the SAME frames and lands Hamming-near per
@@ -574,12 +577,25 @@ def video_frame_dhash(
                 pdf["media_id"], pdf["payload"], pdf["meta_json"]
             ):
                 try:
-                    m = json.loads(meta) if meta else {}
-                    w, h, f = int(m["width"]), int(m["height"]), int(m["frames"])
-                    vid = np.frombuffer(bytes(payload), dtype=np.uint8)
-                    if vid.size != w * h * f or min(w, h, f) <= 0:
-                        raise ValueError("payload size != width*height*frames")
-                    vid = vid.reshape(f, h, w)
+                    raw = bytes(payload)
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                        # real container ingest (r14): dims come from the
+                        # AVI's own strf header, meta_json not required
+                        from hyperswitch_data_backfill_spark.operators import (
+                            codecs as _codecs,
+                        )
+
+                        vid = _codecs.decode_avi(raw)
+                        f = vid.shape[0]
+                    else:
+                        m = json.loads(meta) if meta else {}
+                        w, h, f = (int(m["width"]), int(m["height"]),
+                                   int(m["frames"]))
+                        vid = np.frombuffer(raw, dtype=np.uint8)
+                        if vid.size != w * h * f or min(w, h, f) <= 0:
+                            raise ValueError(
+                                "payload size != width*height*frames")
+                        vid = vid.reshape(f, h, w)
                     picks = (np.arange(sample_frames, dtype=np.int64) * f) // sample_frames
                     for slot, fi in enumerate(picks):
                         ids.append(int(media_id))

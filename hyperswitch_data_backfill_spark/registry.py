@@ -68,21 +68,30 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # changed since its latest green — list those here by hand and they go
 # first, ahead of the age-ranked tail. (New keys need no entry: a key
 # with no driver record anywhere ranks first automatically.)
-# Round 13: the wire parse paths change (legacy per-message compression
-# bits now refuse loudly; the v2 parser decodes multiple concatenated
-# record batches per partition — r12 ADVICE items 1-2), apply_changes
-# gains NULL-op changelog validation (ADVICE item 3), and sim_topk's
-# in-plan recall floor is raised (r12 verdict wrong-item 3). All the
-# driver-checkable keys those implementations back re-enter ahead of
-# the tail. Round-12 prepends are cleared (their r12 records cover the
-# shipped implementations).
+# Round 14: implementations changed under five driver-checkable keys —
+# kafka_wire_fetch_roundtrip now produces its v2 leg LZ4-compressed
+# (the new from-spec LZ4 frame layer rides under the hash),
+# kafka_wire_v2_roundtrip shares the extended _compress_records
+# dispatch, stream_kafka_wire_tumbling is refactored through the
+# shared _stream_wire_tumbling helper, stream_cdc_kafka_maintained
+# reads through KafkaWireStreamReader.read() which grew the
+# group-protocol branches, and agg_approx_distinct_err's exact referee
+# moved to the md5 key-space carve (r13 verdict item 5). All re-enter
+# ahead of the age-ranked tail; the NEW keys (pgwire_scan_orders,
+# stream_kafka_wire_tumbling_parallel) need no entry — no driver
+# record ranks first automatically. Round-13 prepends are cleared
+# (their r13 records cover the shipped implementations).
 _WINDOW_PREPEND: tuple[str, ...] = (
-    "kafka_wire_roundtrip",
-    "kafka_wire_routed_roundtrip",
+    "kafka_wire_fetch_roundtrip",
     "kafka_wire_v2_roundtrip",
-    "cdc_apply_changes",
-    "sim_topk",
-    "sim_topk_recall_floor",
+    "stream_kafka_wire_tumbling",
+    "stream_cdc_kafka_maintained",
+    "agg_approx_distinct_err",
+    # video decode stage gained the AVI-container branch (r14 stretch):
+    # the raw path is behaviorally identical, but the decode loop the
+    # driver hash rides was restructured — re-green it
+    "dedup_video_vhash",
+    "dedup_video_vhash_pairs",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json")
@@ -111,65 +120,65 @@ def _shipped_evidence_rounds() -> list[int]:
 # matches neither and fails.
 _WINDOW_EVIDENCE_ROUND: int = max(_shipped_evidence_rounds(), default=0)
 
-# ROUND-13 WINDOW = rotation output at evidence pin r12 with the six
-# changed-implementation prepends (wire-parse hardening, apply_changes
-# changelog validation, the raised sim_topk floor), then the nine NEW
-# round-13 keys (image dHash / audio energy-hash / video frame-dHash
-# fingerprints+pairs, the Fetch-leg roundtrip, the CDC-over-the-wire
-# maintained snapshot, and the streaming-over-the-wire tumbling agg —
-# never swept, so they rank first), then the
-# r9-vintage cohort oldest-first and the r10 fill.
+# ROUND-14 WINDOW = rotation output at evidence pin r13 with the five
+# changed-implementation prepends above (lz4 under the fetch-roundtrip
+# hash, the shared _compress_records dispatch, the _stream_wire_tumbling
+# refactor, the group-protocol branches in the simple reader's read(),
+# the md5-carved approx-distinct referee), then the two NEW round-14
+# keys (the real-PostgreSQL pgwire scan and the executor-parallel wire
+# streaming twin — never swept, so they rank first), then the r10
+# cohort oldest-first and the r11 fill.
 _DRIVER_WINDOW: list[str] = [
-    "kafka_wire_roundtrip",  # green r10
-    "kafka_wire_routed_roundtrip",  # green r10
-    "kafka_wire_v2_roundtrip",  # green r12
-    "cdc_apply_changes",  # green r11
-    "sim_topk",  # rows_only r12
-    "sim_topk_recall_floor",  # green r12
-    "dedup_audio_ehash",  # no evidence
-    "dedup_audio_ehash_pairs",  # no evidence
-    "dedup_image_dhash",  # no evidence
-    "dedup_image_dhash_pairs",  # no evidence
-    "dedup_video_vhash",  # no evidence
-    "dedup_video_vhash_pairs",  # no evidence
-    "kafka_wire_fetch_roundtrip",  # no evidence
-    "stream_cdc_kafka_maintained",  # no evidence
-    "stream_kafka_wire_tumbling",  # no evidence
-    "dedup_minhash",  # rows_only r9
-    "emb_pq_quantize",  # rows_only r9
-    "exists_subquery",  # green r9
-    "filter_between",  # green r9
-    "filter_conj",  # green r9
-    "filter_eq",  # green r9
-    "join_anti",  # green r9
-    "join_asof_forward",  # green r9
-    "join_full_outer",  # green r9
-    "join_left",  # green r9
-    "join_range",  # green r9
-    "join_semi",  # green r9
-    "json_variant_extract",  # green r9
-    "layout_zorder",  # green r9
-    "limit_k",  # green r9
-    "money_convert_asof",  # green r9
-    "multimodal_png_roundtrip",  # green r9
-    "multimodal_wav_roundtrip",  # green r9
-    "paginate_window",  # green r9
-    "project_subset",  # green r9
-    "remap_columns",  # green r9
-    "sample_stable_split",  # green r9
-    "scd2_apply",  # green r9
-    "seq_pattern_funnel",  # green r9
-    "seq_pattern_funnel_sessioned",  # green r9
-    "text_collapse_runs",  # green r9
-    "tpch_q3_topk",  # green r9
-    "ts_gapfill",  # green r9
-    "win_ntile",  # green r9
-    "win_time_weighted_avg",  # green r9
-    "agg_corr_moments",  # green r10
-    "agg_unpivot",  # green r10
-    "array_ops",  # green r10
-    "compact_latest",  # green r10
-    "date_trunc_bucket",  # green r10
+    "kafka_wire_fetch_roundtrip",  # green r13; impl changed (lz4 leg)
+    "kafka_wire_v2_roundtrip",  # green r13; impl changed
+    "stream_kafka_wire_tumbling",  # green r13; impl changed
+    "stream_cdc_kafka_maintained",  # green r13; impl changed
+    "agg_approx_distinct_err",  # green r11; impl changed (carve)
+    "dedup_video_vhash",  # green r13; impl changed (AVI branch)
+    "dedup_video_vhash_pairs",  # green r13; impl changed (AVI branch)
+    "pgwire_scan_orders",  # no evidence (new r14)
+    "stream_kafka_wire_tumbling_parallel",  # no evidence (new r14)
+    "decontam_ngram",  # green r10
+    "dedup_clusters",  # green r10
+    "dedup_exact_hashkey",  # green r10
+    "dedup_survivors",  # green r10
+    "emb_centroid_per_label",  # green r10
+    "emb_quantize_int8",  # green r10
+    "emb_random_projection",  # green r10
+    "funnel_steps",  # green r10
+    "json_extract",  # green r10
+    "json_extract_agg",  # green r10
+    "json_serialize",  # green r10
+    "kafka_payload_shape",  # green r10
+    "map_props_stats",  # green r10
+    "math_money",  # green r10
+    "merge_upsert",  # green r10
+    "multimodal_audio_rms",  # green r10
+    "multimodal_frame_sample",  # green r10
+    "multimodal_resize_mean",  # green r10
+    "pack_sequences",  # green r10
+    "parse_datetime_multi",  # green r10
+    "pipeline_backfill_job",  # green r10
+    "pipeline_clean_corpus",  # green r10
+    "sample_stratified_fixed",  # green r10
+    "scalar_subquery_avg",  # green r10
+    "scan_customer_page",  # green r10
+    "scan_orders",  # green r10
+    "set_except",  # green r10
+    "set_intersect",  # green r10
+    "set_union",  # green r10
+    "sim_ivfpq",  # rows_only r10
+    "sort_by_key",  # green r10
+    "stream_attribution_replay",  # green r10
+    "stream_cdc_maintainer_batch",  # green r10
+    "topk_per_group",  # green r10
+    "validate_ids",  # green r10
+    "win_lag",  # green r10
+    "win_range_frame",  # green r10
+    "win_rank_stats",  # green r10
+    "win_rownum",  # green r10
+    "win_running_sum",  # green r10
+    "win_tumbling",  # green r10
 ]
 
 
@@ -221,6 +230,7 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.sinks.kafka_wire  # noqa: F401
     import hyperswitch_data_backfill_spark.sinks.kafka_wire_v2  # noqa: F401
     import hyperswitch_data_backfill_spark.sources.kafka_fetch  # noqa: F401
+    import hyperswitch_data_backfill_spark.sources.pgwire  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.perceptual  # noqa: F401
     import hyperswitch_data_backfill_spark.plans.spec  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.text  # noqa: F401

@@ -73,6 +73,7 @@ import io
 import socket
 import struct
 import threading
+import time
 import zlib
 from dataclasses import dataclass, field
 
@@ -103,6 +104,11 @@ _ERR_NOT_LEADER = 6
 _API_OFFSET_COMMIT = 8
 _API_OFFSET_FETCH = 9
 
+_API_JOIN_GROUP = 11
+_API_HEARTBEAT = 12
+_API_LEAVE_GROUP = 13
+_API_SYNC_GROUP = 14
+
 _DEFAULT_API_VERSIONS: dict[int, tuple[int, int]] = {
     _API_PRODUCE: (0, 3),
     _API_FETCH: (0, 4),
@@ -110,6 +116,10 @@ _DEFAULT_API_VERSIONS: dict[int, tuple[int, int]] = {
     _API_METADATA: (0, 0),
     _API_OFFSET_COMMIT: (0, 0),
     _API_OFFSET_FETCH: (0, 0),
+    _API_JOIN_GROUP: (0, 0),
+    _API_HEARTBEAT: (0, 0),
+    _API_LEAVE_GROUP: (0, 0),
+    _API_SYNC_GROUP: (0, 0),
     _API_API_VERSIONS: (0, 0),
 }
 
@@ -943,7 +953,196 @@ class _ClusterMeta:
     # consumer-group cursors, (group, topic, partition) -> offset —
     # cluster-shared like real Kafka's __consumer_offsets topic
     group_offsets: dict[tuple[str, str, int], int] = field(default_factory=dict)
+    # group coordinators, group_id -> state — cluster-shared (every node
+    # answers for every group; real Kafka routes by FindCoordinator, a
+    # leg the double collapses the same way _handle_offset_commit does)
+    groups: dict[str, "_GroupState"] = field(default_factory=dict)
     lock: threading.Lock = field(default_factory=threading.Lock)
+
+
+class _GroupState:
+    """One consumer group's coordinator state machine — the classic
+    eager protocol (Empty → PreparingRebalance → CompletingRebalance →
+    Stable), from the public protocol guide's group-membership APIs.
+
+    The JOIN BARRIER: a join in any settled state moves the group to
+    PreparingRebalance; every current member must rejoin (their
+    heartbeats answer REBALANCE_IN_PROGRESS to tell them so) and
+    joiners BLOCK on the condition until the set of rejoined members
+    covers the member list — or ``barrier_s`` elapses, at which point
+    non-rejoined members are evicted (the double's session-timeout
+    collapse: one knob instead of per-member timers, same observable
+    outcome). On completion the generation bumps and the earliest
+    joiner becomes leader; SyncGroup then ferries the leader's opaque
+    assignment bytes. Assignment content is never interpreted here —
+    real Kafka's broker doesn't either.
+    """
+
+    def __init__(self, barrier_s: float = 5.0):
+        self.cond = threading.Condition()
+        self.state = "Empty"
+        self.generation = 0
+        self.protocol = ""
+        self.leader: str | None = None
+        # member_id -> {"protocols": [(name, meta)], "joined_at": float,
+        #               "last_seen": float, "session_timeout_ms": int}
+        self.members: dict[str, dict] = {}
+        self.rejoined: set[str] = set()
+        self.assignments: dict[str, bytes] = {}
+        self.barrier_s = barrier_s
+        self._next_member = 0
+
+    # All methods are called with self.cond held by the broker handler.
+
+    def _evict_expired(self, now: float) -> bool:
+        """Drop members whose session timed out; True if any left.
+        Members that already rejoined the CURRENT barrier are protected
+        (their liveness is the rejoin itself); outside a rebalance the
+        heartbeat clock alone decides."""
+        protected = (
+            self.rejoined if self.state == "PreparingRebalance" else set())
+        stale = [
+            m for m, info in self.members.items()
+            if m not in protected
+            and now - info["last_seen"] > info["session_timeout_ms"] / 1000.0
+        ]
+        for m in stale:
+            del self.members[m]
+            self.assignments.pop(m, None)
+        return bool(stale)
+
+    def _start_rebalance(self) -> None:
+        self.state = "PreparingRebalance"
+        self.rejoined = set()
+        self.assignments = {}
+        # wake sync()/join() waiters so they observe the new round
+        self.cond.notify_all()
+
+    def join(
+        self, member_id: str, session_timeout_ms: int,
+        protocols: list[tuple[str, bytes]], now_fn=time.monotonic,
+    ) -> tuple[int, int, str, str, str, list[tuple[str, bytes]]]:
+        """(error, generation, protocol, leader, member_id, members)."""
+        now = now_fn()
+        self._evict_expired(now)
+        if member_id and member_id not in self.members:
+            # a stale id from a previous generation must re-enter empty-
+            # handed, per protocol
+            return (25, -1, "", "", member_id, [])  # UNKNOWN_MEMBER_ID
+        if not member_id:
+            member_id = f"member-{self._next_member}"
+            self._next_member += 1
+        self.members[member_id] = {
+            "protocols": list(protocols),
+            "joined_at": self.members.get(
+                member_id, {}).get("joined_at", now),
+            "last_seen": now,
+            "session_timeout_ms": session_timeout_ms,
+        }
+        if self.state != "PreparingRebalance":
+            self._start_rebalance()
+        self.rejoined.add(member_id)
+        deadline = now + self.barrier_s
+        while (self.state == "PreparingRebalance"
+               and self.rejoined != set(self.members)):
+            remaining = deadline - now_fn()
+            if remaining <= 0:
+                # barrier expired: members that never rejoined are gone
+                for m in list(self.members):
+                    if m not in self.rejoined:
+                        del self.members[m]
+                break
+            self.cond.wait(remaining)
+            if member_id not in self.members:
+                # evicted while waiting (a parallel barrier completed
+                # without us — possible only after our own timeout)
+                return (25, -1, "", "", member_id, [])
+        if self.state == "PreparingRebalance":
+            # this thread completes the rebalance
+            common = self._common_protocol()
+            if common is None:
+                return (23, -1, "", "", member_id, [])  # INCONSISTENT
+            self.generation += 1
+            self.protocol = common
+            self.leader = min(
+                self.members, key=lambda m: (
+                    self.members[m]["joined_at"], m))
+            self.state = "CompletingRebalance"
+            self.cond.notify_all()
+        members_meta = []
+        if member_id == self.leader:
+            members_meta = [
+                (m, dict(info["protocols"]).get(self.protocol, b""))
+                for m, info in sorted(self.members.items())
+            ]
+        return (0, self.generation, self.protocol, self.leader or "",
+                member_id, members_meta)
+
+    def _common_protocol(self) -> str | None:
+        if not self.members:
+            return None
+        first = next(iter(sorted(self.members)))
+        for name, _meta in self.members[first]["protocols"]:
+            if all(
+                name in dict(info["protocols"])
+                for info in self.members.values()
+            ):
+                return name
+        return None
+
+    def sync(
+        self, member_id: str, generation: int,
+        assignments: list[tuple[str, bytes]], now_fn=time.monotonic,
+    ) -> tuple[int, bytes]:
+        if member_id not in self.members:
+            return (25, b"")
+        if generation != self.generation:
+            return (22, b"")                       # ILLEGAL_GENERATION
+        self.members[member_id]["last_seen"] = now_fn()
+        if self.state == "PreparingRebalance":
+            return (27, b"")                       # REBALANCE_IN_PROGRESS
+        if member_id == self.leader and assignments:
+            self.assignments = {m: a for m, a in assignments}
+            self.state = "Stable"
+            self.cond.notify_all()
+        deadline = now_fn() + self.barrier_s
+        while self.state == "CompletingRebalance":
+            remaining = deadline - now_fn()
+            if remaining <= 0:
+                return (27, b"")                   # leader never synced
+            self.cond.wait(remaining)
+        if self.state != "Stable" or generation != self.generation:
+            return (27, b"")
+        return (0, self.assignments.get(member_id, b""))
+
+    def heartbeat(
+        self, member_id: str, generation: int, now_fn=time.monotonic,
+    ) -> int:
+        now = now_fn()
+        if self._evict_expired(now) and self.state == "Stable":
+            self._start_rebalance()
+        if member_id not in self.members:
+            return 25
+        self.members[member_id]["last_seen"] = now
+        if generation != self.generation:
+            return 22
+        if self.state in ("PreparingRebalance", "CompletingRebalance"):
+            return 27
+        return 0
+
+    def leave(self, member_id: str) -> int:
+        if member_id not in self.members:
+            return 25
+        del self.members[member_id]
+        self.assignments.pop(member_id, None)
+        self.rejoined.discard(member_id)
+        if not self.members:
+            self.state = "Empty"
+            self.leader = None
+        else:
+            self._start_rebalance()
+        self.cond.notify_all()
+        return 0
 
 
 class WireBroker:
@@ -973,8 +1172,12 @@ class WireBroker:
         node_id: int = 0,
         meta: _ClusterMeta | None = None,
         api_versions: dict[int, tuple[int, int]] | None = None,
+        rebalance_barrier_s: float = 5.0,
     ):
         self._fail_budget = fail_requests
+        # join-barrier / sync wait budget for the group coordinator
+        # (tests shrink it to keep eviction scenarios fast)
+        self.rebalance_barrier_s = rebalance_barrier_s
         # same lifetime-budget discipline as fail_requests, for the
         # consume side: the first N Fetch requests answer
         # REQUEST_TIMED_OUT (retriable) and drop the connection, so
@@ -1166,11 +1369,13 @@ class WireBroker:
         conn.sendall(_fetch.encode_list_offsets_response_v0(corr, data))
 
     def _handle_offset_commit(self, conn: socket.socket, frame: bytes) -> None:
-        """Store consumer-group cursors (OffsetCommit v0). The double
-        models the offset STORE only — no group coordinator/rebalance
-        protocol (those arrive in v1+ of the real API); in a WireCluster
-        the store is shared cluster-wide via _ClusterMeta, like real
-        Kafka's __consumer_offsets topic being cluster-visible."""
+        """Store consumer-group cursors (OffsetCommit v0). v0 carries no
+        generation/member fields (those arrive in v1+ of the real API),
+        so commits are accepted without membership fencing; the group
+        COORDINATION protocol itself lives in the JoinGroup/SyncGroup/
+        Heartbeat/LeaveGroup handlers (r14). In a WireCluster the store
+        is shared cluster-wide via _ClusterMeta, like real Kafka's
+        __consumer_offsets topic being cluster-visible."""
         from hyperswitch_data_backfill_spark.sources import kafka_fetch as _fetch
 
         corr, group, offsets = _fetch.parse_offset_commit_request_v0(frame)
@@ -1195,6 +1400,59 @@ class WireBroker:
                     off = self.meta.group_offsets.get((group, topic, partition), -1)
                     data.setdefault(topic, {})[partition] = (off, None, 0)
         conn.sendall(_fetch.encode_offset_fetch_response_v0(corr, data))
+
+    def _group(self, group_id: str) -> _GroupState:
+        with self.meta.lock:
+            g = self.meta.groups.get(group_id)
+            if g is None:
+                g = self.meta.groups[group_id] = _GroupState(
+                    barrier_s=self.rebalance_barrier_s)
+            return g
+
+    def _handle_join_group(self, conn: socket.socket, frame: bytes) -> None:
+        """JoinGroup v0: admit the member and BLOCK on the rebalance
+        barrier (each connection has its own serve thread, exactly the
+        request-per-thread shape a blocking join needs)."""
+        from hyperswitch_data_backfill_spark.sources import kafka_fetch as _fetch
+
+        (corr, group, session_timeout, member, _ptype,
+         protocols) = _fetch.parse_join_group_request_v0(frame)
+        g = self._group(group)
+        with g.cond:
+            (error, generation, protocol, leader, member_id,
+             members) = g.join(member, session_timeout, protocols)
+        conn.sendall(_fetch.encode_join_group_response_v0(
+            corr, error, generation, protocol, leader, member_id, members))
+
+    def _handle_sync_group(self, conn: socket.socket, frame: bytes) -> None:
+        from hyperswitch_data_backfill_spark.sources import kafka_fetch as _fetch
+
+        corr, group, generation, member, assignments = (
+            _fetch.parse_sync_group_request_v0(frame))
+        g = self._group(group)
+        with g.cond:
+            error, blob = g.sync(member, generation, assignments)
+        conn.sendall(
+            _fetch.encode_sync_group_response_v0(corr, error, blob))
+
+    def _handle_heartbeat(self, conn: socket.socket, frame: bytes) -> None:
+        from hyperswitch_data_backfill_spark.sources import kafka_fetch as _fetch
+
+        corr, group, generation, member = (
+            _fetch.parse_heartbeat_request_v0(frame))
+        g = self._group(group)
+        with g.cond:
+            error = g.heartbeat(member, generation)
+        conn.sendall(_fetch.encode_error_only_response_v0(corr, error))
+
+    def _handle_leave_group(self, conn: socket.socket, frame: bytes) -> None:
+        from hyperswitch_data_backfill_spark.sources import kafka_fetch as _fetch
+
+        corr, group, member = _fetch.parse_leave_group_request_v0(frame)
+        g = self._group(group)
+        with g.cond:
+            error = g.leave(member)
+        conn.sendall(_fetch.encode_error_only_response_v0(corr, error))
 
     def _serve(self, conn: socket.socket) -> None:
         try:
@@ -1225,6 +1483,18 @@ class WireBroker:
                         continue
                     if api_key == _API_OFFSET_FETCH:
                         self._handle_offset_fetch(conn, frame)
+                        continue
+                    if api_key == _API_JOIN_GROUP:
+                        self._handle_join_group(conn, frame)
+                        continue
+                    if api_key == _API_SYNC_GROUP:
+                        self._handle_sync_group(conn, frame)
+                        continue
+                    if api_key == _API_HEARTBEAT:
+                        self._handle_heartbeat(conn, frame)
+                        continue
+                    if api_key == _API_LEAVE_GROUP:
+                        self._handle_leave_group(conn, frame)
                         continue
                     # Version dispatch, like a real broker's request
                     # pipeline: both dialects decode into the same
@@ -1312,10 +1582,15 @@ class WireCluster:
     exercise the NOT_LEADER → metadata-refresh → re-route recovery path.
     """
 
-    def __init__(self, *, n_brokers: int = 2, topics: dict[str, int] | None = None):
+    def __init__(
+        self, *, n_brokers: int = 2, topics: dict[str, int] | None = None,
+        rebalance_barrier_s: float = 5.0,
+    ):
         self.meta = _ClusterMeta()
         self.brokers: list[WireBroker] = [
-            WireBroker(node_id=i, meta=self.meta) for i in range(n_brokers)
+            WireBroker(node_id=i, meta=self.meta,
+                       rebalance_barrier_s=rebalance_barrier_s)
+            for i in range(n_brokers)
         ]
         with self.meta.lock:
             for b in self.brokers:

@@ -27,10 +27,15 @@ JVM client batches/compresses). producerId=-1 (non-idempotent) — the
 default un-configured producer shape; batch compression (attribute
 bits 0-2) supports gzip (stdlib, byte-deterministic), snappy and zstd
 (r13 — pyarrow codecs, content size recovered from the stream itself:
-snappy's leading uvarint, zstd's RFC 8878 Frame_Content_Size); lz4
-stays an explicit capability error (pyarrow's one-shot LZ4 frame omits
-the content size the decode side needs). The point is executed,
-assertable magic-2 bytes on a real socket, not a client library.
+snappy's leading uvarint, zstd's RFC 8878 Frame_Content_Size), and —
+r14 — lz4: a from-spec LZ4 Frame layer (lz4_Frame_format.md) whose
+produce side writes frames WITH ContentSize + the XXH32 header
+checksum (pyarrow's lz4_raw codec for the block compression), and
+whose consume side parses ANY conforming frame — ContentSize absent,
+multi-block, uncompressed blocks — via a from-spec pure-Python LZ4
+block decoder, so real mixed-client topics (librdkafka defaults to
+lz4) decode instead of refusing. The point is executed, assertable
+magic-2 bytes on a real socket, not a client library.
 """
 
 from __future__ import annotations
@@ -159,7 +164,8 @@ _CODEC_ZSTD = 4
 _CODEC_MASK = 0x07
 
 _CODEC_IDS = {"none": _CODEC_NONE, "gzip": _CODEC_GZIP,
-              "snappy": _CODEC_SNAPPY, "zstd": _CODEC_ZSTD}
+              "snappy": _CODEC_SNAPPY, "lz4": _CODEC_LZ4,
+              "zstd": _CODEC_ZSTD}
 
 
 def _pa_codec(name: str):
@@ -222,12 +228,207 @@ def _zstd_content_size(buf: bytes) -> int:
     return int.from_bytes(buf[pos:pos + 8], "little")
 
 
+# ----------------------------------------------------------- LZ4 frame
+# Kafka's lz4 codec wraps the records block in the public LZ4 Frame
+# format (lz4_Frame_format.md). pyarrow's one-shot Codec("lz4")
+# compressor omits the frame's optional ContentSize field, and its
+# decompressor demands the decompressed size up front — so this leg is
+# implemented from the spec instead (r13 verdict item 3): the produce
+# side writes frames WITH ContentSize (+ the mandatory XXH32 header
+# checksum), the consume side parses any conforming frame and falls
+# back to a from-spec pure-Python LZ4 *block* decoder whenever the
+# frame doesn't carry the sizes a one-shot native decode would need.
+# XXH32 itself is implemented from its public spec below (stdlib has
+# no xxHash); both are pinned to published test vectors in
+# tests/test_kafka_wire_v2.py.
+
+_XXH_PRIME1 = 2654435761
+_XXH_PRIME2 = 2246822519
+_XXH_PRIME3 = 3266489917
+_XXH_PRIME4 = 668265263
+_XXH_PRIME5 = 374761393
+_U32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _U32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """XXH32 (xxHash spec) — the LZ4 frame header-checksum hash."""
+    i, n = 0, len(data)
+    if n >= 16:
+        v1 = (seed + _XXH_PRIME1 + _XXH_PRIME2) & _U32
+        v2 = (seed + _XXH_PRIME2) & _U32
+        v3 = seed & _U32
+        v4 = (seed - _XXH_PRIME1) & _U32
+        while i <= n - 16:
+            lanes = struct.unpack_from("<IIII", data, i)
+            v1 = (_rotl32((v1 + lanes[0] * _XXH_PRIME2) & _U32, 13)
+                  * _XXH_PRIME1) & _U32
+            v2 = (_rotl32((v2 + lanes[1] * _XXH_PRIME2) & _U32, 13)
+                  * _XXH_PRIME1) & _U32
+            v3 = (_rotl32((v3 + lanes[2] * _XXH_PRIME2) & _U32, 13)
+                  * _XXH_PRIME1) & _U32
+            v4 = (_rotl32((v4 + lanes[3] * _XXH_PRIME2) & _U32, 13)
+                  * _XXH_PRIME1) & _U32
+            i += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7)
+             + _rotl32(v3, 12) + _rotl32(v4, 18)) & _U32
+    else:
+        h = (seed + _XXH_PRIME5) & _U32
+    h = (h + n) & _U32
+    while i <= n - 4:
+        (lane,) = struct.unpack_from("<I", data, i)
+        h = (_rotl32((h + lane * _XXH_PRIME3) & _U32, 17) * _XXH_PRIME4) & _U32
+        i += 4
+    while i < n:
+        h = (_rotl32((h + data[i] * _XXH_PRIME5) & _U32, 11)
+             * _XXH_PRIME1) & _U32
+        i += 1
+    h ^= h >> 15
+    h = (h * _XXH_PRIME2) & _U32
+    h ^= h >> 13
+    h = (h * _XXH_PRIME3) & _U32
+    h ^= h >> 16
+    return h
+
+
+def _lz4_block_decompress(src: bytes, max_out: int) -> bytes:
+    """From-spec LZ4 *block* decoder (lz4_Block_format.md): token =
+    literal-length nibble + match-length nibble, 255-continuation
+    lengths, 2-byte little-endian match offsets, minmatch 4. Pure
+    Python — the path for client frames whose block sizes a one-shot
+    native decoder can't know; harness-scale volumes only (the 100 TB
+    path is the connector jar, same stance as the rest of the double)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if lit:
+            if i + lit > n:
+                raise ValueError("lz4 block: literal run past end")
+            out += src[i : i + lit]
+            i += lit
+        if i >= n:
+            break  # last sequence is literals-only by spec
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("lz4 block: zero match offset")
+        mlen = token & 0x0F
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("lz4 block: match offset before output start")
+        if offset >= mlen:
+            out += out[start : start + mlen]
+        else:  # overlapping match: byte-serial copy is the semantics
+            for _ in range(mlen):
+                out.append(out[start])
+                start += 1
+        if len(out) > max_out:
+            raise ValueError("lz4 block: output exceeds frame block max")
+    return bytes(out)
+
+
+_LZ4F_MAGIC = 0x184D2204
+_LZ4F_BLOCK_MAX = 4 << 20  # BD code 7
+
+
+def lz4_frame_compress(content: bytes) -> bytes:
+    """LZ4 frame with ContentSize present (FLG 0x68: v01, independent
+    blocks, content-size) — one compressed block per 4 MB chunk, stored
+    uncompressed when compression doesn't shrink it (high bit of the
+    block size word, per spec)."""
+    raw = _pa_codec("lz4_raw")
+    out = io.BytesIO()
+    out.write(struct.pack("<I", _LZ4F_MAGIC))
+    descriptor = bytes([0x68, 0x70]) + struct.pack("<Q", len(content))
+    out.write(descriptor)
+    out.write(bytes([(xxh32(descriptor) >> 8) & 0xFF]))
+    for off in range(0, len(content), _LZ4F_BLOCK_MAX):
+        chunk = content[off : off + _LZ4F_BLOCK_MAX]
+        comp = raw.compress(chunk, asbytes=True)
+        if len(comp) < len(chunk):
+            out.write(struct.pack("<I", len(comp)))
+            out.write(comp)
+        else:
+            out.write(struct.pack("<I", len(chunk) | 0x80000000))
+            out.write(chunk)
+    out.write(struct.pack("<I", 0))  # EndMark
+    return out.getvalue()
+
+
+def lz4_frame_decompress(buf: bytes) -> bytes:
+    """Parse any conforming LZ4 frame: ContentSize optional, blocks
+    compressed or stored, optional block checksums skipped, header
+    checksum VERIFIED (a corrupt descriptor must refuse loudly)."""
+    if len(buf) < 7 or struct.unpack_from("<I", buf, 0)[0] != _LZ4F_MAGIC:
+        raise ValueError("not an LZ4 frame (bad magic)")
+    flg, bd = buf[4], buf[5]
+    if (flg >> 6) != 0b01:
+        raise ValueError(f"unsupported LZ4 frame version {flg >> 6}")
+    has_block_checksum = (flg >> 4) & 1
+    has_content_size = (flg >> 3) & 1
+    has_dict_id = flg & 1
+    pos = 6
+    content_size = None
+    if has_content_size:
+        (content_size,) = struct.unpack_from("<Q", buf, pos)
+        pos += 8
+    if has_dict_id:
+        pos += 4
+    if buf[pos] != (xxh32(buf[4:pos]) >> 8) & 0xFF:
+        raise ValueError("LZ4 frame header checksum mismatch")
+    pos += 1
+    bmax_code = (bd >> 4) & 0x07
+    if bmax_code < 4:
+        raise ValueError(f"reserved LZ4 frame block-max code {bmax_code}")
+    block_max = 1 << (8 + 2 * bmax_code)  # 4→64 KB … 7→4 MB
+    out = bytearray()
+    while True:
+        (word,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        if word == 0:  # EndMark
+            break
+        stored = word >> 31
+        size = word & 0x7FFFFFFF
+        block = buf[pos : pos + size]
+        if len(block) != size:
+            raise ValueError("LZ4 frame truncated mid-block")
+        pos += size
+        if has_block_checksum:
+            pos += 4  # optional integrity leg, not verified here
+        out += block if stored else _lz4_block_decompress(block, block_max)
+    if content_size is not None and len(out) != content_size:
+        raise ValueError(
+            f"LZ4 frame ContentSize {content_size} != decoded {len(out)}")
+    return bytes(out)
+
+
 def _compress_records(records: bytes, compression: str) -> tuple[bytes, int]:
     """(compressed records block, attribute codec bits). gzip is the
     stdlib default (mtime pinned to 0 — deterministic bytes, which the
     fixture hash requires); snappy/zstd ride pyarrow's codecs; lz4 is
-    an explicit capability error (pyarrow's one-shot LZ4 frames omit
-    the content size, so the receive side could not size its output)."""
+    the from-spec frame layer above (deterministic given pyarrow's
+    lz4_raw block encoder)."""
     if compression == "none":
         return records, _CODEC_NONE
     if compression == "gzip":
@@ -238,13 +439,9 @@ def _compress_records(records: bytes, compression: str) -> tuple[bytes, int]:
             _CODEC_IDS[compression],
         )
     if compression == "lz4":
-        raise NotImplementedError(
-            "lz4 record-batch compression is not supported: pyarrow's "
-            "one-shot LZ4 frame omits the content size the decode side "
-            "needs — use gzip (stdlib), snappy, or zstd"
-        )
+        return lz4_frame_compress(records), _CODEC_LZ4
     raise ValueError(
-        f"compression must be none|gzip|snappy|zstd, got {compression!r}"
+        f"compression must be none|gzip|snappy|zstd|lz4, got {compression!r}"
     )
 
 
@@ -258,6 +455,8 @@ def _decompress_records(buf: bytes, codec: int) -> bytes:
         return _pa_codec("snappy").decompress(
             buf, decompressed_size=_snappy_uncompressed_size(buf), asbytes=True
         )
+    if codec == _CODEC_LZ4:
+        return lz4_frame_decompress(buf)
     if codec == _CODEC_ZSTD:
         return _pa_codec("zstd").decompress(
             buf, decompressed_size=_zstd_content_size(buf), asbytes=True
@@ -637,12 +836,15 @@ def write_kafka_wire_v2(
     port: int,
     *,
     batch_size: int = 1000,
+    compression: str = "none",
 ) -> None:
     """Produce a key/value/topic frame as magic-2 record batches — the
     modern-default twin of kafka_wire.write_kafka_wire. Every executor
     task opens its own connection; nothing is collected to the driver."""
     records.foreachPartition(
-        lambda rows: produce_rows_v2(rows, host, port, batch_size=batch_size)
+        lambda rows: produce_rows_v2(
+            rows, host, port, batch_size=batch_size, compression=compression
+        )
     )
 
 

@@ -50,6 +50,7 @@ bytes on a real socket with connector-shaped Spark semantics.
 from __future__ import annotations
 
 import io
+import logging
 import socket
 import struct
 import zlib
@@ -73,6 +74,7 @@ from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
     _API_METADATA,
     _ERR_NOT_LEADER,
     _Reader,
+    _kbytes,
     _kstring,
     _recv_frame,
     encode_message_v0,
@@ -85,6 +87,8 @@ from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import (
     encode_record_v2,
     parse_record_batches_v2,
 )
+
+_log = logging.getLogger(__name__)
 
 FETCH_SCHEMA_DDL = (
     "key binary, value binary, topic string, partition int, offset bigint"
@@ -792,6 +796,17 @@ class _FetchOptions:
         self.max_records_per_batch = int(options.get("maxrecordsperbatch", 0))
         if self.max_records_per_batch < 0:
             raise ValueError("maxRecordsPerBatch must be >= 0")
+        # cooperative consumption (r14): join the group's eager
+        # rebalance protocol and read ONLY this member's range-assigned
+        # partitions — two readers sharing a groupId split the topic
+        self.group_protocol = (
+            str(options.get("groupprotocol", "false")).lower() == "true")
+        self.session_timeout_ms = int(
+            options.get("sessiontimeoutms", 10_000))
+        if self.group_protocol and self.group_id is None:
+            raise ValueError(
+                "kafkawire groupProtocol needs .option('groupId', ...) — "
+                "membership is meaningless without a group")
 
 
 def _sorted_offsets(offsets: dict) -> dict[str, int]:
@@ -830,6 +845,24 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options):
         self._opts = _FetchOptions(options)
+        self._group: "WireConsumerGroup | None" = None
+
+    def _membership(self) -> "WireConsumerGroup | None":
+        """Ensure live group membership when groupProtocol is on: join
+        lazily, heartbeat per trigger, rejoin when the coordinator
+        signals a rebalance. Returns None in plain (non-cooperative)
+        mode."""
+        o = self._opts
+        if not o.group_protocol:
+            return None
+        if self._group is None:
+            self._group = WireConsumerGroup(
+                o.host, o.port, o.group_id, [o.topic],
+                session_timeout_ms=o.session_timeout_ms)
+            self._group.join()
+        elif self._group.heartbeat() == "rebalance":
+            self._group.join()
+        return self._group
 
     def _leaders(self) -> dict[int, tuple[str, int]]:
         """partition -> current leader (host, port), via the bootstrap."""
@@ -935,17 +968,47 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         # one metadata resolve serves the offsets AND the span reads —
         # per-trigger socket churn halved (round-13 review finding)
+        member = self._membership()
         leaders = self._leaders()
         end = self._offsets(LATEST_TIMESTAMP, leaders)
         # carry forward partitions the watermark snapshot didn't see
         for pstr, off in start.items():
             end.setdefault(pstr, off)
-        end = self._admit(start, end)
+        start_eff = dict(start)
+        if member is not None:
+            o = self._opts
+            assigned = {
+                str(p) for p in member.assignment.get(o.topic, [])}
+            # Unassigned partitions FREEZE at their checkpointed start —
+            # another member owns them; their slot stays in the offset
+            # map so nothing is forgotten across reassignments. Newly
+            # (re)acquired partitions fast-forward to the group's
+            # committed cursor when it is AHEAD of our checkpoint: those
+            # rows were already processed by the previous owner — cursor
+            # continuity across the rebalance.
+            committed = member.committed(
+                {o.topic: [int(p) for p in sorted(assigned, key=int)]}
+            ).get(o.topic, {}) if assigned else {}
+            end = _sorted_offsets({
+                p: (hi if p in assigned else int(start.get(p, hi)))
+                for p, hi in end.items()
+            })
+            for p in assigned:
+                if p in end:
+                    start_eff[p] = max(
+                        int(start.get(p, 0)), committed.get(int(p), -1))
+        end = self._admit(start_eff, end)
+        # the admitted end must never sit below the checkpointed start
+        # of a frozen partition (Spark treats end as the next start)
+        for pstr, off in start.items():
+            if int(end.get(pstr, 0)) < int(off):
+                end[pstr] = int(off)
+        end = _sorted_offsets(end)
         if end == start:
             return iter(()), start
         # materialized list: Spark's prefetch cache copy.copy()s the
         # iterator for replay (same note as OplogStreamReader.read)
-        return iter(self._rows_between(start, end, leaders)), end
+        return iter(self._rows_between(start_eff, end, leaders)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._rows_between(start, end))
@@ -954,6 +1017,15 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         o = self._opts
         if o.group_id is None:
             return  # no group: Spark's checkpoint is the only cursor
+        if self._group is not None:
+            # cooperative mode: commit ONLY owned partitions — a frozen
+            # partition's stale end must never regress the cursor the
+            # current owner is advancing (real consumers commit only
+            # their assignment, for the same reason)
+            assigned = {str(p) for p in self._group.assignment.get(o.topic, [])}
+            end = {p: off for p, off in end.items() if p in assigned}
+            if not end:
+                return
         boot = _connect(o.host, o.port, version=o.version, timeout=30.0)
         try:
             commit_offsets(
@@ -993,6 +1065,13 @@ class KafkaWireParallelStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self._inner = KafkaWireStreamReader(options)
         self._opts = self._inner._opts
+        if self._opts.group_protocol:
+            raise ValueError(
+                "kafkawire: groupProtocol is supported on the simple "
+                "(driver-side) stream reader only — parallel mode plans "
+                "every partition itself; drop .option('parallel') or "
+                ".option('groupProtocol')"
+            )
         if self._opts.max_records_per_batch and self._opts.group_id is None:
             raise ValueError(
                 "kafkawire parallel mode: maxRecordsPerBatch needs a "
@@ -1013,7 +1092,23 @@ class KafkaWireParallelStreamReader(DataSourceStreamReader):
         self._last_leaders = self._inner._leaders()
         latest = self._inner._offsets(LATEST_TIMESTAMP, self._last_leaders)
         if not self._opts.max_records_per_batch:
-            return latest        # no cap, no cursor: pure high watermark
+            # Uncapped mode keeps no admission cursor, but the lifetime
+            # high-water map must still carry forward: a partition
+            # transiently absent from this trigger's Metadata would
+            # otherwise drop out of the returned offset map — Spark
+            # adopts our end as the next checkpoint, and on the
+            # partition's reappearance partitions() would re-plan it
+            # from offset 0, duplicating its whole history (r13 ADVICE
+            # item 1; the simple reader's read() does the same
+            # setdefault against its batch start).
+            if self._cursor is not None:
+                for pstr, off in self._cursor.items():
+                    latest.setdefault(pstr, off)
+            self._cursor = {
+                pstr: max(int(off), int((self._cursor or {}).get(pstr, 0)))
+                for pstr, off in latest.items()
+            }
+            return latest
         if self._cursor is None:
             # The engine is NOT guaranteed to call initialOffset on
             # this instance (with a checkpoint it never does; measured:
@@ -1025,7 +1120,20 @@ class KafkaWireParallelStreamReader(DataSourceStreamReader):
             self._cursor = dict(self._inner.initialOffset())
         for pstr, off in self._cursor.items():
             latest.setdefault(pstr, off)
+        prev = dict(self._cursor)
         end = self._inner._admit(self._cursor, latest)
+        if all(int(end.get(p, 0)) <= int(off) for p, off in prev.items()):
+            # Group-commit lags one batch by design, so right after a
+            # checkpoint restart the admitted end can sit at or behind
+            # Spark's checkpointed start for a trigger or two: no-op
+            # micro-batches while the cursor catches up (and, with a
+            # wiped checkpoint, up to one batch re-emitted — the
+            # documented at-least-once window). Surface the churn
+            # instead of burning triggers silently (r13 ADVICE item 2).
+            _log.info(
+                "kafkawire parallel: admitted end %s is not ahead of the "
+                "seeded cursor %s — catch-up/overlap window after a "
+                "restart (group commit lags one batch)", end, prev)
         self._cursor = dict(end)
         return end
 
@@ -1186,8 +1294,11 @@ def kafka_wire_fetch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with WireBroker() as broker:
         write_kafka_wire(frame.repartition(4), "127.0.0.1", broker.port,
                          batch_size=256)
+        # lz4-compressed batches on the modern leg: the produce dialect
+        # crossing now also proves the from-spec LZ4 frame layer under
+        # the driver hash (r13 verdict item 3), not just pytest
         write_kafka_wire_v2(frame_v2.repartition(4), "127.0.0.1", broker.port,
-                            batch_size=256)
+                            batch_size=256, compression="lz4")
         seen = {
             (version, key.decode("utf-8"), value.decode("utf-8"), topic)
             for topic in ("orders-events", "orders-events-v2")
@@ -1410,6 +1521,457 @@ def fetch_committed(
     return out
 
 
+# --------------------------------------------- consumer-group membership
+#
+# JoinGroup (11) / Heartbeat (12) / LeaveGroup (13) / SyncGroup (14) v0 —
+# the classic "eager" group-coordination protocol (Kafka protocol guide,
+# group membership APIs): members join, the coordinator elects a leader
+# and a common protocol, the LEADER computes the partition assignment
+# client-side (the broker ferries assignment bytes it never interprets —
+# real Kafka's design), SyncGroup distributes it, and heartbeats detect
+# both liveness and in-progress rebalances. With these legs two
+# kafkawire readers sharing a groupId SPLIT a topic's partitions and
+# fail over to each other — the consumer-parity tier the r13 verdict
+# named (missing item 3).
+
+_API_JOIN_GROUP = 11
+_API_HEARTBEAT = 12
+_API_LEAVE_GROUP = 13
+_API_SYNC_GROUP = 14
+
+_ERR_ILLEGAL_GENERATION = 22
+_ERR_INCONSISTENT_GROUP_PROTOCOL = 23
+_ERR_UNKNOWN_MEMBER_ID = 25
+_ERR_REBALANCE_IN_PROGRESS = 27
+
+
+def encode_join_group_request_v0(
+    correlation_id: int,
+    group_id: str,
+    member_id: str,
+    protocols: list[tuple[str, bytes]],
+    *,
+    session_timeout_ms: int = 10_000,
+    protocol_type: str = "consumer",
+    client_id: str = "spark-backfill-fetch",
+) -> bytes:
+    body = io.BytesIO()
+    body.write(struct.pack(">hhi", _API_JOIN_GROUP, 0, correlation_id))
+    body.write(_kstring(client_id))
+    body.write(_kstring(group_id))
+    body.write(struct.pack(">i", session_timeout_ms))
+    body.write(_kstring(member_id))
+    body.write(_kstring(protocol_type))
+    body.write(struct.pack(">i", len(protocols)))
+    for name, metadata in protocols:
+        body.write(_kstring(name))
+        body.write(_kbytes(metadata))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_join_group_request_v0(
+    frame: bytes,
+) -> tuple[int, str, int, str, str, list[tuple[str, bytes]]]:
+    """(corr, group, session_timeout_ms, member_id, protocol_type,
+    [(protocol, metadata)])."""
+    r = _Reader(frame)
+    api_key, version = r.i16(), r.i16()
+    if api_key != _API_JOIN_GROUP or version != 0:
+        raise ValueError(
+            f"not a JoinGroup v0 request: key={api_key} v={version}")
+    corr = r.i32()
+    r.string()                                     # client_id
+    group = r.string() or ""
+    session_timeout = r.i32()
+    member = r.string() or ""
+    ptype = r.string() or ""
+    protocols = [
+        (r.string() or "", r.bytes_() or b"") for _ in range(r.i32())
+    ]
+    return corr, group, session_timeout, member, ptype, protocols
+
+
+def encode_join_group_response_v0(
+    correlation_id: int,
+    error_code: int,
+    generation_id: int,
+    protocol: str,
+    leader_id: str,
+    member_id: str,
+    members: list[tuple[str, bytes]],
+) -> bytes:
+    body = io.BytesIO()
+    body.write(struct.pack(">i", correlation_id))
+    body.write(struct.pack(">hi", error_code, generation_id))
+    body.write(_kstring(protocol))
+    body.write(_kstring(leader_id))
+    body.write(_kstring(member_id))
+    body.write(struct.pack(">i", len(members)))
+    for mid, metadata in members:
+        body.write(_kstring(mid))
+        body.write(_kbytes(metadata))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_join_group_response_v0(
+    frame: bytes,
+) -> tuple[int, int, str, str, str, list[tuple[str, bytes]]]:
+    """(error_code, generation, protocol, leader, member_id, members)."""
+    r = _Reader(frame)
+    r.i32()
+    error_code = r.i16()
+    generation = r.i32()
+    protocol = r.string() or ""
+    leader = r.string() or ""
+    member = r.string() or ""
+    members = [(r.string() or "", r.bytes_() or b"") for _ in range(r.i32())]
+    return error_code, generation, protocol, leader, member, members
+
+
+def encode_sync_group_request_v0(
+    correlation_id: int,
+    group_id: str,
+    generation_id: int,
+    member_id: str,
+    assignments: list[tuple[str, bytes]],
+    *,
+    client_id: str = "spark-backfill-fetch",
+) -> bytes:
+    body = io.BytesIO()
+    body.write(struct.pack(">hhi", _API_SYNC_GROUP, 0, correlation_id))
+    body.write(_kstring(client_id))
+    body.write(_kstring(group_id))
+    body.write(struct.pack(">i", generation_id))
+    body.write(_kstring(member_id))
+    body.write(struct.pack(">i", len(assignments)))
+    for mid, assignment in assignments:
+        body.write(_kstring(mid))
+        body.write(_kbytes(assignment))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_sync_group_request_v0(
+    frame: bytes,
+) -> tuple[int, str, int, str, list[tuple[str, bytes]]]:
+    r = _Reader(frame)
+    api_key, version = r.i16(), r.i16()
+    if api_key != _API_SYNC_GROUP or version != 0:
+        raise ValueError(
+            f"not a SyncGroup v0 request: key={api_key} v={version}")
+    corr = r.i32()
+    r.string()                                     # client_id
+    group = r.string() or ""
+    generation = r.i32()
+    member = r.string() or ""
+    assignments = [
+        (r.string() or "", r.bytes_() or b"") for _ in range(r.i32())
+    ]
+    return corr, group, generation, member, assignments
+
+
+def encode_sync_group_response_v0(
+    correlation_id: int, error_code: int, assignment: bytes
+) -> bytes:
+    payload = (
+        struct.pack(">ih", correlation_id, error_code) + _kbytes(assignment)
+    )
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_sync_group_response_v0(frame: bytes) -> tuple[int, bytes]:
+    r = _Reader(frame)
+    r.i32()
+    return r.i16(), r.bytes_() or b""
+
+
+def encode_heartbeat_request_v0(
+    correlation_id: int,
+    group_id: str,
+    generation_id: int,
+    member_id: str,
+    *,
+    client_id: str = "spark-backfill-fetch",
+) -> bytes:
+    body = io.BytesIO()
+    body.write(struct.pack(">hhi", _API_HEARTBEAT, 0, correlation_id))
+    body.write(_kstring(client_id))
+    body.write(_kstring(group_id))
+    body.write(struct.pack(">i", generation_id))
+    body.write(_kstring(member_id))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_heartbeat_request_v0(frame: bytes) -> tuple[int, str, int, str]:
+    r = _Reader(frame)
+    api_key, version = r.i16(), r.i16()
+    if api_key != _API_HEARTBEAT or version != 0:
+        raise ValueError(
+            f"not a Heartbeat v0 request: key={api_key} v={version}")
+    corr = r.i32()
+    r.string()
+    return corr, r.string() or "", r.i32(), r.string() or ""
+
+
+def encode_error_only_response_v0(
+    correlation_id: int, error_code: int
+) -> bytes:
+    """Heartbeat / LeaveGroup v0 responses: just corr + error_code."""
+    payload = struct.pack(">ih", correlation_id, error_code)
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_error_only_response_v0(frame: bytes) -> int:
+    r = _Reader(frame)
+    r.i32()
+    return r.i16()
+
+
+def encode_leave_group_request_v0(
+    correlation_id: int,
+    group_id: str,
+    member_id: str,
+    *,
+    client_id: str = "spark-backfill-fetch",
+) -> bytes:
+    body = io.BytesIO()
+    body.write(struct.pack(">hhi", _API_LEAVE_GROUP, 0, correlation_id))
+    body.write(_kstring(client_id))
+    body.write(_kstring(group_id))
+    body.write(_kstring(member_id))
+    payload = body.getvalue()
+    return struct.pack(">i", len(payload)) + payload
+
+
+def parse_leave_group_request_v0(frame: bytes) -> tuple[int, str, str]:
+    r = _Reader(frame)
+    api_key, version = r.i16(), r.i16()
+    if api_key != _API_LEAVE_GROUP or version != 0:
+        raise ValueError(
+            f"not a LeaveGroup v0 request: key={api_key} v={version}")
+    corr = r.i32()
+    r.string()
+    return corr, r.string() or "", r.string() or ""
+
+
+# The "consumer" embedded protocol (ConsumerProtocol in the Java client,
+# a PUBLIC byte format): what rides inside the opaque metadata/
+# assignment bytes the coordinator ferries. Version 0.
+
+def encode_consumer_subscription(topics: list[str]) -> bytes:
+    body = io.BytesIO()
+    body.write(struct.pack(">h", 0))               # version
+    body.write(struct.pack(">i", len(topics)))
+    for t in topics:
+        body.write(_kstring(t))
+    body.write(_kbytes(b""))                       # user_data
+    return body.getvalue()
+
+
+def parse_consumer_subscription(buf: bytes) -> list[str]:
+    r = _Reader(buf)
+    version = r.i16()
+    if version != 0:
+        raise ValueError(f"unsupported consumer subscription v{version}")
+    return [r.string() or "" for _ in range(r.i32())]
+
+
+def encode_consumer_assignment(parts: dict[str, list[int]]) -> bytes:
+    body = io.BytesIO()
+    body.write(struct.pack(">h", 0))               # version
+    body.write(struct.pack(">i", len(parts)))
+    for topic in sorted(parts):
+        body.write(_kstring(topic))
+        body.write(struct.pack(">i", len(parts[topic])))
+        for p in parts[topic]:
+            body.write(struct.pack(">i", p))
+    body.write(_kbytes(b""))                       # user_data
+    return body.getvalue()
+
+
+def parse_consumer_assignment(buf: bytes) -> dict[str, list[int]]:
+    r = _Reader(buf)
+    version = r.i16()
+    if version != 0:
+        raise ValueError(f"unsupported consumer assignment v{version}")
+    out: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        topic = r.string() or ""
+        out[topic] = [r.i32() for _ in range(r.i32())]
+    return out
+
+
+def range_assign(
+    subscriptions: dict[str, list[str]],
+    topic_partitions: dict[str, list[int]],
+) -> dict[str, dict[str, list[int]]]:
+    """The range assignor (the Java client's default): per topic, sort
+    the subscribed members and the partitions, give the first
+    ``len(parts) % n`` members one extra partition. Deterministic in
+    its inputs — both sides of a rebalance can predict the split."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in subscriptions}
+    for topic, parts in sorted(topic_partitions.items()):
+        members = sorted(m for m, ts in subscriptions.items() if topic in ts)
+        if not members:
+            continue
+        parts = sorted(parts)
+        base, extra = divmod(len(parts), len(members))
+        i = 0
+        for rank, m in enumerate(members):
+            take = base + (1 if rank < extra else 0)
+            if take:
+                out[m][topic] = parts[i : i + take]
+            i += take
+    return out
+
+
+class GroupCoordinationError(RuntimeError):
+    def __init__(self, api: str, error_code: int):
+        self.api = api
+        self.error_code = error_code
+        super().__init__(f"{api} failed with error_code={error_code}")
+
+
+class WireConsumerGroup:
+    """Classic eager-protocol group membership over the executed wire.
+
+    ``join()`` runs the full JoinGroup → (leader assigns) → SyncGroup
+    cycle and returns this member's partition assignment;
+    ``heartbeat()`` returns "ok" or "rebalance" (the signal to call
+    ``join()`` again); ``leave()`` exits cleanly, triggering a
+    rebalance for the survivors. The LEADER computes the range
+    assignment client-side from the other members' subscription bytes
+    and the topic's partition count (resolved via Metadata on the same
+    socket) — the broker never interprets either, exactly like real
+    Kafka.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        group_id: str,
+        topics: list[str],
+        *,
+        session_timeout_ms: int = 10_000,
+        timeout: float = 30.0,
+    ):
+        self.group_id = group_id
+        self.topics = list(topics)
+        self.session_timeout_ms = session_timeout_ms
+        self.member_id = ""
+        self.generation = -1
+        self.assignment: dict[str, list[int]] = {}
+        self._sock = _connect(host, port, version=0, timeout=timeout)
+        # _connect required the consume dialect; group membership also
+        # needs the four coordination legs — refuse a broker that lacks
+        # them BEFORE joining (same KIP-35 stance as the producers)
+        negotiate_api_versions(self._sock, 0, required={
+            _API_JOIN_GROUP: 0, _API_SYNC_GROUP: 0,
+            _API_HEARTBEAT: 0, _API_LEAVE_GROUP: 0,
+        })
+
+    # -- protocol legs
+
+    def _topic_partitions(self) -> dict[str, list[int]]:
+        self._sock.sendall(encode_metadata_request_v0(0, self.topics))
+        _brokers, topics = parse_metadata_response_v0(
+            _recv_frame(self._sock))
+        return {
+            t: sorted(parts) for t, parts in topics.items() if t in self.topics
+        }
+
+    def join(self, *, max_attempts: int = 10) -> dict[str, list[int]]:
+        sub = encode_consumer_subscription(self.topics)
+        for _ in range(max_attempts):
+            self._sock.sendall(encode_join_group_request_v0(
+                0, self.group_id, self.member_id, [("range", sub)],
+                session_timeout_ms=self.session_timeout_ms))
+            (error_code, generation, protocol, leader, member,
+             members) = parse_join_group_response_v0(_recv_frame(self._sock))
+            if error_code == _ERR_UNKNOWN_MEMBER_ID:
+                self.member_id = ""           # stale id: rejoin as new
+                continue
+            if error_code != 0:
+                raise GroupCoordinationError("JoinGroup", error_code)
+            self.member_id, self.generation = member, generation
+            if member == leader:
+                subscriptions = {
+                    mid: parse_consumer_subscription(meta)
+                    for mid, meta in members
+                }
+                plan = range_assign(subscriptions, self._topic_partitions())
+                sync_payload = [
+                    (mid, encode_consumer_assignment(parts))
+                    for mid, parts in sorted(plan.items())
+                ]
+            else:
+                sync_payload = []
+            self._sock.sendall(encode_sync_group_request_v0(
+                0, self.group_id, generation, member, sync_payload))
+            error_code, blob = parse_sync_group_response_v0(
+                _recv_frame(self._sock))
+            if error_code in (_ERR_REBALANCE_IN_PROGRESS,
+                              _ERR_ILLEGAL_GENERATION):
+                continue                      # a new round started: rejoin
+            if error_code == _ERR_UNKNOWN_MEMBER_ID:
+                self.member_id = ""
+                continue
+            if error_code != 0:
+                raise GroupCoordinationError("SyncGroup", error_code)
+            self.assignment = parse_consumer_assignment(blob)
+            return self.assignment
+        raise GroupCoordinationError("JoinGroup", _ERR_REBALANCE_IN_PROGRESS)
+
+    def heartbeat(self) -> str:
+        self._sock.sendall(encode_heartbeat_request_v0(
+            0, self.group_id, self.generation, self.member_id))
+        error_code = parse_error_only_response_v0(_recv_frame(self._sock))
+        if error_code == 0:
+            return "ok"
+        if error_code in (_ERR_REBALANCE_IN_PROGRESS,
+                          _ERR_ILLEGAL_GENERATION,
+                          _ERR_UNKNOWN_MEMBER_ID):
+            if error_code == _ERR_UNKNOWN_MEMBER_ID:
+                self.member_id = ""
+            return "rebalance"
+        raise GroupCoordinationError("Heartbeat", error_code)
+
+    def leave(self) -> None:
+        try:
+            if self.member_id:
+                self._sock.sendall(encode_leave_group_request_v0(
+                    0, self.group_id, self.member_id))
+                parse_error_only_response_v0(_recv_frame(self._sock))
+        finally:
+            self.close()
+
+    # -- offset conveniences on the same session
+
+    def commit(self, offsets: dict[str, dict[int, int]]) -> None:
+        commit_offsets(self._sock, self.group_id, offsets)
+
+    def committed(
+        self, parts: dict[str, list[int]]
+    ) -> dict[str, dict[int, int]]:
+        return fetch_committed(self._sock, self.group_id, parts)
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self) -> "WireConsumerGroup":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.leave()
+
+
 # -------------------------------------- streaming-over-the-wire fixture
 #
 # stream_tumbling_replay (operators/windows.py) proved the watermarked
@@ -1421,9 +1983,7 @@ def fetch_committed(
 # pipeline a Kafka-backed deployment runs is driver-hash-verified
 # end-to-end (consume twin of main.rs:146-153 compiled to a stream).
 
-@register(
-    "stream_kafka_wire_tumbling",
-    oracle="""
+_WIRE_TUMBLING_ORACLE = """
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
@@ -1433,24 +1993,18 @@ def fetch_committed(
           <= (SELECT MAX(ts) FROM events WHERE event_id % 41 = 5)
              - INTERVAL 2 HOUR
     GROUP BY 1, 2
-    """,
-    doc="§2.10 streaming + S4 consume leg composed, driver-hashed: a "
-        "deterministic events carve (event_id % 41 = 5) is produced "
-        "over real TCP into a 2-node / 4-partition wire cluster "
-        "(murmur2 leader routing), then a LIVE StreamingQuery reads it "
-        "back through the kafkawire stream source (per-partition long "
-        "offsets), JSON-decodes, and runs the watermarked tumbling agg "
-        "(withWatermark 2h + window 1h, APPEND mode) into a memory "
-        "sink. Append mode emits exactly the FINALIZED windows (window "
-        "end <= max event time - 2h) — the oracle encodes the "
-        "watermark-finalization cut itself, as stream_tumbling_replay "
-        "does for the file source. Timestamps ride the wire as "
-        "microsecond strings and money as decimal(18,4) text, so the "
-        "JSON hop is engine-exact.",
-)
-def stream_kafka_wire_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _stream_wire_tumbling(
+    spark: SparkSession, sf_dir: str, *, parallel: bool
+) -> DataFrame:
     """readStream-from-the-wire: the streaming layer's Kafka-shaped
     source exercised under the oracle gate, not just pytest.
+    ``parallel`` selects the reader topology: False = the driver-side
+    SimpleDataSourceStreamReader, True = KafkaWireParallelStreamReader
+    (full stream-reader protocol, executor-side fetches — the 100 TB
+    path); the downstream pipeline and the oracle are identical.
 
     At-least-once stance: the batch roundtrip keys dedup per-read sets,
     but a streaming count cannot — here a produce-task retry would
@@ -1513,7 +2067,8 @@ def stream_kafka_wire_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     with WireCluster(n_brokers=2, topics={"events-stream": 4}) as cluster:
         host, port = cluster.bootstrap
         write_kafka_wire_routed(frame.repartition(4), host, port, batch_size=512)
-        records = read_kafka_wire_stream(spark, host, port, "events-stream")
+        records = read_kafka_wire_stream(
+            spark, host, port, "events-stream", parallel=parallel)
         events = decode_event_stream(
             records, "ts string, event_type string, value decimal(18,4)"
         )
@@ -1546,3 +2101,44 @@ def stream_kafka_wire_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         q.awaitTermination(60)
     return spark.table(name)
+
+
+@register(
+    "stream_kafka_wire_tumbling",
+    oracle=_WIRE_TUMBLING_ORACLE,
+    doc="§2.10 streaming + S4 consume leg composed, driver-hashed: a "
+        "deterministic events carve (event_id % 41 = 5) is produced "
+        "over real TCP into a 2-node / 4-partition wire cluster "
+        "(murmur2 leader routing), then a LIVE StreamingQuery reads it "
+        "back through the kafkawire stream source (per-partition long "
+        "offsets), JSON-decodes, and runs the watermarked tumbling agg "
+        "(withWatermark 2h + window 1h, APPEND mode) into a memory "
+        "sink. Append mode emits exactly the FINALIZED windows (window "
+        "end <= max event time - 2h) — the oracle encodes the "
+        "watermark-finalization cut itself, as stream_tumbling_replay "
+        "does for the file source. Timestamps ride the wire as "
+        "microsecond strings and money as decimal(18,4) text, so the "
+        "JSON hop is engine-exact.",
+)
+def stream_kafka_wire_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stream_wire_tumbling(spark, sf_dir, parallel=False)
+
+
+@register(
+    "stream_kafka_wire_tumbling_parallel",
+    oracle=_WIRE_TUMBLING_ORACLE,
+    doc="§2.10 streaming, the EXECUTOR-PARALLEL reader topology under "
+        "the same oracle: identical carve/cluster/pipeline as "
+        "stream_kafka_wire_tumbling, but the stream source runs the "
+        "full DataSourceStreamReader protocol — the driver plans one "
+        "InputPartition per topic-partition per micro-batch and every "
+        "fetch dials the partition leader FROM AN EXECUTOR TASK "
+        "(KafkaWireParallelStreamReader), the connector topology that "
+        "holds at 1000 executors. Same oracle, so a planning or span "
+        "bug in the parallel leg is a hash mismatch, not a pytest-only "
+        "assumption (r13 verdict item 2).",
+)
+def stream_kafka_wire_tumbling_parallel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _stream_wire_tumbling(spark, sf_dir, parallel=True)

@@ -1,0 +1,1093 @@
+"""Real-Postgres wire source — the reference's actual upstream, spoken
+from spec.
+
+The reference reads its input from a live PostgreSQL replica through a
+native driver (``main.rs:167-170`` builds a diesel PgConnection from
+``[replica_database]``; ``payment_intent.rs:61-68`` pages it with
+LIMIT/OFFSET). This container now ships a REAL PostgreSQL 15 server
+(``initdb``/``pg_ctl`` on PATH) but no JDBC driver jar and no psycopg2 —
+so, exactly like the Kafka leg (sinks/kafka_wire.py), the interop proof
+is a from-spec implementation of the public wire protocol:
+
+- **PostgreSQL Frontend/Backend Protocol v3** (public docs, "Message
+  Formats" chapter): StartupMessage, Authentication (trust, cleartext,
+  md5, **SCRAM-SHA-256** per RFC 5802/7677 — pg15's default password
+  auth), simple Query, RowDescription/DataRow text-format decoding,
+  COPY IN/OUT subprotocol, ErrorResponse surfacing.
+- **A Spark DataSource** (``format("pgwire")``): range-partitioned
+  parallel reads (one InputPartition per key slice, the same keyset
+  semantics as sources/jdbc.py), every executor task opening its own
+  wire connection — plus planning-time predicate pushdown: supported
+  filters are compiled into the per-slice SQL so Postgres scans only
+  matching rows, and everything is also kept as residual so Spark
+  re-applies row-level (can never under-filter).
+- **An executor-parallel writer** (``write_pgwire``): foreachPartition
+  → per-partition wire connection → ``COPY ... FROM STDIN`` text
+  frames. No driver-side collect on the load path.
+
+Unlike the LIMIT/OFFSET reference loop (O(n²) server work, one round
+trip per 10k rows), a range-partitioned read touches every row exactly
+once and runs all slices concurrently — the shape that survives a
+100 TB table. At real scale the same plan runs against a replica with
+``numPartitions`` sized to the executor count; the bundled ``PgServer``
+harness exists so tests and fixture keys exercise the REAL server end
+to end inside this container.
+
+Everything here derives from the public protocol documentation and
+RFC 5802/7677 only.
+"""
+
+from __future__ import annotations
+
+import base64
+import decimal
+import hashlib
+import hmac
+import os
+import re
+import secrets
+import shutil
+import socket
+import struct
+import subprocess
+import tempfile
+import time
+from dataclasses import dataclass
+from datetime import date, datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    IsNull,
+    IsNotNull,
+)
+from pyspark.sql.types import StructType
+
+from hyperswitch_data_backfill_spark.registry import register
+
+_PROTOCOL_V3 = 196608  # (3 << 16): protocol version 3.0
+
+
+class PgError(RuntimeError):
+    """ErrorResponse surfaced from the backend (severity/sqlstate/message)."""
+
+    def __init__(self, fields: dict[str, str]):
+        self.severity = fields.get("S", "ERROR")
+        self.sqlstate = fields.get("C", "")
+        self.message = fields.get("M", "")
+        super().__init__(f"{self.severity} {self.sqlstate}: {self.message}")
+
+
+class PgProtocolError(RuntimeError):
+    """The byte stream violated the v3 grammar (refuse loudly, never guess)."""
+
+
+# ------------------------------------------------------------ low-level IO
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise PgProtocolError(
+                f"connection closed mid-message ({len(buf)}/{n} bytes)")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _read_message(sock: socket.socket) -> tuple[bytes, bytes]:
+    """One backend message: (type byte, payload). Length includes itself."""
+    head = _recv_exact(sock, 5)
+    mtype = head[:1]
+    (length,) = struct.unpack(">i", head[1:5])
+    if length < 4:
+        raise PgProtocolError(f"message length {length} < 4")
+    return mtype, _recv_exact(sock, length - 4)
+
+
+def _send_message(sock: socket.socket, mtype: bytes, payload: bytes) -> None:
+    sock.sendall(mtype + struct.pack(">i", len(payload) + 4) + payload)
+
+
+def _cstring(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def _parse_error_fields(payload: bytes) -> dict[str, str]:
+    """ErrorResponse/NoticeResponse: (code byte, cstring)* then \\0."""
+    fields: dict[str, str] = {}
+    i = 0
+    while i < len(payload) and payload[i] != 0:
+        code = chr(payload[i])
+        end = payload.index(b"\x00", i + 1)
+        fields[code] = payload[i + 1 : end].decode("utf-8", "replace")
+        i = end + 1
+    return fields
+
+
+# ------------------------------------------------------------------ SCRAM
+
+
+def _scram_sha256_client(
+    password: str,
+    *,
+    username: str = "",
+    nonce: str | None = None,
+) -> tuple[str, "callable", "callable"]:
+    """RFC 5802/7677 client state machine for SCRAM-SHA-256.
+
+    Returns (client_first_bare, continue_fn, verify_fn):
+    ``continue_fn(server_first) -> client_final``;
+    ``verify_fn(server_final) -> None`` (raises on a bad server
+    signature — a server that doesn't know the password can't forge it).
+    PostgreSQL ignores the SCRAM username (the startup packet already
+    named the role), so the session path sends ``n=``; ``username`` and
+    ``nonce`` are injectable so tests can replay the RFC 7677 §3
+    example exchange byte-for-byte.
+    """
+    if nonce is None:
+        nonce = base64.b64encode(secrets.token_bytes(18)).decode("ascii")
+    client_first_bare = f"n={username},r={nonce}"
+    state: dict[str, bytes | str] = {}
+
+    def cont(server_first: str) -> str:
+        attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
+        combined, salt_b64, iters = attrs["r"], attrs["s"], int(attrs["i"])
+        if not combined.startswith(nonce):
+            raise PgProtocolError("SCRAM server nonce does not extend ours")
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", password.encode("utf-8"),
+            base64.b64decode(salt_b64), iters)
+        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = f"c=biws,r={combined}"
+        auth_message = ",".join(
+            [client_first_bare, server_first, without_proof]).encode("utf-8")
+        client_sig = hmac.new(stored_key, auth_message, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        state["server_sig"] = hmac.new(
+            server_key, auth_message, hashlib.sha256).digest()
+        return without_proof + ",p=" + base64.b64encode(proof).decode("ascii")
+
+    def verify(server_final: str) -> None:
+        attrs = dict(kv.split("=", 1) for kv in server_final.split(","))
+        if "e" in attrs:
+            raise PgError({"M": f"SCRAM server error: {attrs['e']}"})
+        got = base64.b64decode(attrs["v"])
+        if not hmac.compare_digest(got, state["server_sig"]):
+            raise PgProtocolError("SCRAM server signature mismatch")
+
+    return client_first_bare, cont, verify
+
+
+# ----------------------------------------------------------- type mapping
+
+# Public pg_type OIDs (pg_catalog) → (Spark DDL type, text-format decoder).
+_OID_BOOL = 16
+_OID_BYTEA = 17
+_OID_INT8 = 20
+_OID_INT2 = 21
+_OID_INT4 = 23
+_OID_TEXT = 25
+_OID_FLOAT4 = 700
+_OID_FLOAT8 = 701
+_OID_BPCHAR = 1042
+_OID_VARCHAR = 1043
+_OID_DATE = 1082
+_OID_TIMESTAMP = 1114
+_OID_TIMESTAMPTZ = 1184
+_OID_NUMERIC = 1700
+
+
+def _decode_bytea(text: str) -> bytes:
+    if not text.startswith("\\x"):
+        raise PgProtocolError("bytea not in hex output format")
+    return bytes.fromhex(text[2:])
+
+
+def _decode_timestamp(text: str) -> datetime:
+    # 'YYYY-MM-DD HH:MM:SS[.ffffff]' (+ optional tz offset for timestamptz)
+    return datetime.fromisoformat(text)
+
+
+_OID_SPARK: dict[int, tuple[str, "callable"]] = {
+    _OID_BOOL: ("boolean", lambda t: t == "t"),
+    _OID_BYTEA: ("binary", _decode_bytea),
+    _OID_INT8: ("bigint", int),
+    _OID_INT2: ("smallint", int),
+    _OID_INT4: ("int", int),
+    _OID_TEXT: ("string", str),
+    18: ("string", str),    # "char" (catalog single-byte)
+    19: ("string", str),    # name (catalog identifiers, current_user)
+    26: ("bigint", int),    # oid (unsigned 32-bit)
+    _OID_FLOAT4: ("float", float),
+    _OID_FLOAT8: ("double", float),
+    _OID_BPCHAR: ("string", str),
+    _OID_VARCHAR: ("string", str),
+    _OID_DATE: ("date", date.fromisoformat),
+    _OID_TIMESTAMP: ("timestamp_ntz", _decode_timestamp),
+    _OID_TIMESTAMPTZ: ("timestamp", _decode_timestamp),
+}
+
+
+def _numeric_ddl(typmod: int) -> str:
+    """numeric typmod → decimal(p,s); typmod -1 = unconstrained."""
+    if typmod < 4:
+        return "decimal(38,18)"
+    precision = ((typmod - 4) >> 16) & 0xFFFF
+    scale = (typmod - 4) & 0xFFFF
+    return f"decimal({precision},{scale})"
+
+
+@dataclass(frozen=True)
+class PgColumn:
+    name: str
+    type_oid: int
+    typmod: int
+
+    def spark_ddl_type(self) -> str:
+        if self.type_oid == _OID_NUMERIC:
+            return _numeric_ddl(self.typmod)
+        try:
+            return _OID_SPARK[self.type_oid][0]
+        except KeyError:
+            raise PgProtocolError(
+                f"column {self.name!r}: unmapped type OID {self.type_oid} — "
+                "add it to _OID_SPARK or cast in SQL") from None
+
+    def decoder(self) -> "callable":
+        if self.type_oid == _OID_NUMERIC:
+            return decimal.Decimal
+        return _OID_SPARK[self.type_oid][1]
+
+
+# ------------------------------------------------------------- connection
+
+
+class PgConnection:
+    """One v3-protocol session: startup + auth, simple queries, COPY.
+
+    Thin by design — every executor task opens its own connection (the
+    topology Spark's JDBC source uses), so there is no pooling and no
+    shared state to break under task retry.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        *,
+        user: str,
+        database: str,
+        password: str | None = None,
+        timeout: float = 30.0,
+    ):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.parameters: dict[str, str] = {}
+        try:
+            self._startup(user, database, password)
+        except BaseException:
+            self._sock.close()
+            raise
+
+    # -- session bootstrap
+
+    def _startup(self, user: str, database: str, password: str | None) -> None:
+        params = (
+            _cstring("user") + _cstring(user)
+            + _cstring("database") + _cstring(database)
+            + _cstring("client_encoding") + _cstring("UTF8")
+            + _cstring("DateStyle") + _cstring("ISO")
+            + b"\x00"
+        )
+        payload = struct.pack(">i", _PROTOCOL_V3) + params
+        self._sock.sendall(struct.pack(">i", len(payload) + 4) + payload)
+        while True:
+            mtype, body = _read_message(self._sock)
+            if mtype == b"E":
+                raise PgError(_parse_error_fields(body))
+            if mtype == b"R":
+                self._authenticate(body, user, password)
+            elif mtype == b"S":
+                key, _, val = body.rstrip(b"\x00").partition(b"\x00")
+                self.parameters[key.decode()] = val.decode()
+            elif mtype == b"K":
+                pass  # BackendKeyData: cancellation key, unused here
+            elif mtype == b"Z":
+                return
+            elif mtype == b"N":
+                pass
+            else:
+                raise PgProtocolError(
+                    f"unexpected startup message {mtype!r}")
+
+    def _authenticate(
+        self, body: bytes, user: str, password: str | None
+    ) -> None:
+        (code,) = struct.unpack(">i", body[:4])
+        if code == 0:  # AuthenticationOk (trust, or a finished exchange)
+            return
+        if password is None:
+            raise PgError(
+                {"M": f"server requires auth (code {code}) but no "
+                      "password was configured"})
+        if code == 3:  # CleartextPassword
+            _send_message(self._sock, b"p", _cstring(password))
+            return
+        if code == 5:  # MD5Password: md5(md5(password+user)+salt)
+            salt = body[4:8]
+            inner = hashlib.md5(
+                password.encode() + user.encode()).hexdigest()
+            digest = hashlib.md5(inner.encode() + salt).hexdigest()
+            _send_message(self._sock, b"p", _cstring("md5" + digest))
+            return
+        if code == 10:  # AuthenticationSASL: mechanism list
+            mechanisms = [
+                m.decode() for m in body[4:].split(b"\x00") if m]
+            if "SCRAM-SHA-256" not in mechanisms:
+                raise PgError(
+                    {"M": f"no supported SASL mechanism in {mechanisms}"})
+            first_bare, cont, verify = _scram_sha256_client(password)
+            initial = ("n,," + first_bare).encode("utf-8")
+            _send_message(
+                self._sock, b"p",
+                _cstring("SCRAM-SHA-256")
+                + struct.pack(">i", len(initial)) + initial)
+            mtype, sbody = _read_message(self._sock)
+            if mtype == b"E":
+                raise PgError(_parse_error_fields(sbody))
+            (scode,) = struct.unpack(">i", sbody[:4])
+            if mtype != b"R" or scode != 11:  # SASLContinue
+                raise PgProtocolError(
+                    f"expected SASLContinue, got {mtype!r}/{scode}")
+            final = cont(sbody[4:].decode("utf-8"))
+            _send_message(self._sock, b"p", final.encode("utf-8"))
+            mtype, sbody = _read_message(self._sock)
+            if mtype == b"E":
+                raise PgError(_parse_error_fields(sbody))
+            (scode,) = struct.unpack(">i", sbody[:4])
+            if mtype != b"R" or scode != 12:  # SASLFinal
+                raise PgProtocolError(
+                    f"expected SASLFinal, got {mtype!r}/{scode}")
+            verify(sbody[4:].decode("utf-8"))
+            return
+        raise PgError({"M": f"unsupported authentication code {code}"})
+
+    # -- simple query protocol
+
+    def query_stream(self, sql: str):
+        """Run ``sql`` and yield (columns, row_iterator).
+
+        ``row_iterator`` yields one tuple of DECODED Python values per
+        DataRow, parsed incrementally off the socket — a slice scan
+        holds one row in memory at a time, never the result set.
+        """
+        _send_message(self._sock, b"Q", _cstring(sql))
+        columns: list[PgColumn] | None = None
+        while True:
+            mtype, body = _read_message(self._sock)
+            if mtype == b"T":
+                columns = self._parse_row_description(body)
+                break
+            if mtype == b"C":  # e.g. a DDL statement: no row set
+                columns = []
+                break
+            if mtype == b"E":
+                self._drain_to_ready()
+                raise PgError(_parse_error_fields(body))
+            if mtype == b"Z":
+                return [], iter(())
+            if mtype in (b"N", b"S"):
+                continue
+            raise PgProtocolError(f"unexpected message {mtype!r} for query")
+        decoders = [c.decoder() for c in columns]
+
+        def rows():
+            while True:
+                mtype, body = _read_message(self._sock)
+                if mtype == b"D":
+                    yield self._decode_data_row(body, decoders)
+                elif mtype == b"C":
+                    continue
+                elif mtype == b"E":
+                    self._drain_to_ready()
+                    raise PgError(_parse_error_fields(body))
+                elif mtype == b"Z":
+                    return
+                elif mtype in (b"N", b"S", b"T"):
+                    continue
+                else:
+                    raise PgProtocolError(
+                        f"unexpected message {mtype!r} in result stream")
+
+        if not columns:
+            # consume through ReadyForQuery so the session is reusable
+            for _ in rows():
+                pass
+            return [], iter(())
+        return columns, rows()
+
+    def query(self, sql: str) -> tuple[list[PgColumn], list[tuple]]:
+        cols, rows = self.query_stream(sql)
+        return cols, list(rows)
+
+    def execute(self, sql: str) -> None:
+        self.query(sql)
+
+    def _drain_to_ready(self) -> None:
+        while True:
+            mtype, _body = _read_message(self._sock)
+            if mtype == b"Z":
+                return
+
+    @staticmethod
+    def _parse_row_description(body: bytes) -> list[PgColumn]:
+        (nfields,) = struct.unpack(">h", body[:2])
+        cols = []
+        i = 2
+        for _ in range(nfields):
+            end = body.index(b"\x00", i)
+            name = body[i:end].decode("utf-8")
+            i = end + 1
+            _table_oid, _attnum, type_oid, _typlen, typmod, _fmt = (
+                struct.unpack(">ihihih", body[i : i + 18]))
+            i += 18
+            cols.append(PgColumn(name=name, type_oid=type_oid, typmod=typmod))
+        return cols
+
+    @staticmethod
+    def _decode_data_row(body: bytes, decoders: list) -> tuple:
+        (ncols,) = struct.unpack(">h", body[:2])
+        out = []
+        i = 2
+        for c in range(ncols):
+            (length,) = struct.unpack(">i", body[i : i + 4])
+            i += 4
+            if length == -1:
+                out.append(None)
+                continue
+            text = body[i : i + length].decode("utf-8")
+            i += length
+            out.append(decoders[c](text))
+        return tuple(out)
+
+    # -- COPY subprotocol
+
+    def copy_in(self, sql: str, lines) -> int:
+        """``COPY ... FROM STDIN`` (text format): stream ``lines`` (str,
+        no trailing newline) as CopyData frames. Returns rows copied."""
+        _send_message(self._sock, b"Q", _cstring(sql))
+        mtype, body = _read_message(self._sock)
+        if mtype == b"E":
+            self._drain_to_ready()
+            raise PgError(_parse_error_fields(body))
+        if mtype != b"G":
+            raise PgProtocolError(f"expected CopyInResponse, got {mtype!r}")
+        buf = bytearray()
+        for line in lines:
+            buf += line.encode("utf-8") + b"\n"
+            if len(buf) >= 1 << 16:
+                _send_message(self._sock, b"d", bytes(buf))
+                buf.clear()
+        if buf:
+            _send_message(self._sock, b"d", bytes(buf))
+        _send_message(self._sock, b"c", b"")  # CopyDone
+        copied = 0
+        while True:
+            mtype, body = _read_message(self._sock)
+            if mtype == b"C":
+                tag = body.rstrip(b"\x00").decode()
+                if tag.startswith("COPY "):
+                    copied = int(tag.split()[1])
+            elif mtype == b"E":
+                self._drain_to_ready()
+                raise PgError(_parse_error_fields(body))
+            elif mtype == b"Z":
+                return copied
+            elif mtype in (b"N", b"S"):
+                continue
+            else:
+                raise PgProtocolError(
+                    f"unexpected message {mtype!r} after CopyDone")
+
+    def copy_out(self, sql: str):
+        """``COPY ... TO STDOUT`` (text format): yield one decoded text
+        line per row (caller splits on tabs)."""
+        _send_message(self._sock, b"Q", _cstring(sql))
+        mtype, body = _read_message(self._sock)
+        if mtype == b"E":
+            self._drain_to_ready()
+            raise PgError(_parse_error_fields(body))
+        if mtype != b"H":
+            raise PgProtocolError(f"expected CopyOutResponse, got {mtype!r}")
+        tail = b""
+        while True:
+            mtype, body = _read_message(self._sock)
+            if mtype == b"d":
+                data = tail + body
+                *lines, tail = data.split(b"\n")
+                for line in lines:
+                    yield line.decode("utf-8")
+            elif mtype == b"c":
+                continue
+            elif mtype == b"C":
+                continue
+            elif mtype == b"E":
+                self._drain_to_ready()
+                raise PgError(_parse_error_fields(body))
+            elif mtype == b"Z":
+                if tail:
+                    yield tail.decode("utf-8")
+                return
+            elif mtype in (b"N", b"S"):
+                continue
+            else:
+                raise PgProtocolError(
+                    f"unexpected message {mtype!r} in COPY OUT")
+
+    def close(self) -> None:
+        try:
+            _send_message(self._sock, b"X", b"")  # Terminate
+        except OSError:
+            pass
+        self._sock.close()
+
+    def __enter__(self) -> "PgConnection":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+# ----------------------------------------------------- COPY text escaping
+
+_COPY_ESCAPES = {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
+
+
+def _copy_field(value) -> str:
+    """One value in COPY text format (NULL = \\N, escapes per the COPY
+    docs). Covers the types the Spark writer can emit."""
+    if value is None:
+        return "\\N"
+    if isinstance(value, bool):
+        return "t" if value else "f"
+    if isinstance(value, (bytes, bytearray)):
+        return "\\\\x" + bytes(value).hex()
+    if isinstance(value, datetime):
+        return value.isoformat(sep=" ")
+    if isinstance(value, date):
+        return value.isoformat()
+    if isinstance(value, float):
+        return repr(value)
+    text = str(value)
+    if any(ch in text for ch in "\\\t\n\r"):
+        for raw, esc in _COPY_ESCAPES.items():
+            text = text.replace(raw, esc)
+    return text
+
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _check_ident(name: str, what: str) -> str:
+    if not _IDENT_RE.fullmatch(name):
+        raise ValueError(f"{what} is not a plain identifier: {name!r}")
+    return name
+
+
+def write_pgwire(
+    df: DataFrame,
+    host: str,
+    port: int,
+    table: str,
+    *,
+    user: str = "spark",
+    database: str = "postgres",
+    password: str | None = None,
+) -> None:
+    """Executor-parallel load: each Spark partition opens its own wire
+    connection and streams its rows as one ``COPY ... FROM STDIN``.
+
+    COPY is the bulk path the real server optimizes for (single WAL
+    stream, no per-row parse); per-partition connections are the same
+    fan-in topology as the JDBC writer. At-least-once under task retry
+    — pair with a staging table + rename, or a PK + ON CONFLICT
+    upsert, where exactly-once matters (same stance as the Kafka
+    producer leg)."""
+    _check_ident(table, "table")
+    cols = [_check_ident(c, "column") for c in df.columns]
+    col_list = ", ".join(cols)
+    sql = f"COPY {table} ({col_list}) FROM STDIN"
+
+    def load_partition(rows) -> None:
+        first = next(rows, None)
+        if first is None:
+            return  # empty partition: don't even dial
+        def lines():
+            yield "\t".join(_copy_field(v) for v in first)
+            for row in rows:
+                yield "\t".join(_copy_field(v) for v in row)
+        with PgConnection(
+            host, port, user=user, database=database, password=password
+        ) as conn:
+            conn.copy_in(sql, lines())
+
+    df.foreachPartition(load_partition)
+
+
+# ------------------------------------------------------ Spark DataSource
+
+
+class PgWirePartition(InputPartition):
+    """One key-range slice: the full SQL this executor task will run."""
+
+    def __init__(self, sql: str):
+        self.sql = sql
+
+
+def _sql_literal(value) -> str:
+    if value is None:
+        raise ValueError("NULL literal in a pushed filter")
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, datetime):
+        return "'" + value.isoformat(sep=" ") + "'"
+    if isinstance(value, date):
+        return "'" + value.isoformat() + "'"
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+class PgWireReader(DataSourceReader):
+    """Range-partitioned scan over the wire, filters pushed into SQL.
+
+    Mirrors the Spark JDBC reader's contract exactly:
+    ``partitionColumn/lowerBound/upperBound/numPartitions`` carve
+    [lo, hi) into equal strides, with the first and last slice left
+    open-ended (``< hi_1`` / ``>= lo_n``) so out-of-bounds keys are
+    read once instead of dropped — the JDBC semantics that make the
+    bounds a parallelism hint, not a filter."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._options = options
+        self._host = options.get("host", "127.0.0.1")
+        self._port = int(options["port"])
+        self._user = options.get("user", "spark")
+        self._database = options.get("database", "postgres")
+        self._password = options.get("password")
+        self._columns = _resolve_columns(options)
+        self._pushed: list[str] = []
+
+    def _relation(self) -> str:
+        return _relation_sql(self._options)
+
+    def pushFilters(self, filters):
+        """Compile supported predicates into the slice SQL (real
+        pushdown: the server's scan applies them) and report EVERY
+        filter as residual so Spark re-applies row-level — the prune
+        can only over-deliver work, never under-filter."""
+        for f in filters:
+            frag = _filter_to_sql(f)
+            if frag is not None:
+                self._pushed.append(frag)
+            yield f
+
+    def partitions(self):
+        o = self._options
+        where = list(self._pushed)
+        base_where = o.get("where")
+        if base_where:
+            where.append(f"({base_where})")
+        col = o.get("partitionColumn")
+        if not col:
+            return [PgWirePartition(self._select_sql(where))]
+        _check_ident(col, "partitionColumn")
+        lo = int(o["lowerBound"])
+        hi = int(o["upperBound"])
+        n = max(1, int(o.get("numPartitions", "1")))
+        if hi <= lo:
+            raise ValueError(f"upperBound {hi} <= lowerBound {lo}")
+        n = min(n, hi - lo)
+        stride = (hi - lo) // n
+        parts = []
+        for i in range(n):
+            s_lo = lo + i * stride
+            s_hi = lo + (i + 1) * stride if i < n - 1 else hi
+            bounds = []
+            if i > 0:
+                bounds.append(f"{col} >= {s_lo}")
+            if i < n - 1:
+                bounds.append(f"{col} < {s_hi}")
+            if not bounds:  # n == 1: the single slice reads everything
+                bounds = []
+            parts.append(
+                PgWirePartition(self._select_sql(where + bounds)))
+        return parts
+
+    def _select_sql(self, where: list[str]) -> str:
+        cols = ", ".join(self._columns)
+        sql = f"SELECT {cols} FROM {self._relation()}"
+        if where:
+            sql += " WHERE " + " AND ".join(where)
+        return sql
+
+    def read(self, partition: PgWirePartition):
+        with PgConnection(
+            self._host, self._port, user=self._user,
+            database=self._database, password=self._password,
+        ) as conn:
+            _cols, rows = conn.query_stream(partition.sql)
+            yield from rows
+
+
+def _filter_to_sql(f) -> str | None:
+    """Supported filter → SQL fragment; None = leave it to Spark."""
+    def col(attr) -> str | None:
+        if len(attr) != 1 or not _IDENT_RE.fullmatch(attr[0]):
+            return None
+        return attr[0]
+
+    if isinstance(f, EqualTo):
+        c = col(f.attribute)
+        return None if c is None else f"{c} = {_sql_literal(f.value)}"
+    if isinstance(f, GreaterThan):
+        c = col(f.attribute)
+        return None if c is None else f"{c} > {_sql_literal(f.value)}"
+    if isinstance(f, GreaterThanOrEqual):
+        c = col(f.attribute)
+        return None if c is None else f"{c} >= {_sql_literal(f.value)}"
+    if isinstance(f, LessThan):
+        c = col(f.attribute)
+        return None if c is None else f"{c} < {_sql_literal(f.value)}"
+    if isinstance(f, LessThanOrEqual):
+        c = col(f.attribute)
+        return None if c is None else f"{c} <= {_sql_literal(f.value)}"
+    if isinstance(f, In):
+        c = col(f.attribute)
+        if c is None or not f.value:
+            return None
+        return f"{c} IN ({', '.join(_sql_literal(v) for v in f.value)})"
+    if isinstance(f, IsNull):
+        c = col(f.attribute)
+        return None if c is None else f"{c} IS NULL"
+    if isinstance(f, IsNotNull):
+        c = col(f.attribute)
+        return None if c is None else f"{c} IS NOT NULL"
+    return None
+
+
+def _relation_sql(options: dict) -> str:
+    table = options.get("table")
+    if table:
+        return _check_ident(table, "table")
+    query = options.get("query")
+    if query:
+        return f"({query}) pgwire_subquery"
+    raise ValueError("pgwire: set .option('table', ...) or .option('query', ...)")
+
+
+def _resolve_columns(options: dict) -> list[str]:
+    cols = options.get("columns")
+    if cols:
+        return [_check_ident(c.strip(), "column") for c in cols.split(",")]
+    return ["*"]
+
+
+class PgWireDataSource(DataSource):
+    """``spark.read.format("pgwire")`` — options: port (required),
+    host, user, database, password, table | query, columns (projection
+    pushed to the server), where (extra predicate), partitionColumn/
+    lowerBound/upperBound/numPartitions (JDBC-style range slices)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgwire"
+
+    def schema(self):
+        """Planning-time schema resolve: one LIMIT-0 round trip — the
+        RowDescription carries every column's type OID + typmod, which
+        map 1:1 onto Spark DDL types (the wire analogue of JDBC's
+        ResultSetMetaData)."""
+        o = self.options
+        cols = ", ".join(_resolve_columns(o))
+        sql = f"SELECT {cols} FROM {_relation_sql(o)} LIMIT 0"
+        with PgConnection(
+            o.get("host", "127.0.0.1"), int(o["port"]),
+            user=o.get("user", "spark"),
+            database=o.get("database", "postgres"),
+            password=o.get("password"),
+        ) as conn:
+            columns, _rows = conn.query(sql)
+        if not columns:
+            raise PgProtocolError(f"schema probe returned no columns: {sql}")
+        return ", ".join(
+            f"{c.name} {c.spark_ddl_type()}" for c in columns)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return PgWireReader(schema, self.options)
+
+
+def register_pgwire_source(spark: SparkSession) -> None:
+    """Idempotent registration (same conf note as the kafkawire source:
+    Spark 4.1 refuses pushFilters readers without the runtime flag)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PgWireDataSource)
+
+
+def read_pgwire(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    table: str | None = None,
+    *,
+    query: str | None = None,
+    user: str = "spark",
+    database: str = "postgres",
+    password: str | None = None,
+    columns: list[str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """Partitioned scan of a real PostgreSQL table over the wire."""
+    register_pgwire_source(spark)
+    reader = (
+        spark.read.format("pgwire")
+        .option("host", host)
+        .option("port", str(port))
+        .option("user", user)
+        .option("database", database)
+    )
+    if password is not None:
+        reader = reader.option("password", password)
+    if table is not None:
+        reader = reader.option("table", table)
+    if query is not None:
+        reader = reader.option("query", query)
+    if columns:
+        reader = reader.option("columns", ",".join(columns))
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            with PgConnection(
+                host, port, user=user, database=database, password=password
+            ) as conn:
+                _check_ident(partition_column, "partitionColumn")
+                rel = _relation_sql(
+                    {"table": table} if table else {"query": query})
+                _cols, rows = conn.query(
+                    f"SELECT MIN({partition_column}), MAX({partition_column})"
+                    f" FROM {rel}")
+            lo, hi = rows[0] if rows else (None, None)
+            if lo is None:
+                return reader.load()  # empty table: single no-op slice
+            lower_bound, upper_bound = int(lo), int(hi) + 1
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+# ------------------------------------------------------- server harness
+
+
+class PgServerUnavailable(RuntimeError):
+    """The container has no usable PostgreSQL binaries — capability
+    error, same stance as the optional codec guards in codecs.py."""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class PgServer:
+    """A REAL PostgreSQL server for tests and fixture keys.
+
+    ``initdb`` + ``pg_ctl start`` on a free loopback port, trust auth,
+    durability off (fsync/synchronous_commit/full_page_writes) because
+    the data dir is throwaway. PostgreSQL refuses to run as root, so
+    under euid 0 every server-side command is wrapped in
+    ``runuser -u postgres`` and the data dir handed to that user —
+    the same privilege-drop any root-run CI does.
+
+    Use as a context manager; ``pg.connect()`` opens a wire session.
+    """
+
+    def __init__(self, *, user: str = "spark", database: str = "postgres"):
+        self.user = user
+        self.database = database
+        self.host = "127.0.0.1"
+        self.port = 0
+        self._dir: str | None = None
+        self._started = False
+
+    # -- process plumbing
+
+    @staticmethod
+    def _binaries_ok() -> bool:
+        return bool(shutil.which("initdb") and shutil.which("pg_ctl"))
+
+    def _run(self, args: list[str], **kw) -> subprocess.CompletedProcess:
+        if os.geteuid() == 0:
+            args = ["runuser", "-u", "postgres", "--"] + args
+        return subprocess.run(
+            args, capture_output=True, text=True, cwd="/tmp", **kw)
+
+    def __enter__(self) -> "PgServer":
+        if not self._binaries_ok():
+            raise PgServerUnavailable(
+                "initdb/pg_ctl not on PATH — install PostgreSQL server "
+                "binaries to run the real-server pgwire tests")
+        self._dir = tempfile.mkdtemp(prefix="pgwire-")
+        data = os.path.join(self._dir, "data")
+        if os.geteuid() == 0:
+            shutil.chown(self._dir, user="postgres", group="postgres")
+        out = self._run(
+            ["initdb", "-D", data, "-A", "trust", "-U", self.user,
+             "--no-sync", "-E", "UTF8"])
+        if out.returncode != 0:
+            self.__exit__(None, None, None)
+            raise PgServerUnavailable(f"initdb failed: {out.stderr[-500:]}")
+        self.port = _free_port()
+        pg_opts = (
+            f"-p {self.port} -c listen_addresses=127.0.0.1 "
+            f"-c unix_socket_directories={self._dir} "
+            "-c fsync=off -c synchronous_commit=off "
+            "-c full_page_writes=off -c autovacuum=off"
+        )
+        out = self._run(
+            ["pg_ctl", "-D", data, "-o", pg_opts,
+             "-l", os.path.join(self._dir, "server.log"), "-w", "start"])
+        if out.returncode != 0:
+            self.__exit__(None, None, None)
+            raise PgServerUnavailable(
+                f"pg_ctl start failed: {out.stderr[-500:]}")
+        self._started = True
+        deadline = time.monotonic() + 30.0
+        last: Exception | None = None
+        while time.monotonic() < deadline:
+            try:
+                self.connect().close()
+                return self
+            except (OSError, PgError, PgProtocolError) as exc:
+                last = exc
+                time.sleep(0.1)
+        self.__exit__(None, None, None)
+        raise PgServerUnavailable(f"server never became ready: {last}")
+
+    def __exit__(self, *exc) -> None:
+        if self._started:
+            self._run(
+                ["pg_ctl", "-D", os.path.join(self._dir, "data"),
+                 "-m", "immediate", "stop"])
+            self._started = False
+        if self._dir and os.path.isdir(self._dir):
+            shutil.rmtree(self._dir, ignore_errors=True)
+        self._dir = None
+
+    # -- conveniences
+
+    def connect(
+        self, *, user: str | None = None, password: str | None = None,
+        database: str | None = None,
+    ) -> PgConnection:
+        return PgConnection(
+            self.host, self.port, user=user or self.user,
+            database=database or self.database, password=password,
+            timeout=10.0)
+
+    def require_auth(self, user: str, method: str) -> None:
+        """Prepend a pg_hba rule forcing ``method`` (scram-sha-256 /
+        md5 / password) for ``user`` on loopback, then reload. First
+        match wins in pg_hba, so prepending overrides the trust rule."""
+        hba = os.path.join(self._dir, "data", "pg_hba.conf")
+        rule = f"host all {user} 127.0.0.1/32 {method}\n"
+        # root can read/write the postgres-owned file directly
+        with open(hba) as f:
+            current = f.read()
+        with open(hba, "w") as f:
+            f.write(rule + current)
+        with self.connect() as conn:
+            conn.query("SELECT pg_reload_conf()")
+
+
+# ------------------------------------------------------------ fixture key
+
+
+@register(
+    "pgwire_scan_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_minor,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS created_at
+    FROM orders
+    WHERE o_orderkey % 200 = 7
+    """,
+    doc="S1 against a REAL PostgreSQL 15 server: a deterministic orders "
+        "carve is loaded executor-parallel over the v3 wire protocol "
+        "(COPY FROM STDIN per partition), then read back through the "
+        "pgwire Spark source as a 4-slice range-partitioned scan — the "
+        "replica-read leg of main.rs:167-170 executed against the real "
+        "server binary, not a double.",
+)
+def pgwire_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip a carve of orders through a real PostgreSQL server.
+
+    Load and read both run on executors (foreachPartition COPY in, one
+    wire connection per range slice out); the carve is materialized
+    inside the server's lifetime and re-emitted as a Spark frame — the
+    same bounded verification pattern as kafka_wire_fetch_roundtrip
+    (~0.5% of orders; at real scale the slices point at a replica).
+    """
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderkey % 200 = 7")
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+             .alias("amount_minor"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+             .alias("created_at"),
+        )
+    )
+    with PgServer() as pg:
+        with pg.connect() as conn:
+            conn.execute(
+                "CREATE TABLE orders_slice ("
+                " o_orderkey bigint, o_custkey bigint,"
+                " o_orderstatus text, amount_minor bigint,"
+                " created_at text)")
+        write_pgwire(
+            src.repartition(4), pg.host, pg.port, "orders_slice",
+            user=pg.user, database=pg.database)
+        back = read_pgwire(
+            spark, pg.host, pg.port, "orders_slice",
+            user=pg.user, database=pg.database,
+            partition_column="o_orderkey", num_partitions=4)
+        rows = [tuple(r) for r in back.collect()]
+    return spark.createDataFrame(
+        sorted(rows),
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "amount_minor bigint, created_at string",
+    )

@@ -134,7 +134,8 @@ def test_sniff_magic_dispatch():
     assert codecs.sniff(codecs.encode_png(np.zeros((1, 1), dtype=np.uint8))) == "png"
     assert codecs.sniff(codecs.encode_wav(np.zeros(4, dtype=np.int16))) == "wav"
     assert codecs.sniff(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
-    assert codecs.sniff(b"RIFFxxxxAVI ") == "raw"
+    assert codecs.sniff(b"RIFFxxxxAVI ") == "avi"  # real container (r14)
+    assert codecs.sniff(b"RIFFxxxxELSE") == "raw"
     assert codecs.sniff(b"plain bytes") == "raw"
 
 
@@ -147,3 +148,82 @@ def test_decode_image_jpeg_requires_pil():
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
         codecs.decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+# ----------------------------------------------------------------- AVI
+
+
+def test_avi_roundtrip_grayscale():
+    """encode_avi → decode_avi is the identity for (f, h, w) uint8,
+    including widths that need 4-byte row-stride padding."""
+    rng = np.random.default_rng(7)
+    for shape in ((1, 4, 4), (5, 16, 16), (3, 9, 7), (4, 6, 13)):
+        frames = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = codecs.encode_avi(frames, fps=12)
+        assert codecs.sniff(payload) == "avi"
+        got = codecs.decode_avi(payload)
+        assert got.shape == shape
+        assert np.array_equal(got, frames)
+
+
+def test_avi_container_structure():
+    """The written container is structurally standard RIFF: AVI magic,
+    hdrl with avih dims, movi with one 00db per frame, idx1 index."""
+    frames = np.arange(2 * 4 * 4, dtype=np.uint8).reshape(2, 4, 4)
+    payload = codecs.encode_avi(frames, fps=10)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    assert riff_size == len(payload) - 8
+    assert payload.count(b"00db") == 2 + 2  # movi chunks + idx1 entries
+    assert b"idx1" in payload and b"avih" in payload and b"strf" in payload
+
+
+def test_avi_24bit_dib_frame_gray():
+    """24-bit BGR DIB rows decode to integer-mean gray, bottom-up."""
+    # one 2x2 frame: BGR triples, rows padded to 4 bytes (2*3=6 → 8)
+    top = [(10, 20, 30), (40, 50, 60)]
+    bot = [(70, 80, 90), (100, 110, 120)]
+    raw = b""
+    for row in (bot, top):  # bottom-up storage
+        for b, g, r in row:
+            raw += bytes((b, g, r))
+        raw += b"\x00\x00"  # stride pad
+    img = codecs._dib_frame_to_gray(raw, 2, 2, 24, None)
+    assert img.tolist() == [[20, 50], [80, 110]]
+
+
+def test_avi_mjpg_capability_gate():
+    """An MJPG-compressed AVI either decodes via PIL or refuses with the
+    per-format capability error — never silently-wrong frames."""
+    frames = np.zeros((1, 4, 4), dtype=np.uint8)
+    payload = bytearray(codecs.encode_avi(frames))
+    i = payload.index(b"strf")
+    # biCompression sits 16 bytes into BITMAPINFOHEADER (after fourcc+size)
+    payload[i + 8 + 16 : i + 8 + 20] = codecs.AVI_MJPG_FOURCC
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        with pytest.raises(Exception):  # frame bytes are not a real JPEG
+            codecs.decode_avi(bytes(payload))
+    else:
+        with pytest.raises(NotImplementedError, match="MJPG"):
+            codecs.decode_avi(bytes(payload))
+
+
+def test_avi_refuses_malformed():
+    with pytest.raises(ValueError, match="AVI"):
+        codecs.decode_avi(b"RIFF\x04\x00\x00\x00AVI ")  # no headers
+    with pytest.raises(ValueError, match="not an AVI"):
+        codecs.decode_avi(b"\x00" * 16)
+    good = codecs.encode_avi(np.zeros((1, 4, 4), dtype=np.uint8))
+    truncated = bytearray(good)
+    (sz,) = struct.unpack_from("<I", truncated, 4)
+    struct.pack_into("<I", truncated, 4, sz + 64)  # lie about the size
+    i = truncated.index(b"00db")
+    struct.pack_into("<I", truncated, i + 4, 1 << 20)  # chunk overrun
+    with pytest.raises(ValueError, match="overruns"):
+        codecs.decode_avi(bytes(truncated))

@@ -601,6 +601,9 @@ def test_stream_chunked_with_group_commit(spark):
             # the group cursor is at-least-once, like a real consumer)
             produce_rows(iter(_rows("ev", 15, prefix="x")),
                          "127.0.0.1", b.port, batch_size=16)
+            # fresh budget: a slow first drain must not starve this wait
+            # (r13 ADVICE item 3 — flake risk on loaded hosts)
+            deadline = time.time() + 120
             while spark.table("wire_chunked").count() < 75:
                 assert q.exception() is None, q.exception()
                 assert time.time() < deadline, "second wave did not drain"

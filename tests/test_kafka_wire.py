@@ -219,7 +219,8 @@ def test_negotiation_against_live_broker():
     """A raw-socket KIP-35 handshake against the double: the default
     broker advertises the v0 dialect plus the r12 record-batch dialect
     (Produce 0..3) plus the r13 consume side (Fetch 0..4, ListOffsets 0)
-    and counts the exchange."""
+    plus the r14 group-coordination legs (JoinGroup/Heartbeat/
+    LeaveGroup/SyncGroup v0) and counts the exchange."""
     import socket
 
     with WireBroker() as broker:
@@ -228,7 +229,8 @@ def test_negotiation_against_live_broker():
         s.close()
         handshakes = broker.api_versions_requests
     assert versions == {0: (0, 3), 1: (0, 4), 2: (0, 0), 3: (0, 0),
-                        8: (0, 0), 9: (0, 0), 18: (0, 0)}
+                        8: (0, 0), 9: (0, 0), 11: (0, 0), 12: (0, 0),
+                        13: (0, 0), 14: (0, 0), 18: (0, 0)}
     assert handshakes == 1
 
 

@@ -75,7 +75,7 @@ _blob = st.one_of(st.none(), st.binary(max_size=64))
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.tuples(_blob, _blob), min_size=0, max_size=16),
        st.integers(min_value=0, max_value=2**40),
-       st.sampled_from(["none", "gzip", "snappy", "zstd"]))
+       st.sampled_from(["none", "gzip", "snappy", "lz4", "zstd"]))
 def test_record_batch_roundtrip_property(msgs, ts, codec):
     assert parse_record_batch_v2(
         encode_record_batch_v2(msgs, base_timestamp=ts, compression=codec)
@@ -96,10 +96,6 @@ def test_gzip_batch_attributes_and_determinism():
     assert attrs & 0x07 == 1
     with pytest.raises(ValueError, match="compression"):
         encode_record_batch_v2(msgs, compression="brotli")
-    # r13: lz4 is a CAPABILITY error (pyarrow's one-shot LZ4 frame
-    # omits the content size the decode side needs), not an unknown
-    with pytest.raises(NotImplementedError, match="lz4"):
-        encode_record_batch_v2(msgs, compression="lz4")
     bad = bytearray(a)
     bad[-3] ^= 0xFF
     with pytest.raises(ValueError, match="CRC-32C"):
@@ -378,7 +374,7 @@ def test_snappy_zstd_batches_attributes_and_corruption():
     Frame_Content_Size) — and corruption inside the compressed block
     still fails the batch CRC, same as gzip."""
     msgs = [(b"k" * 50, b"v" * 500), (None, b"x" * 500), (b"q", None)]
-    for codec, bits in (("snappy", 2), ("zstd", 4)):
+    for codec, bits in (("snappy", 2), ("lz4", 3), ("zstd", 4)):
         buf = encode_record_batch_v2(msgs, compression=codec)
         assert parse_record_batch_v2(buf) == msgs
         attrs = int.from_bytes(buf[21:23], "big")
@@ -395,7 +391,7 @@ def test_snappy_zstd_wire_roundtrip_over_tcp():
     compression, broker double decodes into the same log."""
     from hyperswitch_data_backfill_spark.sinks.kafka_wire import WireBroker
 
-    for codec in ("snappy", "zstd"):
+    for codec in ("snappy", "lz4", "zstd"):
         rows = [{"key": f"k{i}", "value": f"v{i}" * 40, "topic": f"t-{codec}"}
                 for i in range(25)]
         with WireBroker() as b:
@@ -405,3 +401,101 @@ def test_snappy_zstd_wire_roundtrip_over_tcp():
             got = b.records(f"t-{codec}")
             assert got == [(f"k{i}".encode(), (f"v{i}" * 40).encode())
                            for i in range(25)]
+
+
+# ------------------------------------------------------------- LZ4 frame
+
+
+def test_xxh32_published_vectors():
+    """XXH32 pinned to the published xxHash test values (same discipline
+    as the CRC-32C RFC 3720 pin)."""
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import xxh32
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"", seed=1) == 0x0B2CB792
+
+
+def test_lz4_frame_roundtrip_and_content_size():
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    for payload in (b"", b"short", b"ab" * 5000, bytes(range(256)) * 300):
+        frame = lz4_frame_compress(payload)
+        assert lz4_frame_decompress(frame) == payload
+        # FLG 0x68: version 01, independent blocks, ContentSize present
+        assert frame[4] == 0x68
+        import struct as _s
+
+        assert _s.unpack_from("<Q", frame, 6)[0] == len(payload)
+
+
+def test_lz4_frame_cross_decode_with_pyarrow():
+    """Cross-encoder interop both directions: pyarrow's LZ4-frame codec
+    (an independent real implementation) decodes OUR frames, and our
+    from-spec parser decodes pyarrow's frames — which carry NO
+    ContentSize, exercising the pure-Python block-decode path."""
+    import pyarrow as pa
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    payload = b"the quick brown fox " * 2000
+    theirs = pa.Codec("lz4").compress(payload, asbytes=True)
+    assert lz4_frame_decompress(theirs) == payload
+    ours = lz4_frame_compress(payload)
+    assert pa.Codec("lz4").decompress(
+        ours, decompressed_size=len(payload), asbytes=True) == payload
+
+
+def test_lz4_frame_refuses_corruption():
+    import struct as _s
+
+    import pytest as _pytest
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    frame = bytearray(lz4_frame_compress(b"payload" * 100))
+    bad = bytearray(frame)
+    bad[5] ^= 0x10  # descriptor bit flip → header checksum mismatch
+    with _pytest.raises(ValueError, match="header checksum"):
+        lz4_frame_decompress(bytes(bad))
+    bad = bytearray(frame)
+    _s.pack_into("<Q", bad, 6, 999)  # ContentSize lie
+    bad[14] = (  # re-seal the header checksum so the SIZE check trips
+        __import__(
+            "hyperswitch_data_backfill_spark.sinks.kafka_wire_v2",
+            fromlist=["xxh32"],
+        ).xxh32(bytes(bad[4:14])) >> 8
+    ) & 0xFF
+    with _pytest.raises(ValueError, match="ContentSize"):
+        lz4_frame_decompress(bytes(bad))
+    with _pytest.raises(ValueError, match="magic"):
+        lz4_frame_decompress(b"\x00\x11\x22\x33rest")
+
+
+def test_lz4_stored_block_path():
+    """Incompressible content falls back to a stored block (high bit of
+    the block-size word) and still round-trips."""
+    import os as _os
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    payload = _os.urandom(4096)  # incompressible
+    frame = lz4_frame_compress(payload)
+    import struct as _s
+
+    (word,) = _s.unpack_from("<I", frame, 15)  # first block size word
+    assert word >> 31 == 1  # stored, not compressed
+    assert lz4_frame_decompress(frame) == payload

@@ -314,3 +314,47 @@ def test_vhash_fixture_oracles(spark, duck):
         df = q.fn(spark, SF_DIR)
         assert df.count() > 0
         assert_oracle_match(df, duck, q.oracle, name=key)
+
+
+def test_video_family_recovered_through_avi_container(spark):
+    """r13 stretch item 8: the SAME clip family is recovered when clips
+    arrive as real AVI containers (uncompressed-DIB streams, decoded
+    from the container's own strf header) — and a family split ACROSS
+    container types (one member AVI, one raw frame-major) still pairs,
+    because the decode stage normalizes both to identical pixels."""
+    import numpy as np
+
+    from hyperswitch_data_backfill_spark.operators import codecs
+    from hyperswitch_data_backfill_spark.operators.perceptual import (
+        neardup_videos,
+        video_frame_dhash,
+    )
+
+    rng = np.random.default_rng(41)
+    base = rng.integers(0, 256, size=(8, 32, 32), dtype=np.uint8)
+    noisy = base.copy(); noisy[:, 5, 5] ^= 0x01
+    recut = np.concatenate([base[2:], base[:2]])
+    other = rng.integers(0, 256, size=(8, 32, 32), dtype=np.uint8)
+
+    def _avi_row(media_id, frames_arr):
+        return (media_id, "video",
+                bytearray(codecs.encode_avi(frames_arr, fps=8)), None)
+
+    media = spark.createDataFrame(
+        [_avi_row(1, base), _video_row(2, noisy),   # AVI + raw, one family
+         _avi_row(3, recut), _avi_row(9, other)],
+        MEDIA_DDL,
+    )
+    # the AVI rows decode to the same per-frame hashes as raw rows
+    hashes = {(r.media_id, r.slot): r.dhash for r in
+              video_frame_dhash(media, sample_frames=4).collect()}
+    raw_media = spark.createDataFrame([_video_row(1, base)], MEDIA_DDL)
+    raw_hashes = {(r.media_id, r.slot): r.dhash for r in
+                  video_frame_dhash(raw_media, sample_frames=4).collect()}
+    for slot in range(4):
+        assert hashes[(1, slot)] == raw_hashes[(1, slot)]
+    got = {(r.id_a, r.id_b): r.n_frame_matches for r in
+           neardup_videos(media, sample_frames=4).collect()}
+    assert got.get((1, 2)) == 4          # cross-container family found
+    assert (1, 3) in got                 # AVI recut containment found
+    assert not any(9 in p for p in got)

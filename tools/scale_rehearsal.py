@@ -627,6 +627,59 @@ def wire_mode() -> None:
               f"| {rate(f4)} | {sd:.2f} / {batches} |")
 
 
+def pgwire_mode() -> None:
+    """--pgwire: throughput of the real-Postgres wire legs, no Spark —
+    COPY-in rate, single-connection streamed scan rate, and 4-slice
+    sequential scan rate (the per-task rate a 4-partition Spark read
+    achieves IN PARALLEL), at growing row counts. Linear walls = no
+    superlinear parse/encode cost anywhere in the protocol stack."""
+    import time as _t
+
+    from hyperswitch_data_backfill_spark.sources.pgwire import PgServer
+
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    factors = [int(x) for x in sys.argv[3:]] or [1, 4, 16]
+    print("| N | rows | COPY in (s / krow/s) | scan 1-conn (s / krow/s) "
+          "| scan 4-slice seq (s / krow/s) |")
+    print("|---|---|---|---|---|")
+    with PgServer() as pg:
+        with pg.connect() as conn:
+            conn.execute(
+                "CREATE TABLE reh (k bigint, grp int, s text, v float8)")
+        for n in factors:
+            total = base * n
+            with pg.connect() as conn:
+                conn.execute("TRUNCATE reh")
+                t0 = _t.time()
+                conn.copy_in(
+                    "COPY reh (k, grp, s, v) FROM STDIN",
+                    (f"{i}\t{i % 97}\tpayload-{i:016d}\t{i * 0.5}"
+                     for i in range(total)))
+                ci = _t.time() - t0
+                t0 = _t.time()
+                _cols, rows_iter = conn.query_stream(
+                    "SELECT k, grp, s, v FROM reh")
+                got = sum(1 for _ in rows_iter)
+                s1 = _t.time() - t0
+                assert got == total
+            t0 = _t.time()
+            got = 0
+            stride = total // 4 + 1
+            for lo in range(0, total, stride):
+                with pg.connect() as conn:
+                    _cols, rows_iter = conn.query_stream(
+                        f"SELECT k, grp, s, v FROM reh WHERE k >= {lo}"
+                        f" AND k < {lo + stride}")
+                    got += sum(1 for _ in rows_iter)
+            s4 = _t.time() - t0
+            assert got == total
+
+            def rate(w: float) -> str:
+                return f"{w:.2f} / {total / w / 1000:.0f}"
+            print(f"| {n} | {total} | {rate(ci)} | {rate(s1)} "
+                  f"| {rate(s4)} |")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_mode()
@@ -638,5 +691,7 @@ if __name__ == "__main__":
         perceptual_mode()
     elif len(sys.argv) > 1 and sys.argv[1] == "--wire":
         wire_mode()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pgwire":
+        pgwire_mode()
     else:
         main()
