@@ -138,6 +138,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_video_vhash_pairs",  # green r13; impl changed (AVI branch)
     "pgwire_scan_orders",  # no evidence (new r14)
     "stream_kafka_wire_tumbling_parallel",  # no evidence (new r14)
+    "stream_pgwire_tail",  # no evidence (new r14)
     "decontam_ngram",  # green r10
     "dedup_clusters",  # green r10
     "dedup_exact_hashkey",  # green r10
@@ -178,7 +179,6 @@ _DRIVER_WINDOW: list[str] = [
     "win_rank_stats",  # green r10
     "win_rownum",  # green r10
     "win_running_sum",  # green r10
-    "win_tumbling",  # green r10
 ]
 
 

@@ -68,6 +68,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     IsNull,
     IsNotNull,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -710,6 +711,25 @@ class PgWireReader(DataSourceReader):
         base_where = o.get("where")
         if base_where:
             where.append(f"({base_where})")
+        preds = o.get("predicates")
+        if preds:
+            # predicate mode (the jdbc.py merchant-isolation twin): one
+            # slice per caller-supplied WHERE fragment, JSON-encoded in
+            # the option; mutually exclusive with range slicing
+            if o.get("partitionColumn"):
+                raise ValueError(
+                    "pgwire: predicates and partitionColumn are mutually "
+                    "exclusive slice strategies")
+            import json as _json
+
+            fragments = _json.loads(preds)
+            if not isinstance(fragments, list) or not fragments:
+                raise ValueError("pgwire: predicates must be a non-empty "
+                                 "JSON list of WHERE fragments")
+            return [
+                PgWirePartition(self._select_sql(where + [f"({frag})"]))
+                for frag in fragments
+            ]
         col = o.get("partitionColumn")
         if not col:
             return [PgWirePartition(self._select_sql(where))]
@@ -805,11 +825,113 @@ def _resolve_columns(options: dict) -> list[str]:
     return ["*"]
 
 
+class PgWireStreamReader(SimpleDataSourceStreamReader):
+    """Keyset-cursor streaming tail of a real Postgres table
+    (``spark.readStream.format("pgwire")``): the offset is the highest
+    key consumed; each micro-batch reads ``key > cursor`` (capped by
+    ``maxRowsPerBatch`` via ORDER BY key LIMIT — the admission-control
+    stance of the kafkawire leg), and ``readBetweenOffsets`` re-reads
+    the exact ``(lo, hi]`` slice so Spark's batch replay is
+    deterministic.
+
+    Contract: the key column must be MONOTONE for new rows (serial /
+    sequence PK, the backfill-source shape the reference tails with
+    LIMIT/OFFSET pages — payment_intent.rs:61-68); updates to already-
+    consumed keys are NOT re-observed (this is an append tail, not
+    logical decoding). History at rest belongs to the partitioned
+    BATCH reader; this leg is for the live tail after the backfill
+    catches up.
+    """
+
+    def __init__(self, options: dict):
+        self._o = options
+        key = options.get("keycolumn") or options.get("keyColumn")
+        if not key:
+            raise ValueError(
+                "pgwire streaming needs .option('keyColumn', <monotone "
+                "numeric key>)")
+        self._key = _check_ident(key, "keyColumn")
+        self._max_rows = int(options.get("maxrowsperbatch", 0))
+        self._columns = _resolve_columns(options)
+
+    def _connect(self) -> PgConnection:
+        o = self._o
+        return PgConnection(
+            o.get("host", "127.0.0.1"), int(o["port"]),
+            user=o.get("user", "spark"),
+            database=o.get("database", "postgres"),
+            password=o.get("password"))
+
+    def _relation(self) -> str:
+        return _relation_sql(self._o)
+
+    def initialOffset(self) -> dict:
+        # start BEFORE the oldest row: the first batch reads everything
+        # (startingOffsets=earliest semantics; pair with a batch-read
+        # backfill + .option('startAfter', k) to skip history)
+        start_after = self._o.get("startafter")
+        if start_after is not None:
+            return {"k": int(start_after)}
+        with self._connect() as conn:
+            _cols, rows = conn.query(
+                f"SELECT MIN({self._key}) - 1 FROM {self._relation()}")
+        lo = rows[0][0] if rows and rows[0][0] is not None else -1
+        return {"k": int(lo)}
+
+    def _select(self, where: str, limit: int | None) -> str:
+        cols = ", ".join(self._columns)
+        sql = (f"SELECT {cols} FROM {self._relation()} WHERE {where}"
+               f" ORDER BY {self._key}")
+        if limit:
+            sql += f" LIMIT {int(limit)}"
+        return sql
+
+    def read(self, start: dict):
+        lo = int(start["k"])
+        key_idx = None
+        rows_out = []
+        hi = lo
+        with self._connect() as conn:
+            cols, rows = conn.query_stream(
+                self._select(f"{self._key} > {lo}",
+                             self._max_rows or None))
+            names = [c.name for c in cols]
+            if self._key in names:
+                key_idx = names.index(self._key)
+            for row in rows:
+                rows_out.append(row)
+                if key_idx is not None:
+                    hi = max(hi, int(row[key_idx]))
+        if key_idx is None and rows_out:
+            raise ValueError(
+                f"pgwire streaming: keyColumn {self._key!r} must be in "
+                "the selected columns (it IS the offset)")
+        if not rows_out:
+            return iter(()), {"k": lo}
+        return iter(rows_out), {"k": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = int(start["k"]), int(end["k"])
+        if hi <= lo:
+            return iter(())
+        with self._connect() as conn:
+            _cols, rows = conn.query(
+                self._select(f"{self._key} > {lo} AND {self._key} <= {hi}",
+                             None))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint is the cursor; the table is the log
+
+
 class PgWireDataSource(DataSource):
     """``spark.read.format("pgwire")`` — options: port (required),
     host, user, database, password, table | query, columns (projection
     pushed to the server), where (extra predicate), partitionColumn/
-    lowerBound/upperBound/numPartitions (JDBC-style range slices)."""
+    lowerBound/upperBound/numPartitions (JDBC-style range slices) or
+    predicates (JSON list of WHERE fragments, one slice each).
+    ``spark.readStream.format("pgwire")`` adds keyColumn (monotone
+    numeric cursor), maxRowsPerBatch, startAfter."""
 
     @classmethod
     def name(cls) -> str:
@@ -837,6 +959,9 @@ class PgWireDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return PgWireReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> PgWireStreamReader:
+        return PgWireStreamReader(self.options)
 
 
 def register_pgwire_source(spark: SparkSession) -> None:
@@ -900,6 +1025,71 @@ def read_pgwire(
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions))
         )
+    return reader.load()
+
+
+def read_pgwire_predicates(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    table: str,
+    predicates: list[str],
+    *,
+    user: str = "spark",
+    database: str = "postgres",
+    password: str | None = None,
+) -> DataFrame:
+    """Predicate-partitioned scan: one wire slice per WHERE fragment —
+    the real-Postgres twin of sources/jdbc.read_jdbc_predicates (the
+    reference's merchant isolation, main.rs:190-216)."""
+    import json as _json
+
+    register_pgwire_source(spark)
+    reader = (
+        spark.read.format("pgwire")
+        .option("host", host)
+        .option("port", str(port))
+        .option("user", user)
+        .option("database", database)
+        .option("table", table)
+        .option("predicates", _json.dumps(list(predicates)))
+    )
+    if password is not None:
+        reader = reader.option("password", password)
+    return reader.load()
+
+
+def read_pgwire_stream(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    table: str,
+    key_column: str,
+    *,
+    user: str = "spark",
+    database: str = "postgres",
+    password: str | None = None,
+    max_rows_per_batch: int = 0,
+    start_after: int | None = None,
+) -> DataFrame:
+    """Keyset-cursor streaming tail of a real Postgres table (see
+    PgWireStreamReader for the monotone-key contract)."""
+    register_pgwire_source(spark)
+    reader = (
+        spark.readStream.format("pgwire")
+        .option("host", host)
+        .option("port", str(port))
+        .option("user", user)
+        .option("database", database)
+        .option("table", table)
+        .option("keyColumn", key_column)
+    )
+    if password is not None:
+        reader = reader.option("password", password)
+    if max_rows_per_batch:
+        reader = reader.option("maxRowsPerBatch", str(max_rows_per_batch))
+    if start_after is not None:
+        reader = reader.option("startAfter", str(start_after))
     return reader.load()
 
 
@@ -1090,4 +1280,102 @@ def pgwire_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows),
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
         "amount_minor bigint, created_at string",
+    )
+
+
+@register(
+    "stream_pgwire_tail",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_minor
+    FROM orders
+    WHERE o_orderkey % 300 = 11
+    """,
+    doc="§2.10 streaming against a REAL PostgreSQL server: a live "
+        "StreamingQuery tails orders_tail through the pgwire keyset-"
+        "cursor stream source (admission-capped micro-batches) while "
+        "TWO executor-parallel COPY waves land — the first before the "
+        "stream starts, the second mid-flight with strictly higher "
+        "keys — and the memory sink must end up holding exactly the "
+        "full carve: the live-tail shape of the reference's "
+        "LIMIT/OFFSET backfill loop (payment_intent.rs:61-68), keyset "
+        "semantics instead of O(n²) paging.",
+)
+def stream_pgwire_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live streaming tail of a real Postgres table, driver-hashed.
+
+    Exactly-once: the keyset cursor makes every micro-batch the
+    deterministic slice (lo, hi], and the second wave's keys are all
+    above the first wave's maximum — the monotone-append contract the
+    source documents. Stop condition is row-count attainment (the
+    carve is finite); a lost or duplicated row fails the driver hash.
+    """
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    carve = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderkey % 300 = 11")
+        .select(
+            "o_orderkey", "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+             .alias("amount_minor"),
+        )
+    )
+    lo_hi = carve.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"), F.count("*")).first()
+    mid = (int(lo_hi[0]) + int(lo_hi[1])) // 2
+    total = int(lo_hi[2])
+    wave1 = carve.where(F.col("o_orderkey") <= mid)
+    wave2 = carve.where(F.col("o_orderkey") > mid)
+    n1 = wave1.count()
+    name = f"pgwire_tail_{uuid.uuid4().hex[:8]}"
+    with PgServer() as pg:
+        with pg.connect() as conn:
+            conn.execute(
+                "CREATE TABLE orders_tail (o_orderkey bigint,"
+                " o_custkey bigint, amount_minor bigint)")
+        write_pgwire(wave1.repartition(2), pg.host, pg.port,
+                     "orders_tail", user=pg.user, database=pg.database)
+        stream = read_pgwire_stream(
+            spark, pg.host, pg.port, "orders_tail", "o_orderkey",
+            user=pg.user, database=pg.database,
+            max_rows_per_batch=max(16, total // 6))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 300
+            while spark.table(name).count() < n1:
+                if q.exception() is not None:
+                    raise q.exception()
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"stream_pgwire_tail: first wave never drained "
+                        f"({spark.table(name).count()}/{n1})")
+                time.sleep(0.2)
+            write_pgwire(wave2.repartition(2), pg.host, pg.port,
+                         "orders_tail", user=pg.user, database=pg.database)
+            deadline = time.time() + 300
+            while spark.table(name).count() < total:
+                if q.exception() is not None:
+                    raise q.exception()
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"stream_pgwire_tail: second wave never drained "
+                        f"({spark.table(name).count()}/{total})")
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+        rows = [tuple(r) for r in spark.table(name).collect()]
+    return spark.createDataFrame(
+        sorted(rows),
+        "o_orderkey bigint, o_custkey bigint, amount_minor bigint",
     )

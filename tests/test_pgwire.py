@@ -336,3 +336,132 @@ def test_fixture_key_matches_oracle(spark, duck):
     assert_oracle_match(
         df, duck, REGISTRY["pgwire_scan_orders"].oracle,
         "pgwire_scan_orders")
+
+
+# -------------------------------------- predicate slices + stream tail
+
+
+class TestPredicateSlices:
+    def test_one_partition_per_fragment(self, pg, spark):
+        from hyperswitch_data_backfill_spark.sources.pgwire import (
+            read_pgwire_predicates,
+        )
+
+        with pg.connect() as conn:
+            conn.execute(
+                "CREATE TABLE pred_t (k bigint, m text)")
+            conn.copy_in(
+                "COPY pred_t (k, m) FROM STDIN",
+                (f"{i}\tm{i % 3}" for i in range(30)))
+        df = read_pgwire_predicates(
+            spark, pg.host, pg.port, "pred_t",
+            ["m = 'm0'", "m = 'm1'", "m = 'm2'"], user=pg.user)
+        assert df.rdd.getNumPartitions() == 3
+        assert df.count() == 30
+        with pg.connect() as conn:
+            conn.execute("DROP TABLE pred_t")
+
+    def test_predicates_exclusive_with_range(self):
+        import json
+
+        from hyperswitch_data_backfill_spark.sources.pgwire import (
+            PgWireReader,
+        )
+
+        r = PgWireReader(None, {
+            "port": "1", "table": "t",
+            "predicates": json.dumps(["k < 5"]),
+            "partitionColumn": "k", "lowerBound": "0",
+            "upperBound": "10", "numPartitions": "2"})
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            r.partitions()
+
+
+class TestStreamReader:
+    """Keyset-cursor tail semantics, driven directly (no Spark)."""
+
+    @pytest.fixture()
+    def tail_table(self, pg):
+        with pg.connect() as conn:
+            conn.execute("CREATE TABLE tailt (k bigint, v text)")
+            conn.copy_in("COPY tailt (k, v) FROM STDIN",
+                         (f"{i}\tv{i}" for i in range(1, 21)))
+        yield "tailt"
+        with pg.connect() as conn:
+            conn.execute("DROP TABLE tailt")
+
+    def _reader(self, pg, table, **extra):
+        from hyperswitch_data_backfill_spark.sources.pgwire import (
+            PgWireStreamReader,
+        )
+
+        opts = {"port": str(pg.port), "host": pg.host, "user": pg.user,
+                "table": table, "keycolumn": "k"}
+        opts.update(extra)
+        return PgWireStreamReader(opts)
+
+    def test_capped_batches_then_drain(self, pg, tail_table):
+        r = self._reader(pg, tail_table, maxrowsperbatch="8")
+        cur = r.initialOffset()
+        assert cur == {"k": 0}            # MIN(k) - 1
+        seen = []
+        for want in (8, 8, 4):
+            rows, cur = r.read(cur)
+            rows = list(rows)
+            assert len(rows) == want
+            seen.extend(rows)
+        assert [k for k, _v in seen] == list(range(1, 21))
+        rows, cur2 = r.read(cur)
+        assert list(rows) == [] and cur2 == cur  # idle tail: no-op batch
+
+    def test_replay_is_deterministic(self, pg, tail_table):
+        r = self._reader(pg, tail_table)
+        a = list(r.readBetweenOffsets({"k": 5}, {"k": 12}))
+        b = list(r.readBetweenOffsets({"k": 5}, {"k": 12}))
+        assert a == b and [k for k, _ in a] == list(range(6, 13))
+        assert list(r.readBetweenOffsets({"k": 9}, {"k": 9})) == []
+
+    def test_new_rows_picked_up(self, pg, tail_table):
+        r = self._reader(pg, tail_table)
+        _rows, cur = r.read(r.initialOffset())
+        with pg.connect() as conn:
+            conn.copy_in("COPY tailt (k, v) FROM STDIN",
+                         (f"{i}\tlate{i}" for i in range(21, 26)))
+        rows, cur = r.read(cur)
+        assert [k for k, _v in rows] == [21, 22, 23, 24, 25]
+
+    def test_start_after_skips_history(self, pg, tail_table):
+        r = self._reader(pg, tail_table, startafter="15")
+        rows, _cur = r.read(r.initialOffset())
+        assert [k for k, _v in list(rows)] == list(range(16, 21))
+
+    def test_missing_key_column_refused(self, pg):
+        with pytest.raises(ValueError, match="keyColumn"):
+            self._reader(pg, "tailt", keycolumn="")
+
+    def test_key_must_be_selected(self, pg, tail_table):
+        r = self._reader(pg, tail_table, columns="v")
+        with pytest.raises(ValueError, match="keyColumn"):
+            rows, _ = r.read({"k": 0})
+            list(rows)
+
+
+def test_stream_fixture_matches_oracle(spark, duck):
+    from hyperswitch_data_backfill_spark.sources.pgwire import (
+        stream_pgwire_tail,
+    )
+
+    try:
+        df = stream_pgwire_tail(
+            spark,
+            __import__("os").environ.get(
+                "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))
+    except PgServerUnavailable as exc:
+        pytest.skip(f"no usable PostgreSQL server binaries: {exc}")
+    from tests.conftest import assert_oracle_match
+
+    from hyperswitch_data_backfill_spark.registry import REGISTRY
+
+    assert_oracle_match(
+        df, duck, REGISTRY["stream_pgwire_tail"].oracle,
+        "stream_pgwire_tail")
