@@ -137,6 +137,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_video_vhash",  # green r13; impl changed (AVI branch)
     "dedup_video_vhash_pairs",  # green r13; impl changed (AVI branch)
     "pgwire_scan_orders",  # no evidence (new r14)
+    "pipeline_pg_to_kafka",  # no evidence (new r14)
     "stream_kafka_wire_tumbling_parallel",  # no evidence (new r14)
     "stream_pgwire_tail",  # no evidence (new r14)
     "decontam_ngram",  # green r10
@@ -178,7 +179,6 @@ _DRIVER_WINDOW: list[str] = [
     "win_range_frame",  # green r10
     "win_rank_stats",  # green r10
     "win_rownum",  # green r10
-    "win_running_sum",  # green r10
 ]
 
 

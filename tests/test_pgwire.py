@@ -465,3 +465,26 @@ def test_stream_fixture_matches_oracle(spark, duck):
     assert_oracle_match(
         df, duck, REGISTRY["stream_pgwire_tail"].oracle,
         "stream_pgwire_tail")
+
+
+def test_pipeline_pg_to_kafka_matches_oracle(spark, duck):
+    """The reference's whole job on real infra: PG replica scan ->
+    event projection -> TCP Kafka produce -> fetch-back, hash-equal."""
+    from hyperswitch_data_backfill_spark.sources.pgwire import (
+        pipeline_pg_to_kafka,
+    )
+
+    try:
+        df = pipeline_pg_to_kafka(
+            spark,
+            __import__("os").environ.get(
+                "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))
+    except PgServerUnavailable as exc:
+        pytest.skip(f"no usable PostgreSQL server binaries: {exc}")
+    from tests.conftest import assert_oracle_match
+
+    from hyperswitch_data_backfill_spark.registry import REGISTRY
+
+    assert_oracle_match(
+        df, duck, REGISTRY["pipeline_pg_to_kafka"].oracle,
+        "pipeline_pg_to_kafka")
