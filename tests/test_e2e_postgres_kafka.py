@@ -3,8 +3,14 @@
 database with merchant-isolated queries, ``main.rs:190-313``; produce
 each row to Kafka, ``main.rs:146-153``).
 
-Opt-in integration test (the container ships neither Postgres, a
-broker, nor the connector jars): bring up examples/e2e/docker-compose.yml
+Opt-in integration test for the CONNECTOR-JAR path (Spark JDBC +
+spark-sql-kafka). Note r14: the container now ships real PostgreSQL 15
+server binaries (but still no JDBC driver jar), so the real-Postgres
+end-to-end is covered unconditionally by the pgwire wire-protocol
+stack — tests/test_pgwire.py and the driver-hashed keys
+pgwire_scan_orders / stream_pgwire_tail / pipeline_pg_to_kafka
+(sources/pgwire.py). This file remains the jar-based twin: bring up
+examples/e2e/docker-compose.yml
 and export SPARK_GRAFT_PG_URL / SPARK_GRAFT_PG_USER /
 SPARK_GRAFT_PG_PASSWORD / SPARK_GRAFT_KAFKA_BOOTSTRAP, with
 spark-sql-kafka and the postgresql JDBC driver on the classpath.
