@@ -385,17 +385,21 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
 
 
 def _dib_frame_to_gray(
-    data: bytes, w: int, h: int, bitcount: int, palette: np.ndarray | None
+    data: bytes, w: int, h: int, bitcount: int,
+    palette: np.ndarray | None, *, top_down: bool = False,
 ) -> np.ndarray:
-    """One uncompressed DIB frame → (h, w) uint8 gray. Bottom-up rows,
-    stride padded to 4 bytes; 8-bit via palette lookup, 24-bit BGR via
-    integer mean."""
+    """One uncompressed DIB frame → (h, w) uint8 gray. Rows are
+    bottom-up per BMP convention unless the header said biHeight < 0
+    (``top_down`` — legal and common; silently mirroring those frames
+    would break perceptual pairing, r14 review finding); stride padded
+    to 4 bytes; 8-bit via palette lookup, 24-bit BGR via integer mean."""
+    flip = slice(None) if top_down else slice(None, None, -1)
     if bitcount == 8:
         stride = (w + 3) & ~3
         if len(data) < stride * h:
             raise ValueError("AVI: 8-bit DIB frame shorter than h*stride")
         img = np.frombuffer(data, np.uint8, stride * h).reshape(h, stride)
-        img = img[::-1, :w]
+        img = img[flip, :w]
         if palette is not None:
             # integer mean of the palette's (r, g, b) — identity for a
             # grayscale palette, deterministic for any other
@@ -407,7 +411,7 @@ def _dib_frame_to_gray(
         if len(data) < stride * h:
             raise ValueError("AVI: 24-bit DIB frame shorter than h*stride")
         img = np.frombuffer(data, np.uint8, stride * h).reshape(h, stride)
-        bgr = img[::-1, : w * 3].reshape(h, w, 3).astype(np.uint32)
+        bgr = img[flip, : w * 3].reshape(h, w, 3).astype(np.uint32)
         return ((bgr[..., 0] + bgr[..., 1] + bgr[..., 2]) // 3).astype(np.uint8)
     raise NotImplementedError(
         f"AVI DIB bitcount {bitcount} not supported (8 and 24 are)")
@@ -447,6 +451,7 @@ def decode_avi(payload: bytes) -> np.ndarray:
             movi_span = (dstart + 4, dstart + dsize)
     if width is None or movi_span is None:
         raise ValueError("AVI: missing strf header or movi list")
+    top_down = int(height) < 0  # negative biHeight = rows stored top-first
     height = abs(int(height))
     width = int(width)
     frames = []
@@ -457,7 +462,8 @@ def decode_avi(payload: bytes) -> np.ndarray:
         data = payload[dstart : dstart + dsize]
         if compression == 0:
             frames.append(_dib_frame_to_gray(
-                data, width, height, bitcount, palette))
+                data, width, height, bitcount, palette,
+                top_down=top_down))
         elif data[:3] == JPEG_MAGIC or compression in (
             struct.unpack("<I", AVI_MJPG_FOURCC)[0],
         ):

@@ -294,14 +294,20 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     return h
 
 
-def _lz4_block_decompress(src: bytes, max_out: int) -> bytes:
+def _lz4_block_decompress(
+    src: bytes, max_out: int, history: bytes = b""
+) -> bytes:
     """From-spec LZ4 *block* decoder (lz4_Block_format.md): token =
     literal-length nibble + match-length nibble, 255-continuation
-    lengths, 2-byte little-endian match offsets, minmatch 4. Pure
-    Python — the path for client frames whose block sizes a one-shot
-    native decoder can't know; harness-scale volumes only (the 100 TB
-    path is the connector jar, same stance as the rest of the double)."""
-    out = bytearray()
+    lengths, 2-byte little-endian match offsets, minmatch 4.
+    ``history`` is the preceding output window for BLOCK-LINKED frames
+    (FLG Block-Independence unset — lz4/pyarrow's default): matches may
+    reach up to 64 KB back into prior blocks. Pure Python — the path
+    for client frames whose block sizes a one-shot native decoder
+    can't know; harness-scale volumes only (the 100 TB path is the
+    connector jar, same stance as the rest of the double)."""
+    out = bytearray(history[-65536:] if history else b"")
+    base = len(out)
     i, n = 0, len(src)
     while i < n:
         token = src[i]
@@ -343,9 +349,48 @@ def _lz4_block_decompress(src: bytes, max_out: int) -> bytes:
             for _ in range(mlen):
                 out.append(out[start])
                 start += 1
-        if len(out) > max_out:
+        if len(out) - base > max_out:
             raise ValueError("lz4 block: output exceeds frame block max")
-    return bytes(out)
+    return bytes(out[base:])
+
+
+def _lz4_block_decoded_size(src: bytes) -> int:
+    """Decoded length of an LZ4 block from its sequence headers alone —
+    O(#sequences), no byte copying. Lets the decoder VALIDATE a
+    declared size before handing the block to a native one-shot
+    decompressor: pyarrow's lz4/lz4_raw decompress pads an oversized
+    destination with uninitialized memory instead of erroring
+    (measured), so an unvalidated expected size would ship
+    silently-wrong bytes on a lying ContentSize."""
+    n = len(src)
+    i = 0
+    total = 0
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        total += lit
+        i += lit
+        if i >= n:
+            break
+        i += 2  # match offset
+        mlen = token & 0x0F
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        total += mlen + 4
+    return total
 
 
 _LZ4F_MAGIC = 0x184D2204
@@ -385,6 +430,7 @@ def lz4_frame_decompress(buf: bytes) -> bytes:
     flg, bd = buf[4], buf[5]
     if (flg >> 6) != 0b01:
         raise ValueError(f"unsupported LZ4 frame version {flg >> 6}")
+    block_independent = (flg >> 5) & 1
     has_block_checksum = (flg >> 4) & 1
     has_content_size = (flg >> 3) & 1
     has_dict_id = flg & 1
@@ -416,7 +462,35 @@ def lz4_frame_decompress(buf: bytes) -> bytes:
         pos += size
         if has_block_checksum:
             pos += 4  # optional integrity leg, not verified here
-        out += block if stored else _lz4_block_decompress(block, block_max)
+        if stored:
+            out += block
+            continue
+        # Native fast path: a compressed block's decoded length is
+        # derivable from its sequence headers in O(#sequences)
+        # (_lz4_block_decoded_size) — VALIDATED against the frame's
+        # remaining budget, the exact size then goes to pyarrow's
+        # lz4_raw one-shot, which decodes the bytes C-side. Validation
+        # is mandatory, not belt-and-braces: pyarrow pads an oversized
+        # destination with uninitialized memory instead of erroring, so
+        # a lying ContentSize must be caught BEFORE the native call
+        # (r14 review follow-up; the corruption test pins this). Blocks
+        # whose declared sizes disagree fall back to the from-spec
+        # Python decoder, whose end-of-frame check refuses loudly.
+        try:
+            decoded_size = _lz4_block_decoded_size(block)
+        except IndexError:
+            raise ValueError("LZ4 frame: malformed block sequence headers")
+        budget_ok = (
+            content_size is None or decoded_size <= content_size - len(out))
+        if block_independent and 0 < decoded_size <= block_max and budget_ok:
+            # lz4_raw decodes one INDEPENDENT block; linked-mode blocks
+            # (matches reaching into prior blocks — lz4/pyarrow default)
+            # must go through the windowed Python decoder
+            out += _pa_codec("lz4_raw").decompress(
+                block, decompressed_size=decoded_size, asbytes=True)
+        else:
+            out += _lz4_block_decompress(
+                block, block_max, history=bytes(out))
     if content_size is not None and len(out) != content_size:
         raise ValueError(
             f"LZ4 frame ContentSize {content_size} != decoded {len(out)}")

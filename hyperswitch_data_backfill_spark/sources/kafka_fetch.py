@@ -847,6 +847,20 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         self._opts = _FetchOptions(options)
         self._group: "WireConsumerGroup | None" = None
 
+    def __del__(self):
+        # The simple-reader protocol exposes no stop() hook to the
+        # Python side, so group membership has no deterministic
+        # teardown: leave best-effort at GC (bounds the driver-side
+        # socket leak), and the coordinator's session-timeout eviction
+        # covers the rest — a restarted query may wait out at most one
+        # sessionTimeoutMs before the stale member is dropped (r14
+        # review finding).
+        if self._group is not None:
+            try:
+                self._group.leave()
+            except Exception:
+                pass
+
     def _membership(self) -> "WireConsumerGroup | None":
         """Ensure live group membership when groupProtocol is on: join
         lazily, heartbeat per trigger, rejoin when the coordinator
@@ -979,24 +993,34 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             o = self._opts
             assigned = {
                 str(p) for p in member.assignment.get(o.topic, [])}
-            # Unassigned partitions FREEZE at their checkpointed start —
-            # another member owns them; their slot stays in the offset
-            # map so nothing is forgotten across reassignments. Newly
-            # (re)acquired partitions fast-forward to the group's
-            # committed cursor when it is AHEAD of our checkpoint: those
-            # rows were already processed by the previous owner — cursor
-            # continuity across the rebalance.
+            # Unassigned partitions FREEZE while another member owns
+            # them, but their slot TRACKS the group's committed cursor
+            # (never the raw high watermark: freezing an unknown
+            # partition at hi would skip its whole unconsumed backlog
+            # if it later hands over — r14 review finding). Newly
+            # (re)acquired partitions fast-forward to the committed
+            # cursor when it is AHEAD of our checkpoint: those rows
+            # were already processed by the previous owner — cursor
+            # continuity across the rebalance. NOTE the honest replay
+            # contract this implies: within a stable assignment batch
+            # replay is exact, but the one in-flight batch around a
+            # HANDOVER replays at-least-once (the skip floor is
+            # time-varying group state that an offset map cannot
+            # encode) — the same stance as the group cursor itself.
             committed = member.committed(
-                {o.topic: [int(p) for p in sorted(assigned, key=int)]}
-            ).get(o.topic, {}) if assigned else {}
+                {o.topic: [int(p) for p in sorted(end, key=int)]}
+            ).get(o.topic, {}) if end else {}
+
+            def floor(p: str) -> int:
+                return max(int(start.get(p, 0)), committed.get(int(p), -1))
+
             end = _sorted_offsets({
-                p: (hi if p in assigned else int(start.get(p, hi)))
+                p: (hi if p in assigned else floor(p))
                 for p, hi in end.items()
             })
             for p in assigned:
                 if p in end:
-                    start_eff[p] = max(
-                        int(start.get(p, 0)), committed.get(int(p), -1))
+                    start_eff[p] = floor(p)
         end = self._admit(start_eff, end)
         # the admitted end must never sit below the checkpointed start
         # of a frozen partition (Spark treats end as the next start)

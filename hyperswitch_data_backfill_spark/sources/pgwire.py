@@ -598,6 +598,10 @@ def _copy_field(value) -> str:
     return text
 
 
+# Deliberately STRICTER than sources/jdbc.py's _IDENTIFIER_RE (which
+# also admits dotted and double-quoted names): pgwire identifiers are
+# interpolated into COPY and slice SQL this module builds itself, so
+# plain unqualified names are the whole contract here.
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
@@ -658,6 +662,10 @@ class PgWirePartition(InputPartition):
 
 
 def _sql_literal(value) -> str:
+    """SQL literal for a pushed-filter value. Raises on None — callers
+    must DECLINE the pushdown for NULL-bearing filters (a crash at
+    planning time would violate the 'can only over-deliver' contract;
+    r14 review finding)."""
     if value is None:
         raise ValueError("NULL literal in a pushed filter")
     if isinstance(value, bool):
@@ -773,38 +781,44 @@ class PgWireReader(DataSourceReader):
 
 
 def _filter_to_sql(f) -> str | None:
-    """Supported filter → SQL fragment; None = leave it to Spark."""
+    """Supported filter → SQL fragment; None = leave it to Spark
+    (unknown filter type, non-plain column, or a NULL-bearing value —
+    declining is always safe because every filter stays residual)."""
     def col(attr) -> str | None:
         if len(attr) != 1 or not _IDENT_RE.fullmatch(attr[0]):
             return None
         return attr[0]
 
-    if isinstance(f, EqualTo):
-        c = col(f.attribute)
-        return None if c is None else f"{c} = {_sql_literal(f.value)}"
-    if isinstance(f, GreaterThan):
-        c = col(f.attribute)
-        return None if c is None else f"{c} > {_sql_literal(f.value)}"
-    if isinstance(f, GreaterThanOrEqual):
-        c = col(f.attribute)
-        return None if c is None else f"{c} >= {_sql_literal(f.value)}"
-    if isinstance(f, LessThan):
-        c = col(f.attribute)
-        return None if c is None else f"{c} < {_sql_literal(f.value)}"
-    if isinstance(f, LessThanOrEqual):
-        c = col(f.attribute)
-        return None if c is None else f"{c} <= {_sql_literal(f.value)}"
-    if isinstance(f, In):
-        c = col(f.attribute)
-        if c is None or not f.value:
-            return None
-        return f"{c} IN ({', '.join(_sql_literal(v) for v in f.value)})"
-    if isinstance(f, IsNull):
-        c = col(f.attribute)
-        return None if c is None else f"{c} IS NULL"
-    if isinstance(f, IsNotNull):
-        c = col(f.attribute)
-        return None if c is None else f"{c} IS NOT NULL"
+    try:
+        if isinstance(f, EqualTo):
+            c = col(f.attribute)
+            return None if c is None else f"{c} = {_sql_literal(f.value)}"
+        if isinstance(f, GreaterThan):
+            c = col(f.attribute)
+            return None if c is None else f"{c} > {_sql_literal(f.value)}"
+        if isinstance(f, GreaterThanOrEqual):
+            c = col(f.attribute)
+            return None if c is None else f"{c} >= {_sql_literal(f.value)}"
+        if isinstance(f, LessThan):
+            c = col(f.attribute)
+            return None if c is None else f"{c} < {_sql_literal(f.value)}"
+        if isinstance(f, LessThanOrEqual):
+            c = col(f.attribute)
+            return None if c is None else f"{c} <= {_sql_literal(f.value)}"
+        if isinstance(f, In):
+            c = col(f.attribute)
+            if c is None or not f.value:
+                return None
+            return (f"{c} IN "
+                    f"({', '.join(_sql_literal(v) for v in f.value)})")
+        if isinstance(f, IsNull):
+            c = col(f.attribute)
+            return None if c is None else f"{c} IS NULL"
+        if isinstance(f, IsNotNull):
+            c = col(f.attribute)
+            return None if c is None else f"{c} IS NOT NULL"
+    except ValueError:
+        return None  # e.g. In(col, (1, None)): NULL literal → residual-only
     return None
 
 
@@ -891,10 +905,10 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         key_idx = None
         rows_out = []
         hi = lo
+        cap = self._max_rows or None
         with self._connect() as conn:
             cols, rows = conn.query_stream(
-                self._select(f"{self._key} > {lo}",
-                             self._max_rows or None))
+                self._select(f"{self._key} > {lo}", cap))
             names = [c.name for c in cols]
             if self._key in names:
                 key_idx = names.index(self._key)
@@ -902,10 +916,29 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
                 rows_out.append(row)
                 if key_idx is not None:
                     hi = max(hi, int(row[key_idx]))
-        if key_idx is None and rows_out:
-            raise ValueError(
-                f"pgwire streaming: keyColumn {self._key!r} must be in "
-                "the selected columns (it IS the offset)")
+            if key_idx is None and rows_out:
+                raise ValueError(
+                    f"pgwire streaming: keyColumn {self._key!r} must be "
+                    "in the selected columns (it IS the offset)")
+            if cap and len(rows_out) == cap:
+                # The cap may have SPLIT a run of equal key values (the
+                # contract requires monotone, not unique, keys — r14
+                # review finding): an offset of hi would skip the rest
+                # of the run forever, and replay of (lo, hi] would
+                # return more rows than this batch emitted. Cut the
+                # batch back to the last COMPLETE key group; if the cap
+                # landed inside the very first group, take that whole
+                # group instead (unbounded in the group size, bounded
+                # by the duplication of one key).
+                below = [r for r in rows_out if int(r[key_idx]) < hi]
+                if below:
+                    rows_out = below
+                    hi = max(int(r[key_idx]) for r in rows_out)
+                else:
+                    _c, full = conn.query_stream(self._select(
+                        f"{self._key} > {lo} AND {self._key} <= {hi}",
+                        None))
+                    rows_out = list(full)
         if not rows_out:
             return iter(()), {"k": lo}
         return iter(rows_out), {"k": hi}
@@ -1157,20 +1190,27 @@ class PgServer:
         if out.returncode != 0:
             self.__exit__(None, None, None)
             raise PgServerUnavailable(f"initdb failed: {out.stderr[-500:]}")
-        self.port = _free_port()
-        pg_opts = (
-            f"-p {self.port} -c listen_addresses=127.0.0.1 "
-            f"-c unix_socket_directories={self._dir} "
-            "-c fsync=off -c synchronous_commit=off "
-            "-c full_page_writes=off -c autovacuum=off"
-        )
-        out = self._run(
-            ["pg_ctl", "-D", data, "-o", pg_opts,
-             "-l", os.path.join(self._dir, "server.log"), "-w", "start"])
-        if out.returncode != 0:
-            self.__exit__(None, None, None)
-            raise PgServerUnavailable(
-                f"pg_ctl start failed: {out.stderr[-500:]}")
+        # _free_port closes its probe socket before pg_ctl binds — a
+        # TOCTOU window another process can win on a busy host, so the
+        # start retries on fresh ports instead of failing flaky
+        for attempt in range(3):
+            self.port = _free_port()
+            pg_opts = (
+                f"-p {self.port} -c listen_addresses=127.0.0.1 "
+                f"-c unix_socket_directories={self._dir} "
+                "-c fsync=off -c synchronous_commit=off "
+                "-c full_page_writes=off -c autovacuum=off"
+            )
+            out = self._run(
+                ["pg_ctl", "-D", data, "-o", pg_opts,
+                 "-l", os.path.join(self._dir, "server.log"),
+                 "-w", "start"])
+            if out.returncode == 0:
+                break
+            if attempt == 2:
+                self.__exit__(None, None, None)
+                raise PgServerUnavailable(
+                    f"pg_ctl start failed: {out.stderr[-500:]}")
         self._started = True
         deadline = time.monotonic() + 30.0
         last: Exception | None = None

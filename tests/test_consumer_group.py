@@ -356,3 +356,28 @@ def test_parallel_refuses_group_protocol():
         kf.KafkaWireParallelStreamReader(
             {"port": "1", "topic": "t", "groupid": "g",
              "groupprotocol": "true"})
+
+
+def test_unknown_partition_freezes_at_cursor_not_hwm():
+    """A partition absent from BOTH the checkpoint and the assignment
+    must freeze at the group's committed cursor (or 0), never at the
+    high watermark — freezing at hwm would permanently skip its
+    backlog on handover (r14 review finding)."""
+    with WireCluster(n_brokers=1, topics={"ev": 2},
+                     rebalance_barrier_s=2.0) as cluster:
+        host, port = cluster.bootstrap
+        produce_rows_routed(iter(_rows("ev", 20)), host, port, batch_size=5)
+        # a previous owner consumed partition 0 up to offset 4 only
+        with kf.WireConsumerGroup(host, port, "cg-f", ["ev"]) as seeder:
+            seeder.join()
+            seeder.commit({"ev": {0: 4}})
+        r = _reader(port, extra={"groupid": "cg-f"})
+        # checkpoint knows NOTHING (fresh query, empty start map)
+        rows, end = r.read({})
+        rows = list(rows)
+        own = set(r._group.assignment["ev"])
+        assert own == {0, 1}              # sole member owns everything
+        # partition 0 resumed from the committed cursor 4, not 0/hwm
+        p0 = sorted(off for _k, _v, _t, p, off in rows if p == 0)
+        assert p0[0] == 4
+        r._group.leave()

@@ -451,6 +451,33 @@ def test_lz4_frame_cross_decode_with_pyarrow():
     ours = lz4_frame_compress(payload)
     assert pa.Codec("lz4").decompress(
         ours, decompressed_size=len(payload), asbytes=True) == payload
+    # >64 KB forces pyarrow into MULTI-BLOCK BLOCK-LINKED mode (FLG
+    # independence bit unset; matches reach into prior blocks): the
+    # windowed Python decoder must handle the linkage
+    big = (b"the quick brown fox jumps over 12345 " * 60000)[: 2 << 20]
+    linked = pa.Codec("lz4").compress(big, asbytes=True)
+    assert (linked[4] >> 5) & 1 == 0  # really linked mode
+    assert lz4_frame_decompress(linked) == big
+
+
+def test_lz4_block_decoded_size_matches_actual():
+    """The sequence-header size walk (the native-path validator) agrees
+    with the actual decode on real blocks of every shape."""
+    import os as _os
+
+    import pyarrow as pa
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import (
+        _lz4_block_decompress,
+        _lz4_block_decoded_size,
+    )
+
+    raw = pa.Codec("lz4_raw")
+    for payload in (b"a", b"ab" * 5000, _os.urandom(300),
+                    b"x" * 70000, bytes(range(256)) * 100):
+        block = raw.compress(payload, asbytes=True)
+        assert _lz4_block_decoded_size(block) == len(payload)
+        assert _lz4_block_decompress(block, 4 << 20) == payload
 
 
 def test_lz4_frame_refuses_corruption():

@@ -405,7 +405,9 @@ class TestStreamReader:
         cur = r.initialOffset()
         assert cur == {"k": 0}            # MIN(k) - 1
         seen = []
-        for want in (8, 8, 4):
+        # a hit cap cuts back to the last COMPLETE key group (here keys
+        # are unique, so exactly one boundary row is deferred): 7+7+6
+        for want in (7, 7, 6):
             rows, cur = r.read(cur)
             rows = list(rows)
             assert len(rows) == want
@@ -488,3 +490,53 @@ def test_pipeline_pg_to_kafka_matches_oracle(spark, duck):
     assert_oracle_match(
         df, duck, REGISTRY["pipeline_pg_to_kafka"].oracle,
         "pipeline_pg_to_kafka")
+
+
+# ---------------------------------------------- r14 review-fix pins
+
+
+def test_null_bearing_in_filter_declines_pushdown():
+    """In(col, (1, None)) must go residual-only, never crash planning."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    assert _filter_to_sql(In(("x",), (1, None))) is None
+    assert _filter_to_sql(EqualTo(("x",), None)) is None
+    r = PgWireReader(None, {"port": "1", "table": "t"})
+    residual = list(r.pushFilters([In(("x",), (1, None))]))
+    assert len(residual) == 1  # still re-applied by Spark
+    assert r._pushed == []     # nothing compiled into the slice SQL
+
+
+class TestEqualKeyCap:
+    """The admission cap must never split a run of equal key values."""
+
+    def test_cap_cuts_back_to_complete_key_group(self, pg):
+        from hyperswitch_data_backfill_spark.sources.pgwire import (
+            PgWireStreamReader,
+        )
+
+        with pg.connect() as conn:
+            conn.execute("CREATE TABLE eqk (k bigint, v text)")
+            # keys: 1 x3, 2 x3, 3 x4 — monotone, not unique
+            conn.copy_in(
+                "COPY eqk (k, v) FROM STDIN",
+                [f"{k}\tv{k}-{i}" for k in (1, 2, 3)
+                 for i in range({1: 3, 2: 3, 3: 4}[k])])
+        r = PgWireStreamReader(
+            {"port": str(pg.port), "host": pg.host, "user": pg.user,
+             "table": "eqk", "keycolumn": "k", "maxrowsperbatch": "4"})
+        cur = r.initialOffset()
+        rows, cur = r.read(cur)          # cap=4 lands inside the k=2 run
+        rows = list(rows)
+        assert [k for k, _v in rows] == [1, 1, 1]   # complete groups only
+        assert cur == {"k": 1}
+        rows, cur = r.read(cur)          # cap lands inside k=3's run
+        assert [k for k, _v in list(rows)] == [2, 2, 2]
+        assert cur == {"k": 2}
+        rows, cur = r.read(cur)          # k=3 group (4 rows) > cap:
+        assert [k for k, _v in list(rows)] == [3, 3, 3, 3]  # whole group
+        assert cur == {"k": 3}
+        rows, cur2 = r.read(cur)
+        assert list(rows) == [] and cur2 == cur
+        with pg.connect() as conn:
+            conn.execute("DROP TABLE eqk")
