@@ -651,6 +651,70 @@ def write_pgwire(
     df.foreachPartition(load_partition)
 
 
+def write_pgwire_upsert(
+    df: DataFrame,
+    host: str,
+    port: int,
+    table: str,
+    key_cols: list[str],
+    *,
+    user: str = "spark",
+    database: str = "postgres",
+    password: str | None = None,
+) -> None:
+    """Idempotent keyed load: each Spark partition COPYs into a
+    session-private TEMP staging table, then lands it in ONE atomic
+    ``INSERT ... ON CONFLICT (keys) DO UPDATE`` — so a retried task
+    re-upserts the same rows instead of duplicating them: effectively
+    exactly-once for keyed rows, the pattern ``write_pgwire``'s
+    at-least-once docstring points at. Requires a unique index on
+    ``key_cols`` (ON CONFLICT's arbiter). Intra-partition duplicate
+    keys are collapsed via DISTINCT ON before the insert (PostgreSQL
+    rejects a statement that touches one row twice); which duplicate
+    wins is unspecified — pre-deduplicate upstream when it matters."""
+    _check_ident(table, "table")
+    cols = [_check_ident(c, "column") for c in df.columns]
+    keys = [_check_ident(c, "key column") for c in key_cols]
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"key columns not in the frame: {missing}")
+    col_list = ", ".join(cols)
+    key_list = ", ".join(keys)
+    update_cols = [c for c in cols if c not in keys]
+    action = (
+        "DO UPDATE SET "
+        + ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+        if update_cols else "DO NOTHING"
+    )
+
+    def load_partition(rows) -> None:
+        first = next(rows, None)
+        if first is None:
+            return
+        import uuid as _uuid
+
+        stage = f"pgwire_stage_{_uuid.uuid4().hex[:12]}"
+
+        def lines():
+            yield "\t".join(_copy_field(v) for v in first)
+            for row in rows:
+                yield "\t".join(_copy_field(v) for v in row)
+
+        with PgConnection(
+            host, port, user=user, database=database, password=password
+        ) as conn:
+            conn.execute(
+                f"CREATE TEMP TABLE {stage}"
+                f" (LIKE {table} INCLUDING DEFAULTS)")
+            conn.copy_in(f"COPY {stage} ({col_list}) FROM STDIN", lines())
+            conn.execute(
+                f"INSERT INTO {table} ({col_list})"
+                f" SELECT DISTINCT ON ({key_list}) {col_list} FROM {stage}"
+                f" ON CONFLICT ({key_list}) {action}")
+
+    df.foreachPartition(load_partition)
+
+
 # ------------------------------------------------------ Spark DataSource
 
 

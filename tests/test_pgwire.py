@@ -540,3 +540,65 @@ class TestEqualKeyCap:
         assert list(rows) == [] and cur2 == cur
         with pg.connect() as conn:
             conn.execute("DROP TABLE eqk")
+
+
+class TestUpsertWriter:
+    """write_pgwire_upsert: effectively exactly-once for keyed rows."""
+
+    @pytest.fixture()
+    def target(self, pg):
+        with pg.connect() as conn:
+            conn.execute(
+                "CREATE TABLE ups (k bigint PRIMARY KEY,"
+                " v text, n bigint)")
+        yield "ups"
+        with pg.connect() as conn:
+            conn.execute("DROP TABLE ups")
+
+    def _rows(self, pg):
+        with pg.connect() as conn:
+            _c, rows = conn.query("SELECT k, v, n FROM ups ORDER BY k")
+        return rows
+
+    def test_idempotent_under_retry(self, pg, spark, target):
+        from hyperswitch_data_backfill_spark.sources.pgwire import (
+            write_pgwire_upsert,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"v{i}", i * 10) for i in range(8)],
+            "k bigint, v string, n bigint")
+        for _attempt in range(2):  # a retried task re-lands identically
+            write_pgwire_upsert(df.repartition(3), pg.host, pg.port,
+                                "ups", ["k"], user=pg.user)
+        assert self._rows(pg) == [(i, f"v{i}", i * 10) for i in range(8)]
+
+    def test_update_semantics_and_dupe_collapse(self, pg, spark, target):
+        from hyperswitch_data_backfill_spark.sources.pgwire import (
+            write_pgwire_upsert,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "old", 1), (2, "old", 2)], "k bigint, v string, n bigint")
+        write_pgwire_upsert(base, pg.host, pg.port, "ups", ["k"],
+                            user=pg.user)
+        # changed values win; an intra-partition duplicate key must not
+        # crash the ON CONFLICT statement
+        upd = spark.createDataFrame(
+            [(2, "new", 20), (2, "new", 20), (3, "new", 30)],
+            "k bigint, v string, n bigint").coalesce(1)
+        write_pgwire_upsert(upd, pg.host, pg.port, "ups", ["k"],
+                            user=pg.user)
+        assert self._rows(pg) == [
+            (1, "old", 1), (2, "new", 20), (3, "new", 30)]
+
+    def test_key_must_be_in_frame(self, pg, spark, target):
+        from hyperswitch_data_backfill_spark.sources.pgwire import (
+            write_pgwire_upsert,
+        )
+
+        df = spark.createDataFrame([(1, "a", 1)],
+                                   "k bigint, v string, n bigint")
+        with pytest.raises(ValueError, match="key columns"):
+            write_pgwire_upsert(df, pg.host, pg.port, "ups",
+                                ["nope"], user=pg.user)
