@@ -275,12 +275,22 @@ class PgColumn:
 # ------------------------------------------------------------- connection
 
 
+_SSL_REQUEST_CODE = 80877103  # (1234 << 16) | 5679, per protocol docs
+
+
 class PgConnection:
     """One v3-protocol session: startup + auth, simple queries, COPY.
 
     Thin by design — every executor task opens its own connection (the
     topology Spark's JDBC source uses), so there is no pooling and no
     shared state to break under task retry.
+
+    ``ssl_mode``: "disable" (default), "require" (TLS, no certificate
+    verification — libpq's common internal-infra mode), or "verify-ca"
+    (TLS + chain verification against ``ssl_root_cert``). The SSLRequest
+    preamble (int32 8 + the magic code, server answers 'S'/'N') runs
+    BEFORE the startup packet, per the protocol's SSL session
+    encryption chapter.
     """
 
     def __init__(
@@ -292,15 +302,47 @@ class PgConnection:
         database: str,
         password: str | None = None,
         timeout: float = 30.0,
+        ssl_mode: str = "disable",
+        ssl_root_cert: str | None = None,
     ):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self.parameters: dict[str, str] = {}
         try:
+            if ssl_mode != "disable":
+                self._start_tls(host, ssl_mode, ssl_root_cert)
             self._startup(user, database, password)
         except BaseException:
             self._sock.close()
             raise
+
+    def _start_tls(
+        self, host: str, ssl_mode: str, ssl_root_cert: str | None
+    ) -> None:
+        import ssl as _ssl
+
+        if ssl_mode not in ("require", "verify-ca"):
+            raise ValueError(
+                f"ssl_mode must be disable|require|verify-ca, "
+                f"got {ssl_mode!r}")
+        self._sock.sendall(struct.pack(">ii", 8, _SSL_REQUEST_CODE))
+        answer = _recv_exact(self._sock, 1)
+        if answer != b"S":
+            raise PgError(
+                {"M": f"server refused SSL (answered {answer!r}) but "
+                      f"ssl_mode={ssl_mode} demands it"})
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+        if ssl_mode == "verify-ca":
+            if not ssl_root_cert:
+                raise ValueError("verify-ca needs ssl_root_cert")
+            ctx.load_verify_locations(ssl_root_cert)
+            # verify-ca checks the CHAIN, not the hostname (libpq
+            # semantics; verify-full would add hostname matching)
+            ctx.check_hostname = False
+        else:
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+        self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
 
     # -- session bootstrap
 
@@ -620,6 +662,8 @@ def write_pgwire(
     user: str = "spark",
     database: str = "postgres",
     password: str | None = None,
+    ssl_mode: str = "disable",
+    ssl_root_cert: str | None = None,
 ) -> None:
     """Executor-parallel load: each Spark partition opens its own wire
     connection and streams its rows as one ``COPY ... FROM STDIN``.
@@ -644,7 +688,8 @@ def write_pgwire(
             for row in rows:
                 yield "\t".join(_copy_field(v) for v in row)
         with PgConnection(
-            host, port, user=user, database=database, password=password
+            host, port, user=user, database=database, password=password,
+            ssl_mode=ssl_mode, ssl_root_cert=ssl_root_cert,
         ) as conn:
             conn.copy_in(sql, lines())
 
@@ -661,6 +706,8 @@ def write_pgwire_upsert(
     user: str = "spark",
     database: str = "postgres",
     password: str | None = None,
+    ssl_mode: str = "disable",
+    ssl_root_cert: str | None = None,
 ) -> None:
     """Idempotent keyed load: each Spark partition COPYs into a
     session-private TEMP staging table, then lands it in ONE atomic
@@ -701,7 +748,8 @@ def write_pgwire_upsert(
                 yield "\t".join(_copy_field(v) for v in row)
 
         with PgConnection(
-            host, port, user=user, database=database, password=password
+            host, port, user=user, database=database, password=password,
+            ssl_mode=ssl_mode, ssl_root_cert=ssl_root_cert,
         ) as conn:
             conn.execute(
                 f"CREATE TEMP TABLE {stage}"
@@ -716,6 +764,20 @@ def write_pgwire_upsert(
 
 
 # ------------------------------------------------------ Spark DataSource
+
+
+def _conn_kwargs(options: dict) -> dict:
+    """Connection kwargs from DataSource options (shared by the batch
+    reader, the schema probe, and the stream reader)."""
+    return dict(
+        host=options.get("host", "127.0.0.1"),
+        port=int(options["port"]),
+        user=options.get("user", "spark"),
+        database=options.get("database", "postgres"),
+        password=options.get("password"),
+        ssl_mode=options.get("sslmode", "disable"),
+        ssl_root_cert=options.get("sslrootcert"),
+    )
 
 
 class PgWirePartition(InputPartition):
@@ -755,11 +817,7 @@ class PgWireReader(DataSourceReader):
 
     def __init__(self, schema: StructType, options: dict):
         self._options = options
-        self._host = options.get("host", "127.0.0.1")
-        self._port = int(options["port"])
-        self._user = options.get("user", "spark")
-        self._database = options.get("database", "postgres")
-        self._password = options.get("password")
+        self._conn = _conn_kwargs(options)
         self._columns = _resolve_columns(options)
         self._pushed: list[str] = []
 
@@ -836,10 +894,7 @@ class PgWireReader(DataSourceReader):
         return sql
 
     def read(self, partition: PgWirePartition):
-        with PgConnection(
-            self._host, self._port, user=self._user,
-            database=self._database, password=self._password,
-        ) as conn:
+        with PgConnection(**self._conn) as conn:
             _cols, rows = conn.query_stream(partition.sql)
             yield from rows
 
@@ -933,12 +988,7 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         self._columns = _resolve_columns(options)
 
     def _connect(self) -> PgConnection:
-        o = self._o
-        return PgConnection(
-            o.get("host", "127.0.0.1"), int(o["port"]),
-            user=o.get("user", "spark"),
-            database=o.get("database", "postgres"),
-            password=o.get("password"))
+        return PgConnection(**_conn_kwargs(self._o))
 
     def _relation(self) -> str:
         return _relation_sql(self._o)
@@ -1042,12 +1092,7 @@ class PgWireDataSource(DataSource):
         o = self.options
         cols = ", ".join(_resolve_columns(o))
         sql = f"SELECT {cols} FROM {_relation_sql(o)} LIMIT 0"
-        with PgConnection(
-            o.get("host", "127.0.0.1"), int(o["port"]),
-            user=o.get("user", "spark"),
-            database=o.get("database", "postgres"),
-            password=o.get("password"),
-        ) as conn:
+        with PgConnection(**_conn_kwargs(o)) as conn:
             columns, _rows = conn.query(sql)
         if not columns:
             raise PgProtocolError(f"schema probe returned no columns: {sql}")
@@ -1083,6 +1128,8 @@ def read_pgwire(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     num_partitions: int = 1,
+    ssl_mode: str = "disable",
+    ssl_root_cert: str | None = None,
 ) -> DataFrame:
     """Partitioned scan of a real PostgreSQL table over the wire."""
     register_pgwire_source(spark)
@@ -1095,6 +1142,10 @@ def read_pgwire(
     )
     if password is not None:
         reader = reader.option("password", password)
+    if ssl_mode != "disable":
+        reader = reader.option("sslmode", ssl_mode)
+        if ssl_root_cert:
+            reader = reader.option("sslrootcert", ssl_root_cert)
     if table is not None:
         reader = reader.option("table", table)
     if query is not None:
@@ -1104,7 +1155,8 @@ def read_pgwire(
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             with PgConnection(
-                host, port, user=user, database=database, password=password
+                host, port, user=user, database=database, password=password,
+                ssl_mode=ssl_mode, ssl_root_cert=ssl_root_cert,
             ) as conn:
                 _check_ident(partition_column, "partitionColumn")
                 rel = _relation_sql(
@@ -1219,11 +1271,16 @@ class PgServer:
     Use as a context manager; ``pg.connect()`` opens a wire session.
     """
 
-    def __init__(self, *, user: str = "spark", database: str = "postgres"):
+    def __init__(
+        self, *, user: str = "spark", database: str = "postgres",
+        ssl: bool = False,
+    ):
         self.user = user
         self.database = database
         self.host = "127.0.0.1"
         self.port = 0
+        self.ssl = ssl
+        self.cert_path: str | None = None  # root cert for verify-ca
         self._dir: str | None = None
         self._started = False
 
@@ -1254,6 +1311,9 @@ class PgServer:
         if out.returncode != 0:
             self.__exit__(None, None, None)
             raise PgServerUnavailable(f"initdb failed: {out.stderr[-500:]}")
+        ssl_opts = ""
+        if self.ssl:
+            ssl_opts = self._make_ssl_material()
         # _free_port closes its probe socket before pg_ctl binds — a
         # TOCTOU window another process can win on a busy host, so the
         # start retries on fresh ports instead of failing flaky
@@ -1264,6 +1324,7 @@ class PgServer:
                 f"-c unix_socket_directories={self._dir} "
                 "-c fsync=off -c synchronous_commit=off "
                 "-c full_page_writes=off -c autovacuum=off"
+                + ssl_opts
             )
             out = self._run(
                 ["pg_ctl", "-D", data, "-o", pg_opts,
@@ -1298,16 +1359,38 @@ class PgServer:
             shutil.rmtree(self._dir, ignore_errors=True)
         self._dir = None
 
+    def _make_ssl_material(self) -> str:
+        """Self-signed cert + key for the throwaway server (openssl is
+        on PATH in this container); key perms per the server's 0600
+        requirement. Returns the extra -c options."""
+        crt = os.path.join(self._dir, "server.crt")
+        key = os.path.join(self._dir, "server.key")
+        out = subprocess.run(
+            ["openssl", "req", "-new", "-x509", "-days", "2", "-nodes",
+             "-subj", "/CN=127.0.0.1", "-keyout", key, "-out", crt],
+            capture_output=True, text=True, cwd="/tmp")
+        if out.returncode != 0:
+            raise PgServerUnavailable(
+                f"openssl cert generation failed: {out.stderr[-300:]}")
+        os.chmod(key, 0o600)
+        if os.geteuid() == 0:
+            shutil.chown(crt, user="postgres", group="postgres")
+            shutil.chown(key, user="postgres", group="postgres")
+        self.cert_path = crt
+        return (f" -c ssl=on -c ssl_cert_file={crt}"
+                f" -c ssl_key_file={key}")
+
     # -- conveniences
 
     def connect(
         self, *, user: str | None = None, password: str | None = None,
-        database: str | None = None,
+        database: str | None = None, ssl_mode: str = "disable",
+        ssl_root_cert: str | None = None,
     ) -> PgConnection:
         return PgConnection(
             self.host, self.port, user=user or self.user,
             database=database or self.database, password=password,
-            timeout=10.0)
+            timeout=10.0, ssl_mode=ssl_mode, ssl_root_cert=ssl_root_cert)
 
     def require_auth(self, user: str, method: str) -> None:
         """Prepend a pg_hba rule forcing ``method`` (scram-sha-256 /

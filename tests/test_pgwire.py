@@ -602,3 +602,66 @@ class TestUpsertWriter:
         with pytest.raises(ValueError, match="key columns"):
             write_pgwire_upsert(df, pg.host, pg.port, "ups",
                                 ["nope"], user=pg.user)
+
+
+class TestTls:
+    """SSLRequest preamble + TLS session against a cert-enabled real
+    server (sslmode=require and verify-ca, libpq semantics)."""
+
+    @pytest.fixture(scope="class")
+    def pg_ssl(self):
+        try:
+            with PgServer(ssl=True) as server:
+                yield server
+        except PgServerUnavailable as exc:
+            pytest.skip(f"no TLS-capable server: {exc}")
+
+    def test_require_mode_roundtrip(self, pg_ssl):
+        with pg_ssl.connect(ssl_mode="require") as conn:
+            assert conn.query("SELECT ssl FROM pg_stat_ssl WHERE pid ="
+                              " pg_backend_pid()")[1] == [(True,)]
+            _c, rows = conn.query("SELECT 42 AS x")
+            assert rows == [(42,)]
+
+    def test_verify_ca_with_server_cert(self, pg_ssl):
+        with pg_ssl.connect(ssl_mode="verify-ca",
+                            ssl_root_cert=pg_ssl.cert_path) as conn:
+            assert conn.query("SELECT 1 AS ok")[1] == [(1,)]
+
+    def test_verify_ca_wrong_root_refused(self, pg_ssl, tmp_path):
+        import ssl as _ssl
+        import subprocess
+
+        other = tmp_path / "other.crt"
+        subprocess.run(
+            ["openssl", "req", "-new", "-x509", "-days", "1", "-nodes",
+             "-subj", "/CN=evil", "-keyout", str(tmp_path / "k.key"),
+             "-out", str(other)], capture_output=True, check=True)
+        with pytest.raises(_ssl.SSLError):
+            pg_ssl.connect(ssl_mode="verify-ca",
+                           ssl_root_cert=str(other)).close()
+
+    def test_plaintext_still_works_alongside(self, pg_ssl):
+        with pg_ssl.connect() as conn:  # ssl=on servers accept both
+            assert conn.query("SELECT 1 AS ok")[1] == [(1,)]
+
+    def test_require_against_non_ssl_server_refused(self, pg):
+        with pytest.raises(PgError, match="refused SSL"):
+            pg.connect(ssl_mode="require").close()
+
+    def test_spark_read_over_tls(self, pg_ssl, spark):
+        from hyperswitch_data_backfill_spark.sources.pgwire import (
+            write_pgwire,
+        )
+
+        with pg_ssl.connect() as conn:
+            conn.execute("CREATE TABLE tls_t (k bigint, v text)")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(12)], "k bigint, v string")
+        write_pgwire(df.repartition(2), pg_ssl.host, pg_ssl.port,
+                     "tls_t", user=pg_ssl.user, ssl_mode="require")
+        back = read_pgwire(
+            spark, pg_ssl.host, pg_ssl.port, "tls_t", user=pg_ssl.user,
+            partition_column="k", num_partitions=3, ssl_mode="require")
+        assert sorted(tuple(r) for r in back.collect()) == [
+            (i, f"v{i}") for i in range(12)]
