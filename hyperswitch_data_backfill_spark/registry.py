@@ -136,6 +136,7 @@ _DRIVER_WINDOW: list[str] = [
     "agg_approx_distinct_err",  # green r11; impl changed (carve)
     "dedup_video_vhash",  # green r13; impl changed (AVI branch)
     "dedup_video_vhash_pairs",  # green r13; impl changed (AVI branch)
+    "pgwire_scan_embeddings",  # no evidence (new r14)
     "pgwire_scan_orders",  # no evidence (new r14)
     "pipeline_pg_to_kafka",  # no evidence (new r14)
     "stream_kafka_wire_tumbling_parallel",  # no evidence (new r14)
@@ -178,7 +179,6 @@ _DRIVER_WINDOW: list[str] = [
     "win_lag",  # green r10
     "win_range_frame",  # green r10
     "win_rank_stats",  # green r10
-    "win_rownum",  # green r10
 ]
 
 

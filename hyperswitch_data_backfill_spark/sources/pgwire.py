@@ -221,6 +221,50 @@ def _decode_timestamp(text: str) -> datetime:
     return datetime.fromisoformat(text)
 
 
+def _decode_float4(text: str) -> float:
+    """float4 → the float64 WIDENING of the float32 value. PostgreSQL
+    emits the shortest decimal that round-trips the float32; parsing
+    that decimal as float64 lands on a DIFFERENT double than widening
+    the float32 does (e.g. '0.1' → 0.1 vs 0.10000000149…), which would
+    silently corrupt equality/hashing against engines that widen. Route
+    through numpy's float32 parse to widen exactly."""
+    import numpy as _np
+
+    return float(_np.float32(text))
+
+
+def _parse_pg_array(text: str, elem) -> list:
+    """One-dimensional PostgreSQL array literal → list: bare tokens,
+    NULL elements, and double-quoted elements with backslash escapes
+    (the text output format the array types chapter documents)."""
+    if not (text.startswith("{") and text.endswith("}")):
+        raise PgProtocolError(f"not an array literal: {text[:40]!r}")
+    body = text[1:-1]
+    if not body:
+        return []
+    out: list = []
+    i, n = 0, len(body)
+    while i < n:
+        if body[i] == '"':
+            i += 1
+            buf: list[str] = []
+            while body[i] != '"':
+                if body[i] == "\\":
+                    i += 1
+                buf.append(body[i])
+                i += 1
+            i += 1  # closing quote
+            out.append(elem("".join(buf)))
+        else:
+            j = body.find(",", i)
+            tok = body[i:] if j == -1 else body[i:j]
+            i = n if j == -1 else j
+            out.append(None if tok == "NULL" else elem(tok))
+        if i < n and body[i] == ",":
+            i += 1
+    return out
+
+
 _OID_SPARK: dict[int, tuple[str, "callable"]] = {
     _OID_BOOL: ("boolean", lambda t: t == "t"),
     _OID_BYTEA: ("binary", _decode_bytea),
@@ -231,7 +275,7 @@ _OID_SPARK: dict[int, tuple[str, "callable"]] = {
     18: ("string", str),    # "char" (catalog single-byte)
     19: ("string", str),    # name (catalog identifiers, current_user)
     26: ("bigint", int),    # oid (unsigned 32-bit)
-    _OID_FLOAT4: ("float", float),
+    _OID_FLOAT4: ("float", _decode_float4),
     _OID_FLOAT8: ("double", float),
     _OID_BPCHAR: ("string", str),
     _OID_VARCHAR: ("string", str),
@@ -239,6 +283,29 @@ _OID_SPARK: dict[int, tuple[str, "callable"]] = {
     _OID_TIMESTAMP: ("timestamp_ntz", _decode_timestamp),
     _OID_TIMESTAMPTZ: ("timestamp", _decode_timestamp),
 }
+
+# 1-D array types (pg_type's array OIDs) → array<element> + a parser
+# over the element decoder. float4[] is the embeddings column shape —
+# the training-data pipeline's vectors living in a real database.
+_ARRAY_OID_ELEM: dict[int, int] = {
+    1000: _OID_BOOL,
+    1005: _OID_INT2,
+    1007: _OID_INT4,
+    1016: _OID_INT8,
+    1021: _OID_FLOAT4,
+    1022: _OID_FLOAT8,
+    1009: _OID_TEXT,
+    1015: _OID_VARCHAR,
+    1014: _OID_BPCHAR,
+    1182: _OID_DATE,
+    1115: _OID_TIMESTAMP,
+}
+for _arr_oid, _elem_oid in _ARRAY_OID_ELEM.items():
+    _elem_ddl, _elem_dec = _OID_SPARK[_elem_oid]
+    _OID_SPARK[_arr_oid] = (
+        f"array<{_elem_ddl}>",
+        (lambda t, _d=_elem_dec: _parse_pg_array(t, _d)),
+    )
 
 
 def _numeric_ddl(typmod: int) -> str:
@@ -618,6 +685,27 @@ class PgConnection:
 _COPY_ESCAPES = {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
 
 
+def _array_literal(values) -> str:
+    """1-D PostgreSQL array literal for COPY/INSERT: elements quoted
+    and backslash/quote-escaped, None → NULL."""
+    parts = []
+    for v in values:
+        if v is None:
+            parts.append("NULL")
+        elif isinstance(v, bool):
+            parts.append("t" if v else "f")
+        elif isinstance(v, (int, float)):
+            parts.append(repr(v))
+        elif isinstance(v, datetime):
+            parts.append('"' + v.isoformat(sep=" ") + '"')
+        elif isinstance(v, date):
+            parts.append('"' + v.isoformat() + '"')
+        else:
+            s = str(v).replace("\\", "\\\\").replace('"', '\\"')
+            parts.append('"' + s + '"')
+    return "{" + ",".join(parts) + "}"
+
+
 def _copy_field(value) -> str:
     """One value in COPY text format (NULL = \\N, escapes per the COPY
     docs). Covers the types the Spark writer can emit."""
@@ -633,7 +721,10 @@ def _copy_field(value) -> str:
         return value.isoformat()
     if isinstance(value, float):
         return repr(value)
-    text = str(value)
+    if isinstance(value, (list, tuple)):
+        text = _array_literal(value)
+    else:
+        text = str(value)
     if any(ch in text for ch in "\\\t\n\r"):
         for raw, esc in _COPY_ESCAPES.items():
             text = text.replace(raw, esc)
@@ -1651,3 +1742,42 @@ def pipeline_pg_to_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
     return spark.createDataFrame(
         sorted(fetched), "key string, value string, topic string")
+
+
+@register(
+    "pgwire_scan_embeddings",
+    oracle="""
+    SELECT vec_id, embedding, label
+    FROM embeddings
+    WHERE vec_id % 40 = 3
+    """,
+    doc="S1 array leg against the REAL server: an embeddings carve "
+        "(float4[] vectors — the training-data pipeline's vectors "
+        "living in a real database) round-trips executor-parallel "
+        "COPY-in → 4-slice partitioned read-back, with float32 "
+        "decoded by exact widening (PostgreSQL emits shortest-"
+        "round-trip decimals; parsing them as float64 would land on "
+        "different doubles than the float32 widening every columnar "
+        "engine performs — this key hash-pins that subtlety).",
+)
+def pgwire_scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float4[] arrays through a real PostgreSQL server, hash-exact."""
+    src = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where("vec_id % 40 = 3")
+        .select("vec_id", "embedding", "label")
+    )
+    with PgServer() as pg:
+        with pg.connect() as conn:
+            conn.execute(
+                "CREATE TABLE emb_slice (vec_id bigint,"
+                " embedding float4[], label int)")
+        write_pgwire(src.repartition(4), pg.host, pg.port, "emb_slice",
+                     user=pg.user, database=pg.database)
+        back = read_pgwire(
+            spark, pg.host, pg.port, "emb_slice",
+            user=pg.user, database=pg.database,
+            partition_column="vec_id", num_partitions=4)
+        rows = [(r[0], list(r[1]), r[2]) for r in back.collect()]
+    return spark.createDataFrame(
+        sorted(rows), "vec_id bigint, embedding array<float>, label int")

@@ -665,3 +665,82 @@ class TestTls:
             partition_column="k", num_partitions=3, ssl_mode="require")
         assert sorted(tuple(r) for r in back.collect()) == [
             (i, f"v{i}") for i in range(12)]
+
+
+class TestArrays:
+    def test_array_literal_and_parse_units(self):
+        from hyperswitch_data_backfill_spark.sources.pgwire import (
+            _array_literal,
+            _parse_pg_array,
+        )
+
+        assert _array_literal([1, None, 3]) == "{1,NULL,3}"
+        assert _array_literal(['a"b', "c\\d", "e,f"]) == \
+            '{"a\\"b","c\\\\d","e,f"}'
+        assert _parse_pg_array("{1,NULL,3}", int) == [1, None, 3]
+        assert _parse_pg_array('{"a\\"b","c\\\\d","e,f"}', str) == \
+            ['a"b', "c\\d", "e,f"]
+        assert _parse_pg_array("{}", int) == []
+
+    def test_float4_widening_exact(self):
+        """'0.1'::float4 must decode to the float64 WIDENING of the
+        float32, not float64('0.1')."""
+        import numpy as np
+
+        from hyperswitch_data_backfill_spark.sources.pgwire import (
+            _decode_float4,
+        )
+
+        assert _decode_float4("0.1") == float(np.float32("0.1"))
+        assert _decode_float4("0.1") != 0.1
+
+    def test_array_roundtrip_real_server(self, pg):
+        from hyperswitch_data_backfill_spark.sources.pgwire import (
+            _copy_field,
+        )
+
+        with pg.connect() as conn:
+            conn.execute(
+                "CREATE TABLE arr_t (k bigint, f float4[], s text[],"
+                " i bigint[])")
+            conn.copy_in(
+                "COPY arr_t (k, f, s, i) FROM STDIN",
+                ["\t".join([
+                    "1",
+                    _copy_field([0.1, 2.5, None]),
+                    _copy_field(['a"b', "c\\d", None, "e,f"]),
+                    _copy_field([7, None]),
+                ])])
+            cols, rows = conn.query(
+                "SELECT k, f, s, i FROM arr_t")
+            assert [c.spark_ddl_type() for c in cols] == [
+                "bigint", "array<float>", "array<string>",
+                "array<bigint>"]
+            import numpy as np
+
+            k, f, s, i = rows[0]
+            assert f == [float(np.float32("0.1")), 2.5, None]
+            assert s == ['a"b', "c\\d", None, "e,f"]
+            assert i == [7, None]
+            conn.execute("DROP TABLE arr_t")
+
+
+def test_embeddings_fixture_matches_oracle(spark, duck):
+    from hyperswitch_data_backfill_spark.sources.pgwire import (
+        pgwire_scan_embeddings,
+    )
+
+    try:
+        df = pgwire_scan_embeddings(
+            spark,
+            __import__("os").environ.get(
+                "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))
+    except PgServerUnavailable as exc:
+        pytest.skip(f"no usable PostgreSQL server binaries: {exc}")
+    from tests.conftest import assert_oracle_match
+
+    from hyperswitch_data_backfill_spark.registry import REGISTRY
+
+    assert_oracle_match(
+        df, duck, REGISTRY["pgwire_scan_embeddings"].oracle,
+        "pgwire_scan_embeddings")
