@@ -1387,21 +1387,47 @@ class PgServer:
         return subprocess.run(
             args, capture_output=True, text=True, cwd="/tmp", **kw)
 
+    # process-level initdb template, keyed by superuser name: a fresh
+    # cluster is an identical byte tree, so one initdb per process +
+    # cp -a per server (~0.15 s vs ~0.7 s measured) — matters because
+    # every pgwire fixture key pays a server start inside the driver
+    # sweep. The template dir is removed at interpreter exit.
+    _templates: dict[str, str] = {}
+
+    def _template_data(self) -> str:
+        tpl = PgServer._templates.get(self.user)
+        if tpl is not None and os.path.isdir(tpl):
+            return tpl
+        tdir = tempfile.mkdtemp(prefix="pgwire-tpl-")
+        if os.geteuid() == 0:
+            shutil.chown(tdir, user="postgres", group="postgres")
+        out = self._run(
+            ["initdb", "-D", os.path.join(tdir, "data"), "-A", "trust",
+             "-U", self.user, "--no-sync", "-E", "UTF8"])
+        if out.returncode != 0:
+            shutil.rmtree(tdir, ignore_errors=True)
+            raise PgServerUnavailable(f"initdb failed: {out.stderr[-500:]}")
+        import atexit
+
+        atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+        PgServer._templates[self.user] = tdir
+        return tdir
+
     def __enter__(self) -> "PgServer":
         if not self._binaries_ok():
             raise PgServerUnavailable(
                 "initdb/pg_ctl not on PATH — install PostgreSQL server "
                 "binaries to run the real-server pgwire tests")
+        tpl = self._template_data()
         self._dir = tempfile.mkdtemp(prefix="pgwire-")
         data = os.path.join(self._dir, "data")
         if os.geteuid() == 0:
             shutil.chown(self._dir, user="postgres", group="postgres")
-        out = self._run(
-            ["initdb", "-D", data, "-A", "trust", "-U", self.user,
-             "--no-sync", "-E", "UTF8"])
+        out = self._run(["cp", "-a", os.path.join(tpl, "data"), data])
         if out.returncode != 0:
             self.__exit__(None, None, None)
-            raise PgServerUnavailable(f"initdb failed: {out.stderr[-500:]}")
+            raise PgServerUnavailable(
+                f"cluster template copy failed: {out.stderr[-500:]}")
         ssl_opts = ""
         if self.ssl:
             ssl_opts = self._make_ssl_material()
