@@ -861,6 +861,21 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             except Exception:
                 pass
 
+    @staticmethod
+    def _trace(msg: str) -> None:
+        """Env-gated diagnostics (KAFKAWIRE_TRACE=<path>): the simple
+        stream reader runs inside Spark's data-source runner process,
+        whose stdout/stderr are hard to reach — a trace file is the
+        only practical way to see reads/joins during a live query."""
+        import os as _os
+
+        path = _os.environ.get("KAFKAWIRE_TRACE")
+        if path:
+            import time as _time
+
+            with open(path, "a") as f:
+                f.write(f"{_time.time():.2f} pid={_os.getpid()} {msg}\n")
+
     def _membership(self) -> "WireConsumerGroup | None":
         """Ensure live group membership when groupProtocol is on: join
         lazily, heartbeat per trigger, rejoin when the coordinator
@@ -874,8 +889,16 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
                 o.host, o.port, o.group_id, [o.topic],
                 session_timeout_ms=o.session_timeout_ms)
             self._group.join()
+            self._trace(
+                f"joined member={self._group.member_id} "
+                f"gen={self._group.generation} "
+                f"assign={self._group.assignment}")
         elif self._group.heartbeat() == "rebalance":
             self._group.join()
+            self._trace(
+                f"rejoined member={self._group.member_id} "
+                f"gen={self._group.generation} "
+                f"assign={self._group.assignment}")
         return self._group
 
     def _leaders(self) -> dict[int, tuple[str, int]]:
@@ -982,6 +1005,8 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         # one metadata resolve serves the offsets AND the span reads —
         # per-trigger socket churn halved (round-13 review finding)
+        if self._opts.group_protocol:
+            self._trace(f"read start={start}")
         member = self._membership()
         leaders = self._leaders()
         end = self._offsets(LATEST_TIMESTAMP, leaders)
@@ -1018,9 +1043,18 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
                 p: (hi if p in assigned else floor(p))
                 for p, hi in end.items()
             })
-            for p in assigned:
-                if p in end:
+            for p in end:
+                if p in assigned:
                     start_eff[p] = floor(p)
+                else:
+                    # frozen slots advance their OFFSET to the group
+                    # cursor but must never be READ — pinning the
+                    # effective start to the advanced end makes
+                    # _rows_between skip them (lo == hi). Without this
+                    # pin each member re-reads every span its peer
+                    # commits (caught live: two queries each consumed
+                    # the whole topic).
+                    start_eff[p] = end[p]
         end = self._admit(start_eff, end)
         # the admitted end must never sit below the checkpointed start
         # of a frozen partition (Spark treats end as the next start)
@@ -1032,7 +1066,10 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             return iter(()), start
         # materialized list: Spark's prefetch cache copy.copy()s the
         # iterator for replay (same note as OplogStreamReader.read)
-        return iter(self._rows_between(start_eff, end, leaders)), end
+        rows = self._rows_between(start_eff, end, leaders)
+        if self._opts.group_protocol:
+            self._trace(f"read done n={len(rows)} eff={start_eff} end={end}")
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._rows_between(start, end))

@@ -42,6 +42,7 @@ def read_kafka_wire_stream(
     group_id: str | None = None,
     max_records_per_batch: int = 0,
     parallel: bool = False,
+    group_protocol: bool = False,
 ) -> DataFrame:
     """Kafka-shaped stream source over the executed wire leg (r12
     verdict item 1: the streaming layer's Kafka stand-in was a file
@@ -58,7 +59,10 @@ def read_kafka_wire_stream(
     it whenever the stream may restart onto a deep backlog);
     ``parallel`` switches to the full stream-reader protocol, fetching
     each partition on executors (the connector topology — the 100 TB
-    path; default is the driver-side simple reader)."""
+    path; default is the driver-side simple reader); ``group_protocol``
+    (r14, simple reader only) joins the eager rebalance protocol so
+    several queries sharing a ``group_id`` SPLIT the topic's
+    partitions and fail over to each other."""
     from hyperswitch_data_backfill_spark.sources.kafka_fetch import (
         register_kafka_wire_source,
     )
@@ -77,6 +81,8 @@ def read_kafka_wire_stream(
         reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
     if parallel:
         reader = reader.option("parallel", "true")
+    if group_protocol:
+        reader = reader.option("groupProtocol", "true")
     return reader.load()
 
 

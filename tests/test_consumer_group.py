@@ -381,3 +381,108 @@ def test_unknown_partition_freezes_at_cursor_not_hwm():
         p0 = sorted(off for _k, _v, _t, p, off in rows if p == 0)
         assert p0[0] == 4
         r._group.leave()
+
+
+def test_two_live_streaming_queries_split_topic(spark):
+    """The full engine path: TWO live StreamingQueries in one Spark
+    session share a groupId via groupProtocol — after the rebalance
+    settles, new produce waves land in each query's sink from exactly
+    its two partitions, disjoint, union complete."""
+    import uuid
+
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        read_kafka_wire_stream,
+    )
+
+    n1, n2 = (f"live1_{uuid.uuid4().hex[:6]}", f"live2_{uuid.uuid4().hex[:6]}")
+    with WireCluster(n_brokers=2, topics={"ev": 4},
+                     rebalance_barrier_s=3.0) as cluster:
+        host, port = cluster.bootstrap
+        produce_rows_routed(iter(_rows("ev", 40)), host, port, batch_size=8)
+
+        def start(name):
+            stream = read_kafka_wire_stream(
+                spark, host, port, "ev", group_id="cg-live",
+                group_protocol=True)
+            return (stream.selectExpr("partition", "offset")
+                    .writeStream.format("memory").queryName(name)
+                    .trigger(processingTime="250 milliseconds").start())
+
+        def sink_rows(*names):
+            return {(r.partition, r.offset)
+                    for name in names
+                    for r in spark.table(name).collect()}
+
+        def frontier(rows_set):
+            """Per-partition next offset implied by a row set."""
+            out = {p: 0 for p in range(4)}
+            for p, off in rows_set:
+                out[p] = max(out[p], off + 1)
+            return out
+
+        q1 = start(n1)
+        try:
+            deadline = time.time() + 60
+            while spark.table(n1).count() < 40:  # sole member: everything
+                assert q1.exception() is None, q1.exception()
+                assert time.time() < deadline, "q1 never drained wave 1"
+                time.sleep(0.25)
+            # murmur2 routing is skewed, so wave boundaries are
+            # per-partition frontiers computed from the data, not
+            # offset arithmetic
+            end1 = frontier(sink_rows(n1))
+            q2 = start(n2)
+            try:
+                # wave 2 lands around the rebalance; wait for UNIQUE
+                # coverage (raw counts overshoot: the group-commit lag
+                # means q2 legally re-reads up to one batch q1 already
+                # consumed — the documented at-least-once handover)
+                produce_rows_routed(iter(_rows("ev", 40, prefix="w2-")),
+                                    host, port, batch_size=8)
+                deadline = time.time() + 90
+                while True:
+                    assert q1.exception() is None, q1.exception()
+                    assert q2.exception() is None, q2.exception()
+                    w2 = {(p, o) for p, o in sink_rows(n1, n2)
+                          if o >= end1[p]}
+                    if len(w2) >= 40 and spark.table(n2).count() > 0:
+                        break
+                    assert time.time() < deadline, (
+                        f"split never drained wave 2 "
+                        f"(unique={len(w2)}/40, "
+                        f"q2={spark.table(n2).count()})")
+                    time.sleep(0.25)
+                # Wave 2 straddled the rebalance, so only completeness
+                # is asserted on it; DISJOINTNESS is asserted on wave
+                # 3, produced strictly after the split settled (q2
+                # consuming anything proves the new generation is live
+                # for both members).
+                end2 = frontier(sink_rows(n1, n2))
+                produce_rows_routed(iter(_rows("ev", 40, prefix="w3-")),
+                                    host, port, batch_size=8)
+                deadline = time.time() + 90
+                while True:
+                    assert q1.exception() is None, q1.exception()
+                    assert q2.exception() is None, q2.exception()
+                    w3_1 = {(p, o) for p, o in sink_rows(n1)
+                            if o >= end2[p]}
+                    w3_2 = {(p, o) for p, o in sink_rows(n2)
+                            if o >= end2[p]}
+                    if len(w3_1 | w3_2) >= 40:
+                        break
+                    assert time.time() < deadline, (
+                        f"wave 3 never drained "
+                        f"(q1={len(w3_1)} q2={len(w3_2)})")
+                    time.sleep(0.25)
+                parts1 = {p for p, _ in w3_1}
+                parts2 = {p for p, _ in w3_2}
+                assert parts1 | parts2 == {0, 1, 2, 3}
+                assert not (parts1 & parts2), (
+                    f"steady-state overlap: {parts1 & parts2}")
+                assert len(w3_1) + len(w3_2) == 40  # disjoint + complete
+            finally:
+                q2.stop()
+                q2.awaitTermination(30)
+        finally:
+            q1.stop()
+            q1.awaitTermination(30)
