@@ -744,3 +744,93 @@ def test_embeddings_fixture_matches_oracle(spark, duck):
     assert_oracle_match(
         df, duck, REGISTRY["pgwire_scan_embeddings"].oracle,
         "pgwire_scan_embeddings")
+
+
+def test_stream_kafka_to_postgres_exactly_once(spark, pg, tmp_path):
+    """The production exactly-once pattern end to end on REAL systems
+    both sides: a kafkawire stream (admission-capped micro-batches)
+    lands in PostgreSQL through foreachBatch + the idempotent upsert
+    writer; a mid-stream kill-and-resume replays the in-flight batch
+    and the upsert absorbs it — the final table holds every produced
+    key exactly once."""
+    import time
+    import uuid
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import (
+        WireBroker,
+        produce_rows,
+    )
+    from hyperswitch_data_backfill_spark.sources.pgwire import (
+        write_pgwire_upsert,
+    )
+    from hyperswitch_data_backfill_spark.streaming.pipeline import (
+        read_kafka_wire_stream,
+    )
+
+    with pg.connect() as conn:
+        conn.execute(
+            "CREATE TABLE kafka_sink (k text PRIMARY KEY, v text)")
+    ckpt = str(tmp_path / f"ckpt_{uuid.uuid4().hex[:6]}")
+    host, port_kw = "127.0.0.1", None
+
+    def sink(batch_df, _batch_id):
+        rows = batch_df.selectExpr(
+            "cast(key as string) AS k", "cast(value as string) AS v")
+        write_pgwire_upsert(rows, pg.host, pg.port, "kafka_sink",
+                            ["k"], user=pg.user)
+
+    def pg_count():
+        with pg.connect() as conn:
+            return conn.query("SELECT COUNT(*) FROM kafka_sink")[1][0][0]
+
+    def start_query(port):
+        stream = read_kafka_wire_stream(
+            spark, host, port, "ev", max_records_per_batch=16)
+        return (stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="250 milliseconds").start())
+
+    with WireBroker() as b:
+        produce_rows(
+            iter([{"key": f"k{i}", "value": f"v{i}", "topic": "ev"}
+                  for i in range(60)]), host, b.port, batch_size=20)
+        q = start_query(b.port)
+        try:
+            deadline = time.time() + 120
+            while pg_count() < 16:  # at least one batch landed
+                assert q.exception() is None, q.exception()
+                assert time.time() < deadline, "first batch never landed"
+                time.sleep(0.2)
+        finally:
+            q.stop()  # kill mid-drain: in-flight batch will replay
+        q.awaitTermination(30)
+        q2 = start_query(b.port)
+        try:
+            deadline = time.time() + 120
+            while pg_count() < 60:
+                assert q2.exception() is None, q2.exception()
+                assert time.time() < deadline, "resume never drained"
+                time.sleep(0.2)
+            # a second produce wave through the SAME checkpointed query
+            produce_rows(
+                iter([{"key": f"k{i}", "value": f"v{i}", "topic": "ev"}
+                      for i in range(60, 80)]), host, b.port,
+                batch_size=20)
+            deadline = time.time() + 120
+            while pg_count() < 80:
+                assert q2.exception() is None, q2.exception()
+                assert time.time() < deadline, "wave 2 never drained"
+                time.sleep(0.2)
+        finally:
+            q2.stop()
+        q2.awaitTermination(30)
+    with pg.connect() as conn:
+        _c, rows = conn.query(
+            "SELECT COUNT(*), COUNT(DISTINCT k) FROM kafka_sink")
+        total, distinct = rows[0]
+        _c, sample = conn.query(
+            "SELECT v FROM kafka_sink WHERE k = 'k42'")
+    assert total == distinct == 80   # exactly-once: no duplicate keys
+    assert sample == [("v42",)]
+    with pg.connect() as conn:
+        conn.execute("DROP TABLE kafka_sink")
