@@ -1018,42 +1018,43 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             o = self._opts
             assigned = {
                 str(p) for p in member.assignment.get(o.topic, [])}
-            # Unassigned partitions FREEZE while another member owns
-            # them, but their slot TRACKS the group's committed cursor
-            # (never the raw high watermark: freezing an unknown
-            # partition at hi would skip its whole unconsumed backlog
-            # if it later hands over — r14 review finding). Newly
-            # (re)acquired partitions fast-forward to the committed
-            # cursor when it is AHEAD of our checkpoint: those rows
-            # were already processed by the previous owner — cursor
-            # continuity across the rebalance. NOTE the honest replay
-            # contract this implies: within a stable assignment batch
-            # replay is exact, but the one in-flight batch around a
-            # HANDOVER replays at-least-once (the skip floor is
-            # time-varying group state that an offset map cannot
-            # encode) — the same stance as the group cursor itself.
+            # Unassigned partitions FREEZE at their checkpointed start
+            # — exactly, with NO advancement: an offset map cannot say
+            # "this span belongs to a peer", so any nonzero frozen span
+            # would be re-fetched by checkpoint replay
+            # (readBetweenOffsets has no assignment knowledge) and
+            # attributed to this query. A partition UNKNOWN to the
+            # checkpoint pins once at the group's committed cursor (or
+            # 0 — never the high watermark, which would skip its whole
+            # backlog on a later handover; r14 review finding), and
+            # replay treats start-missing partitions as offset seeds
+            # (see readBetweenOffsets). Newly (re)acquired partitions
+            # fast-forward their EFFECTIVE read start to the committed
+            # cursor: those rows were already processed by the previous
+            # owner — cursor continuity across the rebalance. Honest
+            # replay contract: within a stable assignment replay is
+            # exact; the one in-flight batch around a HANDOVER replays
+            # at-least-once (the catch-up floor is time-varying group
+            # state the offset map cannot encode).
             committed = member.committed(
                 {o.topic: [int(p) for p in sorted(end, key=int)]}
             ).get(o.topic, {}) if end else {}
 
-            def floor(p: str) -> int:
-                return max(int(start.get(p, 0)), committed.get(int(p), -1))
+            def pin(p: str) -> int:
+                if p in start:
+                    return int(start[p])          # freeze exactly
+                return max(0, committed.get(int(p), -1))  # first sight
 
             end = _sorted_offsets({
-                p: (hi if p in assigned else floor(p))
+                p: (hi if p in assigned else pin(p))
                 for p, hi in end.items()
             })
             for p in end:
                 if p in assigned:
-                    start_eff[p] = floor(p)
+                    start_eff[p] = max(
+                        int(start.get(p, 0)), committed.get(int(p), -1))
                 else:
-                    # frozen slots advance their OFFSET to the group
-                    # cursor but must never be READ — pinning the
-                    # effective start to the advanced end makes
-                    # _rows_between skip them (lo == hi). Without this
-                    # pin each member re-reads every span its peer
-                    # commits (caught live: two queries each consumed
-                    # the whole topic).
+                    # never read a frozen slot (lo == hi)
                     start_eff[p] = end[p]
         end = self._admit(start_eff, end)
         # the admitted end must never sit below the checkpointed start
@@ -1072,17 +1073,30 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        if self._opts.group_protocol:
+            # group mode: a partition ABSENT from the batch's start is
+            # an offset SEED (first sight of an unowned partition — the
+            # live read emitted no rows for it); fetching it from 0
+            # here would replay a peer's whole history into this sink
+            end = {p: hi for p, hi in end.items() if p in start}
         return iter(self._rows_between(start, end))
 
     def commit(self, end: dict) -> None:
         o = self._opts
         if o.group_id is None:
             return  # no group: Spark's checkpoint is the only cursor
-        if self._group is not None:
+        if o.group_protocol:
             # cooperative mode: commit ONLY owned partitions — a frozen
             # partition's stale end must never regress the cursor the
             # current owner is advancing (real consumers commit only
-            # their assignment, for the same reason)
+            # their assignment, for the same reason). Gate on the
+            # OPTION, not on a live membership object: a checkpoint
+            # replay calls commit() without ever calling read(), and
+            # with no membership the assignment is unknown — committing
+            # everything would overwrite peers' cursors with stale
+            # checkpoint values (r14 second-pass review finding).
+            if self._group is None:
+                return
             assigned = {str(p) for p in self._group.assignment.get(o.topic, [])}
             end = {p: off for p, off in end.items() if p in assigned}
             if not end:

@@ -244,24 +244,30 @@ def _parse_pg_array(text: str, elem) -> list:
         return []
     out: list = []
     i, n = 0, len(body)
-    while i < n:
-        if body[i] == '"':
-            i += 1
-            buf: list[str] = []
-            while body[i] != '"':
-                if body[i] == "\\":
-                    i += 1
-                buf.append(body[i])
+    try:
+        while i < n:
+            if body[i] == '"':
                 i += 1
-            i += 1  # closing quote
-            out.append(elem("".join(buf)))
-        else:
-            j = body.find(",", i)
-            tok = body[i:] if j == -1 else body[i:j]
-            i = n if j == -1 else j
-            out.append(None if tok == "NULL" else elem(tok))
-        if i < n and body[i] == ",":
-            i += 1
+                buf: list[str] = []
+                while body[i] != '"':
+                    if body[i] == "\\":
+                        i += 1
+                    buf.append(body[i])
+                    i += 1
+                i += 1  # closing quote
+                out.append(elem("".join(buf)))
+            else:
+                j = body.find(",", i)
+                tok = body[i:] if j == -1 else body[i:j]
+                i = n if j == -1 else j
+                out.append(None if tok == "NULL" else elem(tok))
+            if i < n and body[i] == ",":
+                i += 1
+    except IndexError:
+        # truncated quoted element / trailing escape: refuse loudly in
+        # the module's own vocabulary, never a bare IndexError
+        raise PgProtocolError(
+            f"malformed array literal: {text[:60]!r}") from None
     return out
 
 
@@ -744,6 +750,32 @@ def _check_ident(name: str, what: str) -> str:
     return name
 
 
+def _copy_partition(
+    rows, host: str, port: int, conn_kwargs: dict, copy_sql: str,
+    setup_sql: str | None = None, finish_sql: str | None = None,
+) -> None:
+    """One Spark partition → one wire connection → optional setup DDL →
+    COPY FROM STDIN → optional finishing statement. Shared by the plain
+    COPY writer and the staged upsert writer so the empty-partition
+    short-circuit, the line chaining, and the connection handling exist
+    once (r14 second-pass review finding)."""
+    first = next(rows, None)
+    if first is None:
+        return  # empty partition: don't even dial
+
+    def lines():
+        yield "\t".join(_copy_field(v) for v in first)
+        for row in rows:
+            yield "\t".join(_copy_field(v) for v in row)
+
+    with PgConnection(host, port, **conn_kwargs) as conn:
+        if setup_sql:
+            conn.execute(setup_sql)
+        conn.copy_in(copy_sql, lines())
+        if finish_sql:
+            conn.execute(finish_sql)
+
+
 def write_pgwire(
     df: DataFrame,
     host: str,
@@ -769,22 +801,10 @@ def write_pgwire(
     cols = [_check_ident(c, "column") for c in df.columns]
     col_list = ", ".join(cols)
     sql = f"COPY {table} ({col_list}) FROM STDIN"
-
-    def load_partition(rows) -> None:
-        first = next(rows, None)
-        if first is None:
-            return  # empty partition: don't even dial
-        def lines():
-            yield "\t".join(_copy_field(v) for v in first)
-            for row in rows:
-                yield "\t".join(_copy_field(v) for v in row)
-        with PgConnection(
-            host, port, user=user, database=database, password=password,
-            ssl_mode=ssl_mode, ssl_root_cert=ssl_root_cert,
-        ) as conn:
-            conn.copy_in(sql, lines())
-
-    df.foreachPartition(load_partition)
+    conn_kwargs = dict(user=user, database=database, password=password,
+                       ssl_mode=ssl_mode, ssl_root_cert=ssl_root_cert)
+    df.foreachPartition(
+        lambda rows: _copy_partition(rows, host, port, conn_kwargs, sql))
 
 
 def write_pgwire_upsert(
@@ -825,31 +845,29 @@ def write_pgwire_upsert(
         if update_cols else "DO NOTHING"
     )
 
+    conn_kwargs = dict(user=user, database=database, password=password,
+                       ssl_mode=ssl_mode, ssl_root_cert=ssl_root_cert)
+
     def load_partition(rows) -> None:
-        first = next(rows, None)
-        if first is None:
-            return
         import uuid as _uuid
 
         stage = f"pgwire_stage_{_uuid.uuid4().hex[:12]}"
-
-        def lines():
-            yield "\t".join(_copy_field(v) for v in first)
-            for row in rows:
-                yield "\t".join(_copy_field(v) for v in row)
-
-        with PgConnection(
-            host, port, user=user, database=database, password=password,
-            ssl_mode=ssl_mode, ssl_root_cert=ssl_root_cert,
-        ) as conn:
-            conn.execute(
-                f"CREATE TEMP TABLE {stage}"
-                f" (LIKE {table} INCLUDING DEFAULTS)")
-            conn.copy_in(f"COPY {stage} ({col_list}) FROM STDIN", lines())
-            conn.execute(
+        # ORDER BY keys does double duty: it makes DISTINCT ON pick a
+        # deterministic winner per key AND locks conflict rows in key
+        # order, so two partitions upserting overlapping keys
+        # concurrently cannot deadlock on inverted lock order (r14
+        # second-pass review finding)
+        _copy_partition(
+            rows, host, port, conn_kwargs,
+            f"COPY {stage} ({col_list}) FROM STDIN",
+            setup_sql=(f"CREATE TEMP TABLE {stage}"
+                       f" (LIKE {table} INCLUDING DEFAULTS)"),
+            finish_sql=(
                 f"INSERT INTO {table} ({col_list})"
                 f" SELECT DISTINCT ON ({key_list}) {col_list} FROM {stage}"
-                f" ON CONFLICT ({key_list}) {action}")
+                f" ORDER BY {key_list}"
+                f" ON CONFLICT ({key_list}) {action}"),
+        )
 
     df.foreachPartition(load_partition)
 
@@ -1804,6 +1822,9 @@ def pgwire_scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, pg.host, pg.port, "emb_slice",
             user=pg.user, database=pg.database,
             partition_column="vec_id", num_partitions=4)
-        rows = [(r[0], list(r[1]), r[2]) for r in back.collect()]
+        rows = [
+            (r[0], list(r[1]) if r[1] is not None else None, r[2])
+            for r in back.collect()
+        ]
     return spark.createDataFrame(
         sorted(rows), "vec_id bigint, embedding array<float>, label int")

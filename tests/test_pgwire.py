@@ -771,7 +771,7 @@ def test_stream_kafka_to_postgres_exactly_once(spark, pg, tmp_path):
         conn.execute(
             "CREATE TABLE kafka_sink (k text PRIMARY KEY, v text)")
     ckpt = str(tmp_path / f"ckpt_{uuid.uuid4().hex[:6]}")
-    host, port_kw = "127.0.0.1", None
+    host = "127.0.0.1"
 
     def sink(batch_df, _batch_id):
         rows = batch_df.selectExpr(
