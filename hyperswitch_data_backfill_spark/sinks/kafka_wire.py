@@ -1057,6 +1057,16 @@ class _GroupState:
                 # evicted while waiting (a parallel barrier completed
                 # without us — possible only after our own timeout)
                 return (25, -1, "", "", member_id, [])
+            # A joiner arriving mid-barrier calls _start_rebalance,
+            # which WIPES the rejoined set — but this thread's join
+            # request is still pending, and a pending joiner is part of
+            # whatever round completes (the real coordinator answers
+            # every open JoinGroup when the rebalance finishes). Without
+            # the re-add, a 16-member join storm cascades into barrier
+            # timeouts and mass evictions (measured: 10 s storms in the
+            # --group rehearsal).
+            self.rejoined.add(member_id)
+            self.members[member_id]["last_seen"] = now_fn()
         if self.state == "PreparingRebalance":
             # this thread completes the rebalance
             common = self._common_protocol()

@@ -680,6 +680,95 @@ def pgwire_mode() -> None:
                   f"| {rate(s4)} |")
 
 
+def group_mode() -> None:
+    """--group: consumer-group coordination at growing member counts —
+    N members join a P-partition topic concurrently (the rebalance
+    storm every deploy/restart causes at scale), the assignment must be
+    a complete disjoint cover, then half the members leave and the
+    survivors must reconverge to a complete cover. Reports the
+    join-storm and failover walls; linear-ish walls and exact covers =
+    the coordination layer holds at fleet size."""
+    import threading
+    import time as _t
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire import WireCluster
+    from hyperswitch_data_backfill_spark.sources import kafka_fetch as kf
+
+    partitions = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    member_counts = [int(x) for x in sys.argv[3:]] or [2, 4, 8, 16]
+    print("| members | partitions | join storm s | cover | failover s "
+          "| cover after |")
+    print("|---|---|---|---|---|---|")
+    for n in member_counts:
+        with WireCluster(n_brokers=2, topics={"t": partitions},
+                         rebalance_barrier_s=10.0) as cluster:
+            host, port = cluster.bootstrap
+            members = [
+                kf.WireConsumerGroup(host, port, "reh", ["t"],
+                                     session_timeout_ms=60_000)
+                for _ in range(n)
+            ]
+            # Every member gets a SERVICE THREAD that keeps the poll
+            # loop alive (join, heartbeat, rejoin) until told to stop —
+            # exactly a real consumer's shape. Polling blocking joins
+            # from one thread starves the barrier (a member waiting in
+            # join() would block its peers' heartbeats — measured: the
+            # sequential version reported false BROKEN failovers).
+            current: dict[int, dict] = {}
+            stop = threading.Event()
+            gone = set()
+
+            def serve(i):
+                m = members[i]
+                current[i] = m.join()
+                while not stop.is_set() and i not in gone:
+                    if m.heartbeat() == "rebalance":
+                        current[i] = m.join()
+                    else:
+                        _t.sleep(0.02)
+
+            def covered(idxs) -> bool:
+                owned = [p for i in idxs
+                         for p in current.get(i, {}).get("t", [])]
+                return (len(owned) == partitions
+                        and len(set(owned)) == partitions)
+
+            def wait_cover(idxs, budget) -> float | None:
+                t0 = _t.time()
+                while _t.time() - t0 < budget:
+                    if all(i in current for i in idxs) and covered(idxs):
+                        return _t.time() - t0
+                    _t.sleep(0.02)
+                return None
+
+            threads = [threading.Thread(target=serve, args=(i,))
+                       for i in range(n)]
+            t0 = _t.time()
+            for t in threads:
+                t.start()
+            join_wall = wait_cover(range(n), 60)
+            cover = join_wall is not None
+            # failover: the second half leaves; survivors reconverge
+            t0 = _t.time()
+            for i in range(n // 2, n):
+                gone.add(i)
+            for i in range(n // 2, n):
+                threads[i].join(5)
+                members[i].leave()
+                current.pop(i, None)
+            fail_wall = wait_cover(range(n // 2), 60)
+            cover2 = fail_wall is not None
+            fail_total = _t.time() - t0
+            stop.set()
+            for i in range(n // 2):
+                threads[i].join(5)
+                members[i].leave()
+            print(f"| {n} | {partitions} | "
+                  f"{join_wall if cover else 60:.2f} | "
+                  f"{'OK' if cover else 'BROKEN'} | {fail_total:.2f} | "
+                  f"{'OK' if cover2 else 'BROKEN'} |")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_mode()
@@ -693,5 +782,7 @@ if __name__ == "__main__":
         wire_mode()
     elif len(sys.argv) > 1 and sys.argv[1] == "--pgwire":
         pgwire_mode()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--group":
+        group_mode()
     else:
         main()
