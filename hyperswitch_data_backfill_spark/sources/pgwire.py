@@ -1680,7 +1680,8 @@ def stream_pgwire_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"stream_pgwire_tail: first wave never drained "
-                        f"({spark.table(name).count()}/{n1})")
+                        f"({spark.table(name).count()}/{n1}); "
+                        f"lastProgress={q.lastProgress}")
                 time.sleep(0.2)
             write_pgwire(wave2.repartition(2), pg.host, pg.port,
                          "orders_tail", user=pg.user, database=pg.database)
@@ -1691,7 +1692,8 @@ def stream_pgwire_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"stream_pgwire_tail: second wave never drained "
-                        f"({spark.table(name).count()}/{total})")
+                        f"({spark.table(name).count()}/{total}); "
+                        f"lastProgress={q.lastProgress}")
                 time.sleep(0.2)
         finally:
             q.stop()
