@@ -68,28 +68,28 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # changed since its latest green — list those here by hand and they go
 # first, ahead of the age-ranked tail. (New keys need no entry: a key
 # with no driver record anywhere ranks first automatically.)
-# Round 14: implementations changed under five driver-checkable keys —
-# kafka_wire_fetch_roundtrip now produces its v2 leg LZ4-compressed
-# (the new from-spec LZ4 frame layer rides under the hash),
-# kafka_wire_v2_roundtrip shares the extended _compress_records
-# dispatch, stream_kafka_wire_tumbling is refactored through the
-# shared _stream_wire_tumbling helper, stream_cdc_kafka_maintained
-# reads through KafkaWireStreamReader.read() which grew the
-# group-protocol branches, and agg_approx_distinct_err's exact referee
-# moved to the md5 key-space carve (r13 verdict item 5). All re-enter
-# ahead of the age-ranked tail; the NEW keys (pgwire_scan_orders,
-# stream_kafka_wire_tumbling_parallel) need no entry — no driver
-# record ranks first automatically. Round-13 prepends are cleared
-# (their r13 records cover the shipped implementations).
+# Round 15: implementations changed under nine driver-checkable keys —
+# the lz4 size-walk gained truncation bounds checks (r14 ADVICE) riding
+# under both wire-roundtrip hashes; KafkaWireStreamReader.read()'s
+# group-mode first-sight pin was restructured (r14 ADVICE medium) and
+# its __del__ hardened, under both simple-reader streaming keys;
+# stream_pgwire_tail's drain went stall-based (r14 verdict item 5);
+# the pgwire reader's pushdown literal gained the non-finite guard and
+# the OID map grew json/jsonb/uuid, on the path of both real-PG scan
+# keys; decode_avi now binds to the single 'vids' stream (r14 ADVICE),
+# under both video perceptual keys. pgwire_scan_embeddings (reshaped to
+# the canon-safe posexplode projection, r14 verdict item 1) needs no
+# entry: its latest record is RED, which ranks it ahead of every green
+# automatically. Round-14 prepends are cleared (their r14 records cover
+# the shipped implementations).
 _WINDOW_PREPEND: tuple[str, ...] = (
     "kafka_wire_fetch_roundtrip",
     "kafka_wire_v2_roundtrip",
     "stream_kafka_wire_tumbling",
     "stream_cdc_kafka_maintained",
-    "agg_approx_distinct_err",
-    # video decode stage gained the AVI-container branch (r14 stretch):
-    # the raw path is behaviorally identical, but the decode loop the
-    # driver hash rides was restructured — re-green it
+    "stream_pgwire_tail",
+    "pgwire_scan_orders",
+    "pipeline_pg_to_kafka",
     "dedup_video_vhash",
     "dedup_video_vhash_pairs",
 )
@@ -120,65 +120,62 @@ def _shipped_evidence_rounds() -> list[int]:
 # matches neither and fails.
 _WINDOW_EVIDENCE_ROUND: int = max(_shipped_evidence_rounds(), default=0)
 
-# ROUND-14 WINDOW = rotation output at evidence pin r13 with the five
-# changed-implementation prepends above (lz4 under the fetch-roundtrip
-# hash, the shared _compress_records dispatch, the _stream_wire_tumbling
-# refactor, the group-protocol branches in the simple reader's read(),
-# the md5-carved approx-distinct referee), then the two NEW round-14
-# keys (the real-PostgreSQL pgwire scan and the executor-parallel wire
-# streaming twin — never swept, so they rank first), then the r10
-# cohort oldest-first and the r11 fill.
+# ROUND-15 WINDOW = rotation output at evidence pin r14 with the nine
+# changed-implementation prepends above, then the one RED key (the
+# reshaped pgwire_scan_embeddings — its r14 record is the repo's only
+# red row, so it re-enters ahead of every green), then the r10 window
+# stragglers and the r11 cohort oldest-first.
 _DRIVER_WINDOW: list[str] = [
-    "kafka_wire_fetch_roundtrip",  # green r13; impl changed (lz4 leg)
-    "kafka_wire_v2_roundtrip",  # green r13; impl changed
-    "stream_kafka_wire_tumbling",  # green r13; impl changed
-    "stream_cdc_kafka_maintained",  # green r13; impl changed
-    "agg_approx_distinct_err",  # green r11; impl changed (carve)
-    "dedup_video_vhash",  # green r13; impl changed (AVI branch)
-    "dedup_video_vhash_pairs",  # green r13; impl changed (AVI branch)
-    "pgwire_scan_embeddings",  # no evidence (new r14)
-    "pgwire_scan_orders",  # no evidence (new r14)
-    "pipeline_pg_to_kafka",  # no evidence (new r14)
-    "stream_kafka_wire_tumbling_parallel",  # no evidence (new r14)
-    "stream_pgwire_tail",  # no evidence (new r14)
-    "decontam_ngram",  # green r10
-    "dedup_clusters",  # green r10
-    "dedup_exact_hashkey",  # green r10
-    "dedup_survivors",  # green r10
-    "emb_centroid_per_label",  # green r10
-    "emb_quantize_int8",  # green r10
-    "emb_random_projection",  # green r10
-    "funnel_steps",  # green r10
-    "json_extract",  # green r10
-    "json_extract_agg",  # green r10
-    "json_serialize",  # green r10
-    "kafka_payload_shape",  # green r10
-    "map_props_stats",  # green r10
-    "math_money",  # green r10
-    "merge_upsert",  # green r10
-    "multimodal_audio_rms",  # green r10
-    "multimodal_frame_sample",  # green r10
-    "multimodal_resize_mean",  # green r10
-    "pack_sequences",  # green r10
-    "parse_datetime_multi",  # green r10
-    "pipeline_backfill_job",  # green r10
-    "pipeline_clean_corpus",  # green r10
-    "sample_stratified_fixed",  # green r10
-    "scalar_subquery_avg",  # green r10
-    "scan_customer_page",  # green r10
-    "scan_orders",  # green r10
-    "set_except",  # green r10
-    "set_intersect",  # green r10
-    "set_union",  # green r10
-    "sim_ivfpq",  # rows_only r10
-    "sort_by_key",  # green r10
-    "stream_attribution_replay",  # green r10
-    "stream_cdc_maintainer_batch",  # green r10
-    "topk_per_group",  # green r10
-    "validate_ids",  # green r10
-    "win_lag",  # green r10
-    "win_range_frame",  # green r10
-    "win_rank_stats",  # green r10
+    "kafka_wire_fetch_roundtrip",  # green r14; impl changed (lz4 bounds)
+    "kafka_wire_v2_roundtrip",  # green r14; impl changed (lz4 bounds)
+    "stream_kafka_wire_tumbling",  # green r14; impl changed (read() pin)
+    "stream_cdc_kafka_maintained",  # green r14; impl changed (read() pin)
+    "stream_pgwire_tail",  # green r14; impl changed (stall-based drain)
+    "pgwire_scan_orders",  # green r14; impl changed (pushdown guard)
+    "pipeline_pg_to_kafka",  # green r14; impl changed (pushdown guard)
+    "dedup_video_vhash",  # green r14; impl changed (AVI stream binding)
+    "dedup_video_vhash_pairs",  # green r14; impl changed (AVI binding)
+    "pgwire_scan_props",  # no evidence (new r15: real-PG jsonb leg)
+    "pgwire_scan_embeddings",  # ERR r14 — reshaped, re-sweep first
+    "win_rownum",  # green r10
+    "win_running_sum",  # green r10
+    "win_tumbling",  # green r10
+    "agg_approx_percentile_err",  # green r11
+    "agg_countmin",  # green r11
+    "agg_equidepth_histogram",  # green r11
+    "agg_heavy_hitters",  # green r11
+    "agg_hll_merge_err",  # green r11
+    "agg_incremental_merge",  # green r11
+    "agg_percentile",  # green r11
+    "agg_salted_skew",  # green r11
+    "attr_last_touch",  # green r11
+    "cdc_snapshot_diff",  # green r11
+    "compact_bin_pack",  # green r11
+    "decontam_bloom",  # rows_only r11
+    "decontam_bloom_fn",  # green r11
+    "dedup_exact",  # green r11
+    "dedup_incremental_exact",  # green r11
+    "dedup_minhash_precision",  # green r11
+    "dedup_simhash",  # rows_only r11
+    "neardup_cosine",  # green r11
+    "profile_columns",  # green r11
+    "retention_cohort",  # green r11
+    "sample_weighted_mix",  # green r11
+    "scd2_intervals",  # green r11
+    "set_intersect_all",  # green r11
+    "sim_exact_small",  # green r11
+    "stream_tumbling_replay",  # green r11
+    "text_bm25",  # green r11
+    "text_chunk_overlap",  # green r11
+    "text_fingerprint",  # green r11
+    "text_inverted_index",  # green r11
+    "text_lang_id",  # green r11
+    "text_length_quantile_gate",  # green r11
+    "text_ngram_freq",  # green r11
+    "text_pii_redact",  # green r11
+    "text_quality",  # green r11
+    "text_repetition_gate",  # green r11
+    "text_stats",  # green r11
 ]
 
 
@@ -202,6 +199,28 @@ def oracle_sql() -> dict[str, str]:
         for name in _ordered_names()
         if REGISTRY[name].oracle is not None
     }
+
+
+def driver_canon_unsafe_columns(schema) -> list[str]:
+    """Columns the external driver's canonicalizer cannot digest.
+
+    The driver hashes an oracle-backed result by collecting it to pandas
+    and sorting the frame; array/map/struct cells arrive as ndarray /
+    dict / Row objects that pandas' sort-factorize rejects ("unhashable
+    type: 'numpy.ndarray'" — the CORRECTNESS_r14 red row on
+    pgwire_scan_embeddings). Both local mirrors (tests/conftest.py's
+    assert_oracle_match and tools/sweep.py) call this and FAIL loudly on
+    such columns, so a key the driver would reject cannot pass locally
+    (r14 verdict item 2). Rows-only keys are exempt: the driver only
+    counts their rows.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
 
 
 _LOADED = False

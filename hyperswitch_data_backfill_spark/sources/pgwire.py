@@ -43,6 +43,7 @@ import base64
 import decimal
 import hashlib
 import hmac
+import math
 import os
 import re
 import secrets
@@ -281,6 +282,14 @@ _OID_SPARK: dict[int, tuple[str, "callable"]] = {
     18: ("string", str),    # "char" (catalog single-byte)
     19: ("string", str),    # name (catalog identifiers, current_user)
     26: ("bigint", int),    # oid (unsigned 32-bit)
+    # The reference's entity tables carry serde_json::Value metadata
+    # columns (SURVEY §1.2) that land as json/jsonb in Postgres, plus
+    # uuid keys — a real Hyperswitch scan hits these first (r14 verdict
+    # item 3). All three have canonical text output forms; Spark-side
+    # they are strings (feed json/jsonb to get_json_object/from_json).
+    114: ("string", str),   # json (stored text, emitted verbatim)
+    3802: ("string", str),  # jsonb (canonical text form)
+    2950: ("string", str),  # uuid (lowercase hex text form)
     _OID_FLOAT4: ("float", _decode_float4),
     _OID_FLOAT8: ("double", float),
     _OID_BPCHAR: ("string", str),
@@ -305,6 +314,9 @@ _ARRAY_OID_ELEM: dict[int, int] = {
     1014: _OID_BPCHAR,
     1182: _OID_DATE,
     1115: _OID_TIMESTAMP,
+    199: 114,               # json[]
+    3807: 3802,             # jsonb[]
+    2951: 2950,             # uuid[]
 }
 for _arr_oid, _elem_oid in _ARRAY_OID_ELEM.items():
     _elem_ddl, _elem_dec = _OID_SPARK[_elem_oid]
@@ -905,6 +917,13 @@ def _sql_literal(value) -> str:
         raise ValueError("NULL literal in a pushed filter")
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
+    if isinstance(value, float) and not math.isfinite(value):
+        # repr() would compile NaN/Infinity to bare 'nan'/'inf' —
+        # invalid SQL that fails the scan at read time, violating the
+        # "pushdown can only over-deliver" contract. Decline the
+        # pushdown; the filter stays residual-only, like NULL-bearing
+        # filters (r14 ADVICE).
+        raise ValueError("non-finite float literal in a pushed filter")
     if isinstance(value, (int, float)):
         return repr(value)
     if isinstance(value, datetime):
@@ -1672,29 +1691,37 @@ def stream_pgwire_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(processingTime="250 milliseconds")
             .start()
         )
-        try:
-            deadline = time.time() + 300
-            while spark.table(name).count() < n1:
+        def drain(target: int, label: str) -> None:
+            # Stall-based deadline, not a fixed total: under full-suite
+            # host load a healthy stream drains slowly but steadily,
+            # and the old flat 300s tripped once while rows were still
+            # arriving (r14 verdict item 5). Timeout only when the sink
+            # count stops ADVANCING (180s) or at a generous hard cap.
+            stall_s, hard_s = 180.0, 1200.0
+            t0 = time.time()
+            last_n, last_adv = -1, time.time()
+            while True:
+                n = spark.table(name).count()
+                if n >= target:
+                    return
                 if q.exception() is not None:
                     raise q.exception()
-                if time.time() > deadline:
+                now = time.time()
+                if n != last_n:
+                    last_n, last_adv = n, now
+                if now - last_adv > stall_s or now - t0 > hard_s:
                     raise TimeoutError(
-                        f"stream_pgwire_tail: first wave never drained "
-                        f"({spark.table(name).count()}/{n1}); "
+                        f"stream_pgwire_tail: {label} never drained "
+                        f"({n}/{target}; {now - last_adv:.0f}s since "
+                        f"last progress, {now - t0:.0f}s total); "
                         f"lastProgress={q.lastProgress}")
                 time.sleep(0.2)
+
+        try:
+            drain(n1, "first wave")
             write_pgwire(wave2.repartition(2), pg.host, pg.port,
                          "orders_tail", user=pg.user, database=pg.database)
-            deadline = time.time() + 300
-            while spark.table(name).count() < total:
-                if q.exception() is not None:
-                    raise q.exception()
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"stream_pgwire_tail: second wave never drained "
-                        f"({spark.table(name).count()}/{total}); "
-                        f"lastProgress={q.lastProgress}")
-                time.sleep(0.2)
+            drain(total, "second wave")
         finally:
             q.stop()
         q.awaitTermination(60)
@@ -1793,7 +1820,10 @@ def pipeline_pg_to_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pgwire_scan_embeddings",
     oracle="""
-    SELECT vec_id, embedding, label
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val,
+           label
     FROM embeddings
     WHERE vec_id % 40 = 3
     """,
@@ -1804,7 +1834,12 @@ def pipeline_pg_to_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decoded by exact widening (PostgreSQL emits shortest-"
         "round-trip decimals; parsing them as float64 would land on "
         "different doubles than the float32 widening every columnar "
-        "engine performs — this key hash-pins that subtlety).",
+        "engine performs — this key hash-pins that subtlety). The "
+        "result is flattened to one (vec_id, pos, val, label) row per "
+        "element: the driver's canonicalizer sorts the pandas frame, "
+        "and array cells are unhashable there (the r14 red row), so "
+        "the hash pin lives on scalar float64 widenings of every "
+        "float32 element instead of on the array cells themselves.",
 )
 def pgwire_scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """float4[] arrays through a real PostgreSQL server, hash-exact."""
@@ -1824,9 +1859,63 @@ def pgwire_scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, pg.host, pg.port, "emb_slice",
             user=pg.user, database=pg.database,
             partition_column="vec_id", num_partitions=4)
+        # Flatten inside the server's lifetime (the ≤O(carve) collect
+        # is the fixture's canonicalization of an ephemeral server, not
+        # a data path).  Element values arrive as Python floats — i.e.
+        # the exact float32→float64 widening the key pins.
         rows = [
-            (r[0], list(r[1]) if r[1] is not None else None, r[2])
+            (r[0], pos, float(val), r[2])
             for r in back.collect()
+            for pos, val in enumerate(r[1] or [])
         ]
     return spark.createDataFrame(
-        sorted(rows), "vec_id bigint, embedding array<float>, label int")
+        sorted(rows), "vec_id bigint, pos int, val double, label int")
+
+
+@register(
+    "pgwire_scan_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE event_id % 50 = 7
+    """,
+    doc="S1 jsonb leg against the REAL server: the reference's entity "
+        "tables carry serde_json::Value metadata columns (SURVEY §1.2) "
+        "that land as jsonb in Postgres — this key round-trips an "
+        "events carve through a real jsonb column (executor-parallel "
+        "COPY-in → partitioned read-back via the OID 3802 → string "
+        "mapping) and extracts a typed field with get_json_object, the "
+        "first shape a real Hyperswitch scan presents (r14 verdict "
+        "item 3).",
+)
+def pgwire_scan_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonb metadata through a real PostgreSQL server → json_extract."""
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("event_id % 50 = 7")
+        .select("event_id", "event_type", "props")
+    )
+    with PgServer() as pg:
+        with pg.connect() as conn:
+            conn.execute(
+                "CREATE TABLE ev_props (event_id bigint,"
+                " event_type text, props jsonb)")
+        write_pgwire(src.repartition(4), pg.host, pg.port, "ev_props",
+                     user=pg.user, database=pg.database)
+        back = read_pgwire(
+            spark, pg.host, pg.port, "ev_props",
+            user=pg.user, database=pg.database,
+            partition_column="event_id", num_partitions=4)
+        rows = [
+            tuple(r)
+            for r in back.select(
+                "event_id", "event_type",
+                F.get_json_object("props", "$.k").cast("bigint")
+                 .alias("k_val"),
+            ).collect()
+        ]
+    return spark.createDataFrame(
+        sorted(rows), "event_id bigint, event_type string, k_val bigint")

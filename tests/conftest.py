@@ -63,7 +63,24 @@ def _norm(v):
 
 
 def assert_oracle_match(spark_df, duck_con, sql: str, name: str = "?"):
-    """Driver-gate mirror: same column names (sorted), same multiset of rows."""
+    """Driver-gate mirror: same column names (sorted), same multiset of rows.
+
+    Also refuses nested-typed result columns up front: the external
+    driver's pandas-sort canonicalizer crashes on array/map/struct cells
+    (the CORRECTNESS_r14 pgwire_scan_embeddings red row), while this
+    mirror's tuple-normalization used to digest them silently — so a key
+    the driver would reject could pass locally. Fail here instead.
+    """
+    from hyperswitch_data_backfill_spark.registry import (
+        driver_canon_unsafe_columns,
+    )
+
+    unsafe = driver_canon_unsafe_columns(spark_df.schema)
+    assert not unsafe, (
+        f"[{name}] result carries nested-typed columns {unsafe} — the "
+        f"external driver's canonicalizer cannot sort these; project to "
+        f"scalars (posexplode / array_to_string) before returning"
+    )
     spark_cols = sorted(spark_df.columns)
     srows = [tuple(_norm(r[c]) for c in spark_cols) for r in spark_df.collect()]
 

@@ -190,6 +190,62 @@ class TestRealServer:
             b"\x00\xff", None,
         )]
 
+    def test_json_jsonb_uuid_decode(self, pg):
+        """The reference's entity tables carry serde_json::Value
+        metadata columns that land as json/jsonb in Postgres, plus
+        uuid keys (SURVEY §1.2) — a real Hyperswitch scan hits these
+        OIDs first (r14 verdict item 3). All three map to Spark
+        strings; jsonb comes back in Postgres's canonical text form,
+        uuid lowercased."""
+        with pg.connect() as conn:
+            cols, rows = conn.query(
+                'SELECT \'{"a": 1}\'::json AS j,'
+                ' \'{"b":  2,"a":1}\'::jsonb AS jb,'
+                " 'A0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A11'::uuid AS u,"
+                " ARRAY['\"x\"'::jsonb, '7'::jsonb] AS jba")
+        assert [c.spark_ddl_type() for c in cols] == [
+            "string", "string", "string", "array<string>"]
+        j, jb, u, jba = rows[0]
+        assert j == '{"a": 1}'               # json stores text verbatim
+        assert jb == '{"a": 1, "b": 2}'      # jsonb canonical form
+        assert u == "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"
+        assert jba == ['"x"', "7"]
+
+    def test_jsonb_metadata_spark_roundtrip(self, pg, spark):
+        """A jsonb metadata column + uuid key through the Spark read
+        path — the first real-schema shape a Hyperswitch table scan
+        presents — lands as strings that get_json_object digests."""
+        from pyspark.sql import functions as F
+
+        with pg.connect() as conn:
+            conn.execute(
+                "CREATE TABLE meta_t (k bigint, id uuid, props jsonb)")
+            conn.copy_in(
+                "COPY meta_t (k, id, props) FROM STDIN",
+                [
+                    "1\ta0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"
+                    '\t{"plan": "pro", "n": 3}',
+                    "2\tB0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A11"
+                    '\t{"plan": "free", "n": 1}',
+                ])
+        back = read_pgwire(spark, pg.host, pg.port, "meta_t",
+                           user=pg.user)
+        assert dict((f.name, f.dataType.simpleString())
+                    for f in back.schema.fields) == {
+            "k": "bigint", "id": "string", "props": "string"}
+        got = sorted(
+            tuple(r) for r in back.select(
+                "k", "id",
+                F.get_json_object("props", "$.plan").alias("plan"),
+                F.get_json_object("props", "$.n").cast("int").alias("n"),
+            ).collect())
+        assert got == [
+            (1, "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11", "pro", 3),
+            (2, "b0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11", "free", 1),
+        ]
+        with pg.connect() as conn:
+            conn.execute("DROP TABLE meta_t")
+
     def test_error_response_and_session_reuse(self, pg):
         with pg.connect() as conn:
             with pytest.raises(PgError, match="does_not_exist"):
@@ -507,6 +563,20 @@ def test_null_bearing_in_filter_declines_pushdown():
     assert r._pushed == []     # nothing compiled into the slice SQL
 
 
+def test_non_finite_float_filter_declines_pushdown():
+    """repr(nan/inf) would compile to bare 'nan'/'inf' — invalid SQL
+    that fails the scan at read time. The filter must stay
+    residual-only instead, like NULL-bearing filters (r14 ADVICE)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    assert _filter_to_sql(EqualTo(("x",), float("nan"))) is None
+    assert _filter_to_sql(GreaterThan(("x",), float("inf"))) is None
+    assert _filter_to_sql(EqualTo(("x",), float("-inf"))) is None
+    assert _filter_to_sql(In(("x",), (1.0, float("nan")))) is None
+    # finite floats still compile
+    assert _filter_to_sql(EqualTo(("x",), 1.5)) == "x = 1.5"
+
+
 class TestEqualKeyCap:
     """The admission cap must never split a run of equal key values."""
 
@@ -744,6 +814,27 @@ def test_embeddings_fixture_matches_oracle(spark, duck):
     assert_oracle_match(
         df, duck, REGISTRY["pgwire_scan_embeddings"].oracle,
         "pgwire_scan_embeddings")
+
+
+def test_props_fixture_matches_oracle(spark, duck):
+    from hyperswitch_data_backfill_spark.sources.pgwire import (
+        pgwire_scan_props,
+    )
+
+    try:
+        df = pgwire_scan_props(
+            spark,
+            __import__("os").environ.get(
+                "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))
+    except PgServerUnavailable as exc:
+        pytest.skip(f"no usable PostgreSQL server binaries: {exc}")
+    from tests.conftest import assert_oracle_match
+
+    from hyperswitch_data_backfill_spark.registry import REGISTRY
+
+    assert_oracle_match(
+        df, duck, REGISTRY["pgwire_scan_props"].oracle,
+        "pgwire_scan_props")
 
 
 def test_stream_kafka_to_postgres_exactly_once(spark, pg, tmp_path):

@@ -205,6 +205,53 @@ def test_queries_yield_window_first_then_all():
     }
 
 
+def test_every_oracle_is_driver_canon_safe(duck):
+    """No oracle may yield nested-typed (list/struct/map) result columns:
+    the external driver canonicalizes by pandas-sorting the frame, and
+    nested cells are unhashable there — pgwire_scan_embeddings shipped
+    r14 with a FLOAT[] column and went red at its only driver record
+    while both local mirrors (tuple-normalizing) called it green (r14
+    verdict item 2). DuckDB planning is enough to get the types, so this
+    sweeps all ~175 oracles in seconds."""
+    registry._load_all_operator_modules()
+    bad = {}
+    for name, q in registry.REGISTRY.items():
+        if q.oracle is None:
+            continue
+        rel = duck.sql(q.oracle)
+        nested = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, rel.types)
+            if any(tok in str(t) for tok in ("[]", "STRUCT", "MAP", "LIST"))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, (
+        f"oracles with nested-typed output columns (driver canon would "
+        f"crash on the matching Spark result): {bad} — project to "
+        f"scalars (unnest/posexplode or array_to_string) on BOTH sides"
+    )
+
+
+def test_driver_canon_guard_flags_nested_columns(spark):
+    """The shared guard both local mirrors call must flag exactly the
+    column shapes the driver's canonicalizer rejects — including the
+    array<float> shape that produced the r14 red row."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        "id",
+        F.array(F.lit(1.0), F.lit(2.0)).cast("array<float>").alias("emb"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+        F.struct(F.lit(1).alias("a")).alias("s"),
+        F.lit("x").alias("ok"),
+    )
+    assert registry.driver_canon_unsafe_columns(df.schema) == [
+        "emb", "m", "s"]
+    assert registry.driver_canon_unsafe_columns(
+        spark.range(1).schema) == []
+
+
 def test_inventory_doc_in_sync():
     """INVENTORY.md is generated from the registry (tools/inventory.py);
     a key registered without regenerating it fails here."""

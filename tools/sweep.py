@@ -101,6 +101,26 @@ def main() -> int:
                                  "wall_s": round(time.time() - t0, 2)}
                 print(f"ROWS-ONLY {name}: {n} rows ({time.time()-t0:.1f}s)")
                 continue
+            # Driver-canon guard (r14 verdict item 2): the external
+            # driver sorts the collected pandas frame, and nested cells
+            # (ndarray/dict/Row) are unhashable there — this mirror's
+            # tuple-normalization would happily digest them, letting a
+            # driver-red key pass locally (pgwire_scan_embeddings r14).
+            from hyperswitch_data_backfill_spark.registry import (
+                driver_canon_unsafe_columns,
+            )
+
+            unsafe = driver_canon_unsafe_columns(df.schema)
+            if unsafe:
+                n_fail += 1
+                records[name] = {
+                    "status": "fail",
+                    "err": f"nested-typed result columns {unsafe} — "
+                           "driver canon cannot sort these",
+                }
+                print(f"FAIL {name}: nested-typed columns {unsafe} "
+                      "(driver canon would crash — project to scalars)")
+                continue
             spark_cols = sorted(df.columns)
             srows = [tuple(_norm(r[c]) for c in spark_cols) for r in df.collect()]
             res = con.sql(oracles[name])
