@@ -854,10 +854,15 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         # socket leak), and the coordinator's session-timeout eviction
         # covers the rest — a restarted query may wait out at most one
         # sessionTimeoutMs before the stale member is dropped (r14
-        # review finding).
-        if self._group is not None:
+        # review finding). getattr, not attribute access: if
+        # _FetchOptions(options) raised in __init__, _group was never
+        # assigned and __del__ must not raise a second, unraisable
+        # AttributeError over the real validation error (r14 verdict
+        # item 4).
+        group = getattr(self, "_group", None)
+        if group is not None:
             try:
-                self._group.leave()
+                group.leave()
             except Exception:
                 pass
 
@@ -1028,14 +1033,26 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             # 0 — never the high watermark, which would skip its whole
             # backlog on a later handover; r14 review finding), and
             # replay treats start-missing partitions as offset seeds
-            # (see readBetweenOffsets). Newly (re)acquired partitions
-            # fast-forward their EFFECTIVE read start to the committed
-            # cursor: those rows were already processed by the previous
-            # owner — cursor continuity across the rebalance. Honest
-            # replay contract: within a stable assignment replay is
-            # exact; the one in-flight batch around a HANDOVER replays
-            # at-least-once (the catch-up floor is time-varying group
-            # state the offset map cannot encode).
+            # (see readBetweenOffsets). The pin applies to ASSIGNED
+            # first-sight partitions too (r14 ADVICE): if the live read
+            # emitted rows for a partition absent from the batch's
+            # start, a checkpoint replay of that in-flight batch —
+            # which drops start-absent partitions — would silently
+            # return zero rows for it while the next start jumps to its
+            # high watermark, losing the span for good (at-most-once).
+            # Pinning for one trigger puts the partition in the
+            # checkpoint BEFORE any of its rows flow, so read() and
+            # readBetweenOffsets agree (both zero rows) and the
+            # at-least-once floor holds; the partition streams normally
+            # from the next trigger. Newly (re)acquired partitions the
+            # checkpoint DOES know fast-forward their EFFECTIVE read
+            # start to the committed cursor: those rows were already
+            # processed by the previous owner — cursor continuity
+            # across the rebalance. Honest replay contract: within a
+            # stable assignment replay is exact; the one in-flight
+            # batch around a HANDOVER replays at-least-once (the
+            # catch-up floor is time-varying group state the offset map
+            # cannot encode).
             committed = member.committed(
                 {o.topic: [int(p) for p in sorted(end, key=int)]}
             ).get(o.topic, {}) if end else {}
@@ -1046,15 +1063,15 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
                 return max(0, committed.get(int(p), -1))  # first sight
 
             end = _sorted_offsets({
-                p: (hi if p in assigned else pin(p))
+                p: (hi if (p in assigned and p in start) else pin(p))
                 for p, hi in end.items()
             })
             for p in end:
-                if p in assigned:
+                if p in assigned and p in start:
                     start_eff[p] = max(
-                        int(start.get(p, 0)), committed.get(int(p), -1))
+                        int(start[p]), committed.get(int(p), -1))
                 else:
-                    # never read a frozen slot (lo == hi)
+                    # never read a frozen/pinned slot (lo == hi)
                     start_eff[p] = end[p]
         end = self._admit(start_eff, end)
         # the admitted end must never sit below the checkpointed start
