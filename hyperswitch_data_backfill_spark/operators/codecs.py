@@ -427,6 +427,13 @@ def decode_avi(payload: bytes) -> np.ndarray:
     width = height = bitcount = compression = None
     palette = None
     movi_span = None
+    # Decoding binds to exactly ONE stream: the strl whose strh says
+    # 'vids'. Without the binding, a multi-stream AVI (video+audio, or
+    # two video streams) would interleave foreign '??db'/'??dc' chunks
+    # or let the LAST strf overwrite the video dims — silently-wrong
+    # perceptual hashes instead of an error (r14 ADVICE).
+    video_stream = None  # strl index of the bound video stream
+    strl_index = -1
     for fourcc, dstart, dsize in _riff_chunks(payload, 12, end):
         if fourcc != b"LIST":
             continue
@@ -434,8 +441,21 @@ def decode_avi(payload: bytes) -> np.ndarray:
         if kind == b"hdrl":
             for f2, s2, z2 in _riff_chunks(payload, dstart + 4, dstart + dsize):
                 if f2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                    strl_index += 1
+                    is_vids = False
                     for f3, s3, z3 in _riff_chunks(payload, s2 + 4, s2 + z2):
-                        if f3 == b"strf" and z3 >= 40:
+                        if f3 == b"strh" and z3 >= 4:
+                            # strh precedes strf within its strl (spec)
+                            is_vids = payload[s3 : s3 + 4] == b"vids"
+                            if is_vids and video_stream is not None:
+                                raise NotImplementedError(
+                                    "AVI: multiple video streams "
+                                    f"(strl {video_stream} and "
+                                    f"{strl_index}) — single-stream "
+                                    "clips only")
+                            if is_vids:
+                                video_stream = strl_index
+                        elif f3 == b"strf" and z3 >= 40 and is_vids:
                             (_bisz, width, height, _planes, bitcount,
                              comp4) = struct.unpack_from("<IiiHHI", payload, s3)
                             compression = comp4
@@ -449,16 +469,18 @@ def decode_avi(payload: bytes) -> np.ndarray:
                                 palette[:n_colors] = pal[:, 2::-1]
         elif kind == b"movi":
             movi_span = (dstart + 4, dstart + dsize)
-    if width is None or movi_span is None:
-        raise ValueError("AVI: missing strf header or movi list")
+    if width is None or movi_span is None or video_stream is None:
+        raise ValueError(
+            "AVI: missing video stream (strh 'vids' + strf) or movi list")
+    stream_prefix = b"%02d" % video_stream
     top_down = int(height) < 0  # negative biHeight = rows stored top-first
     height = abs(int(height))
     width = int(width)
     frames = []
     for fourcc, dstart, dsize in _riff_chunks(payload, *movi_span):
         tag = fourcc[2:4]
-        if tag not in (b"db", b"dc"):
-            continue                      # non-video chunk (audio, rec )
+        if fourcc[:2] != stream_prefix or tag not in (b"db", b"dc"):
+            continue      # foreign-stream or non-video chunk (audio, rec )
         data = payload[dstart : dstart + dsize]
         if compression == 0:
             frames.append(_dib_frame_to_gray(

@@ -379,7 +379,16 @@ def _lz4_block_decoded_size(src: bytes) -> int:
         total += lit
         i += lit
         if i >= n:
-            break
+            # i > n means the literal run claims bytes past the block's
+            # end — counting them would overstate the decoded size, and
+            # pyarrow's one-shot pads an oversized destination with
+            # uninitialized memory instead of erroring (r14 ADVICE):
+            # refuse, like the copying decoder does.
+            if i > n:
+                raise ValueError("lz4 block: literal run past end")
+            break  # last sequence is literals-only by spec
+        if i + 2 > n:
+            raise ValueError("lz4 block: truncated match offset")
         i += 2  # match offset
         mlen = token & 0x0F
         if mlen == 15:

@@ -214,6 +214,67 @@ def test_avi_mjpg_capability_gate():
             codecs.decode_avi(bytes(payload))
 
 
+def _avi_chunk(fourcc, data):
+    return fourcc + struct.pack("<I", len(data)) + data + (
+        b"\x00" if len(data) & 1 else b"")
+
+
+def _avi_list(kind, data):
+    return _avi_chunk(b"LIST", kind + data)
+
+
+def _strl(fcc_type: bytes, strf: bytes) -> bytes:
+    return _avi_list(
+        b"strl",
+        _avi_chunk(b"strh", fcc_type + b"\x00" * 52)
+        + _avi_chunk(b"strf", strf))
+
+
+def _vids_strf(w: int, h: int) -> bytes:
+    palette = b"".join(bytes((g, g, g, 0)) for g in range(256))
+    return struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, w * h, 0, 0, 256, 0) + palette
+
+
+def test_avi_binds_to_the_video_stream():
+    """An AVI whose FIRST stream is audio ('auds') must decode the
+    SECOND ('vids') stream's chunks ('01db') with ITS dims, skipping
+    the audio stream's '00wb' chunks — unbound decoding interleaved
+    foreign frames and let the last strf win (r14 ADVICE)."""
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", b"\x00" * 56)
+        + _strl(b"auds", b"\x00" * 16)          # stream 00: audio
+        + _strl(b"vids", _vids_strf(4, 4)))     # stream 01: video
+    f0 = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    f1 = (f0 + 100).astype(np.uint8)
+    movi = _avi_list(
+        b"movi",
+        _avi_chunk(b"00wb", b"\xaa" * 16)       # audio data, NOT a frame
+        + _avi_chunk(b"01db", f0[::-1].tobytes())
+        + _avi_chunk(b"00wb", b"\xbb" * 16)
+        + _avi_chunk(b"01db", f1[::-1].tobytes()))
+    payload = _avi_chunk(b"RIFF", b"AVI " + hdrl + movi)
+    got = codecs.decode_avi(payload)
+    assert got.shape == (2, 4, 4)
+    assert np.array_equal(got[0], f0) and np.array_equal(got[1], f1)
+
+
+def test_avi_refuses_multiple_video_streams():
+    """Two 'vids' streams cannot be decoded into one (frames, h, w)
+    stack — refuse loudly instead of interleaving them."""
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", b"\x00" * 56)
+        + _strl(b"vids", _vids_strf(4, 4))
+        + _strl(b"vids", _vids_strf(8, 8)))
+    movi = _avi_list(b"movi", _avi_chunk(
+        b"00db", np.zeros((4, 4), np.uint8).tobytes()))
+    payload = _avi_chunk(b"RIFF", b"AVI " + hdrl + movi)
+    with pytest.raises(NotImplementedError, match="multiple video"):
+        codecs.decode_avi(payload)
+
+
 def test_avi_refuses_malformed():
     with pytest.raises(ValueError, match="AVI"):
         codecs.decode_avi(b"RIFF\x04\x00\x00\x00AVI ")  # no headers

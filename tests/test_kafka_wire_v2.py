@@ -480,6 +480,40 @@ def test_lz4_block_decoded_size_matches_actual():
         assert _lz4_block_decompress(block, 4 << 20) == payload
 
 
+def test_lz4_block_decoded_size_refuses_truncation():
+    """Truncated/corrupt blocks must raise, never return an INFLATED
+    size: the size goes to pyarrow's one-shot decompressor, which pads
+    an oversized destination with uninitialized memory instead of
+    erroring — a silent-wrong-bytes path (r14 ADVICE)."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from hyperswitch_data_backfill_spark.sinks.kafka_wire_v2 import (
+        _lz4_block_decoded_size,
+    )
+
+    raw = pa.Codec("lz4_raw")
+    block = raw.compress(b"ab" * 5000, asbytes=True)
+    # cut inside the final literal run: the run claims bytes past the
+    # end — the old walk counted them anyway (i += lit unchecked)
+    with _pytest.raises((ValueError, IndexError)):
+        _lz4_block_decoded_size(block[: len(block) - 1])
+    # a match offset truncated to one byte (1 literal + half an offset)
+    with _pytest.raises((ValueError, IndexError)):
+        _lz4_block_decoded_size(bytes([0x14]) + b"z\x01")
+    # a literal run claiming bytes past the block's end
+    with _pytest.raises((ValueError, IndexError)):
+        _lz4_block_decoded_size(bytes([0x50]) + b"ab")  # 5 lits, 2 present
+    # every truncation point either raises or reports ≤ the true size
+    true_size = _lz4_block_decoded_size(block)
+    for cut in range(1, len(block)):
+        try:
+            got = _lz4_block_decoded_size(block[:cut])
+        except (ValueError, IndexError):
+            continue
+        assert got <= true_size
+
+
 def test_lz4_frame_refuses_corruption():
     import struct as _s
 
