@@ -1102,6 +1102,18 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
     logical decoding). History at rest belongs to the partitioned
     BATCH reader; this leg is for the live tail after the backfill
     catches up.
+
+    Monotone means monotone in COMMIT-VISIBILITY order, not just in
+    assignment order — the documented caveat of every max-key
+    incremental reader (Kafka Connect JDBC incrementing mode has the
+    same one). Concurrent writers whose transactions commit out of key
+    order can make a LOWER key become visible after the cursor has
+    already advanced past it; this source will never re-observe that
+    row (tests/test_pgwire.py pins the semantics with a two-connection
+    race). Writers must land each wave atomically — one COPY statement
+    is one transaction — or serialize appends; found live at the sf1
+    scale point, where a two-partition executor-parallel COPY raced
+    the cursor and stranded a third of the second wave (round 15).
     """
 
     def __init__(self, options: dict):
@@ -1719,7 +1731,16 @@ def stream_pgwire_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         try:
             drain(n1, "first wave")
-            write_pgwire(wave2.repartition(2), pg.host, pg.port,
+            # The MID-FLIGHT wave must commit atomically (one partition
+            # = one COPY = one transaction): with two parallel COPY
+            # sessions the keyset cursor can advance past the first
+            # committer's high keys while the second session's LOWER
+            # keys are still invisible — they land behind the cursor
+            # and are skipped forever, the commit-visibility caveat the
+            # source documents. Found live at sf1 (4138/5000 stall,
+            # round 15); wave1 stays executor-parallel because it fully
+            # commits before the stream starts.
+            write_pgwire(wave2.repartition(1), pg.host, pg.port,
                          "orders_tail", user=pg.user, database=pg.database)
             drain(total, "second wave")
         finally:

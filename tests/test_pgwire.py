@@ -493,6 +493,37 @@ class TestStreamReader:
         rows, _cur = r.read(r.initialOffset())
         assert [k for k, _v in list(rows)] == list(range(16, 21))
 
+    def test_out_of_order_commit_skips_documented(self, pg, tail_table):
+        """Commit-visibility contract, pinned (found LIVE at the sf1
+        scale point, round 15): a writer whose transaction commits
+        after a HIGHER key has already become visible lands behind the
+        cursor and is never re-observed — the documented caveat of
+        every max-key incremental reader. Writers must land each wave
+        atomically (one COPY statement = one transaction); the
+        stream_pgwire_tail fixture's mid-flight wave does exactly
+        that."""
+        r = self._reader(pg, tail_table)
+        _rows, cur = r.read(r.initialOffset())      # consume keys 1..20
+        a = pg.connect()                            # slow writer: open txn
+        try:
+            a.execute("BEGIN")
+            a.execute("INSERT INTO tailt VALUES (21, 'slow')")
+            with pg.connect() as b:                 # fast writer commits 22
+                b.execute("INSERT INTO tailt VALUES (22, 'fast')")
+            rows, cur = r.read(cur)
+            assert [k for k, _v in rows] == [22]    # cursor advances to 22
+            a.execute("COMMIT")                     # 21 visible — too late
+        finally:
+            a.close()
+        rows, cur2 = r.read(cur)
+        assert list(rows) == [] and cur2 == cur     # 21 is skipped: the
+        # append-tail contract; atomic waves avoid ever being here
+        # (replay of the consumed span now INCLUDES 21 — over-delivery,
+        # consistent with the at-least-once replay floor, never a loss
+        # on the replay side)
+        assert [k for k, _v in r.readBetweenOffsets({"k": 20}, cur)] == [
+            21, 22]
+
     def test_missing_key_column_refused(self, pg):
         with pytest.raises(ValueError, match="keyColumn"):
             self._reader(pg, "tailt", keycolumn="")
