@@ -82,16 +82,29 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # entry: its latest record is RED, which ranks it ahead of every green
 # automatically. Round-14 prepends are cleared (their r14 records cover
 # the shipped implementations).
+# Round 16: implementations changed under nine driver-checkable keys —
+# stream_pgwire_tail gained the snapshot-fenced cursor and its fixture
+# restored the executor-parallel mid-flight wave (r15 verdict item 1);
+# both kafka tumbling keys and the pgwire tail now wait through the
+# shared streaming/drain.py helper (r15 verdict item 8); the lz4
+# size-walk's continuation loops gained uniform ValueError bounds (r15
+# ADVICE), riding under both wire-roundtrip hashes; pgwire.py's OID map
+# grew pg_lsn/record/void and PgConnection/_startup grew the
+# replication-mode parameter, on the module path of all real-PG keys.
+# stream_pgwire_cdc (new: logical-replication CDC, r15 verdict item 2)
+# needs no entry — no driver record ranks it first automatically.
+# Round-15 prepends are cleared (their r15 records cover the shipped
+# implementations).
 _WINDOW_PREPEND: tuple[str, ...] = (
+    "stream_pgwire_tail",
+    "stream_kafka_wire_tumbling",
+    "stream_kafka_wire_tumbling_parallel",
     "kafka_wire_fetch_roundtrip",
     "kafka_wire_v2_roundtrip",
-    "stream_kafka_wire_tumbling",
-    "stream_cdc_kafka_maintained",
-    "stream_pgwire_tail",
     "pgwire_scan_orders",
+    "pgwire_scan_embeddings",
+    "pgwire_scan_props",
     "pipeline_pg_to_kafka",
-    "dedup_video_vhash",
-    "dedup_video_vhash_pairs",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json")
@@ -120,62 +133,62 @@ def _shipped_evidence_rounds() -> list[int]:
 # matches neither and fails.
 _WINDOW_EVIDENCE_ROUND: int = max(_shipped_evidence_rounds(), default=0)
 
-# ROUND-15 WINDOW = rotation output at evidence pin r14 with the nine
-# changed-implementation prepends above, then the one RED key (the
-# reshaped pgwire_scan_embeddings — its r14 record is the repo's only
-# red row, so it re-enters ahead of every green), then the r10 window
-# stragglers and the r11 cohort oldest-first.
+# ROUND-16 WINDOW = rotation output at evidence pin r15 with the nine
+# changed-implementation prepends above, then the one never-checked key
+# (stream_pgwire_cdc — new this round, ranks ahead of every green
+# automatically), then the r11 text/window stragglers and the r12
+# cohort oldest-first.
 _DRIVER_WINDOW: list[str] = [
-    "kafka_wire_fetch_roundtrip",  # green r14; impl changed (lz4 bounds)
-    "kafka_wire_v2_roundtrip",  # green r14; impl changed (lz4 bounds)
-    "stream_kafka_wire_tumbling",  # green r14; impl changed (read() pin)
-    "stream_cdc_kafka_maintained",  # green r14; impl changed (read() pin)
-    "stream_pgwire_tail",  # green r14; impl changed (stall-based drain)
-    "pgwire_scan_orders",  # green r14; impl changed (pushdown guard)
-    "pipeline_pg_to_kafka",  # green r14; impl changed (pushdown guard)
-    "dedup_video_vhash",  # green r14; impl changed (AVI stream binding)
-    "dedup_video_vhash_pairs",  # green r14; impl changed (AVI binding)
-    "pgwire_scan_props",  # no evidence (new r15: real-PG jsonb leg)
-    "pgwire_scan_embeddings",  # ERR r14 — reshaped, re-sweep first
-    "win_rownum",  # green r10
-    "win_running_sum",  # green r10
-    "win_tumbling",  # green r10
-    "agg_approx_percentile_err",  # green r11
-    "agg_countmin",  # green r11
-    "agg_equidepth_histogram",  # green r11
-    "agg_heavy_hitters",  # green r11
-    "agg_hll_merge_err",  # green r11
-    "agg_incremental_merge",  # green r11
-    "agg_percentile",  # green r11
-    "agg_salted_skew",  # green r11
-    "attr_last_touch",  # green r11
-    "cdc_snapshot_diff",  # green r11
-    "compact_bin_pack",  # green r11
-    "decontam_bloom",  # rows_only r11
-    "decontam_bloom_fn",  # green r11
-    "dedup_exact",  # green r11
-    "dedup_incremental_exact",  # green r11
-    "dedup_minhash_precision",  # green r11
-    "dedup_simhash",  # rows_only r11
-    "neardup_cosine",  # green r11
-    "profile_columns",  # green r11
-    "retention_cohort",  # green r11
-    "sample_weighted_mix",  # green r11
-    "scd2_intervals",  # green r11
-    "set_intersect_all",  # green r11
-    "sim_exact_small",  # green r11
-    "stream_tumbling_replay",  # green r11
-    "text_bm25",  # green r11
-    "text_chunk_overlap",  # green r11
-    "text_fingerprint",  # green r11
-    "text_inverted_index",  # green r11
-    "text_lang_id",  # green r11
-    "text_length_quantile_gate",  # green r11
-    "text_ngram_freq",  # green r11
-    "text_pii_redact",  # green r11
-    "text_quality",  # green r11
-    "text_repetition_gate",  # green r11
-    "text_stats",  # green r11
+    "stream_pgwire_tail",  # green r15
+    "stream_kafka_wire_tumbling",  # green r15
+    "stream_kafka_wire_tumbling_parallel",  # green r14
+    "kafka_wire_fetch_roundtrip",  # green r15
+    "kafka_wire_v2_roundtrip",  # green r15
+    "pgwire_scan_orders",  # green r15
+    "pgwire_scan_embeddings",  # green r15
+    "pgwire_scan_props",  # green r15
+    "pipeline_pg_to_kafka",  # green r15
+    "stream_pgwire_cdc",  # no evidence
+    "text_tfidf",  # green r11
+    "text_token_count_bpe",  # green r11
+    "text_tokens",  # green r11
+    "text_unigram_logprob",  # green r11
+    "text_vocab_oov",  # green r11
+    "win_first_last",  # green r11
+    "win_gap_islands",  # green r11
+    "agg_approx_distinct",  # rows_only r12
+    "agg_approx_percentile",  # rows_only r12
+    "agg_cube",  # green r12
+    "agg_distinct",  # green r12
+    "agg_group_count",  # green r12
+    "agg_grouping_sets",  # green r12
+    "agg_histogram",  # green r12
+    "agg_hll_merge",  # rows_only r12
+    "agg_mode",  # green r12
+    "agg_pivot",  # green r12
+    "agg_rollup",  # green r12
+    "agg_stats",  # green r12
+    "anomaly_zscore",  # green r12
+    "count_filtered",  # green r12
+    "dedup_containment",  # green r12
+    "dedup_incremental_jaccard",  # green r12
+    "dedup_minhash_recall_pairs",  # green r12
+    "dedup_ngram_jaccard",  # green r12
+    "dedup_semantic_clusters",  # green r12
+    "dedup_simhash_crosscheck",  # green r12
+    "dedup_span_ngrams",  # green r12
+    "dedup_span_removal",  # green r12
+    "dq_referential_integrity",  # green r12
+    "emb_pq_quantize_err",  # green r12
+    "graph_pagerank",  # green r12
+    "graph_triangle_count",  # green r12
+    "join_asof",  # green r12
+    "join_asof_tolerance",  # green r12
+    "join_broadcast",  # green r12
+    "join_skew_salted",  # green r12
+    "join_skew_split",  # green r12
+    "join_smj",  # green r12
+    "layout_zonemap",  # green r12
 ]
 
 
@@ -211,15 +224,19 @@ def driver_canon_unsafe_columns(schema) -> list[str]:
     pgwire_scan_embeddings). Both local mirrors (tests/conftest.py's
     assert_oracle_match and tools/sweep.py) call this and FAIL loudly on
     such columns, so a key the driver would reject cannot pass locally
-    (r14 verdict item 2). Rows-only keys are exempt: the driver only
-    counts their rows.
+    (r14 verdict item 2). BinaryType is in the rejection set too: Spark
+    collects it as bytearray, exactly as unhashable in a pandas
+    sort-factorize as an ndarray cell (r15 ADVICE — latent until a
+    binary-output oracle ships). Rows-only keys are exempt: the driver
+    only counts their rows.
     """
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
     return [
         f.name
         for f in schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        if isinstance(f.dataType, (ArrayType, BinaryType, MapType,
+                                   StructType))
     ]
 
 
@@ -250,6 +267,7 @@ def _load_all_operator_modules() -> None:
     import hyperswitch_data_backfill_spark.sinks.kafka_wire_v2  # noqa: F401
     import hyperswitch_data_backfill_spark.sources.kafka_fetch  # noqa: F401
     import hyperswitch_data_backfill_spark.sources.pgwire  # noqa: F401
+    import hyperswitch_data_backfill_spark.sources.pgwire_cdc  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.perceptual  # noqa: F401
     import hyperswitch_data_backfill_spark.plans.spec  # noqa: F401
     import hyperswitch_data_backfill_spark.operators.text  # noqa: F401

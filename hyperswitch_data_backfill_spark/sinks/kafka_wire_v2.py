@@ -371,6 +371,8 @@ def _lz4_block_decoded_size(src: bytes) -> int:
         lit = token >> 4
         if lit == 15:
             while True:
+                if i >= n:
+                    raise ValueError("lz4 block: truncated length byte")
                 b = src[i]
                 i += 1
                 lit += b
@@ -393,6 +395,8 @@ def _lz4_block_decoded_size(src: bytes) -> int:
         mlen = token & 0x0F
         if mlen == 15:
             while True:
+                if i >= n:
+                    raise ValueError("lz4 block: truncated length byte")
                 b = src[i]
                 i += 1
                 mlen += b
@@ -485,10 +489,7 @@ def lz4_frame_decompress(buf: bytes) -> bytes:
         # (r14 review follow-up; the corruption test pins this). Blocks
         # whose declared sizes disagree fall back to the from-spec
         # Python decoder, whose end-of-frame check refuses loudly.
-        try:
-            decoded_size = _lz4_block_decoded_size(block)
-        except IndexError:
-            raise ValueError("LZ4 frame: malformed block sequence headers")
+        decoded_size = _lz4_block_decoded_size(block)
         budget_ok = (
             content_size is None or decoded_size <= content_size - len(out))
         if block_independent and 0 < decoded_size <= block_max and budget_ok:

@@ -2172,23 +2172,20 @@ def _stream_wire_tumbling(
             .trigger(processingTime="500 milliseconds")
             .start()
         )
+        from hyperswitch_data_backfill_spark.streaming.drain import (
+            drain_stream,
+        )
+
+        def committed_watermark():
+            wm = (q.lastProgress or {}).get("eventTime", {}).get("watermark")
+            if wm is None:
+                return None
+            return datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ")
+
         try:
-            deadline = time.time() + 300
-            while True:
-                lp = q.lastProgress
-                wm = (lp or {}).get("eventTime", {}).get("watermark")
-                if wm is not None:
-                    committed = datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ")
-                    if committed >= target_wm:
-                        break
-                if q.exception() is not None:
-                    raise q.exception()
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        "stream_kafka_wire_tumbling: watermark never reached "
-                        f"{target_wm} (last progress: {wm})"
-                    )
-                time.sleep(0.25)
+            drain_stream(
+                q, committed_watermark, target_wm,
+                "stream_kafka_wire_tumbling: watermark", poll_s=0.25)
         finally:
             q.stop()
         q.awaitTermination(60)

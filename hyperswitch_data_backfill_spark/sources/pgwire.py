@@ -290,6 +290,11 @@ _OID_SPARK: dict[int, tuple[str, "callable"]] = {
     114: ("string", str),   # json (stored text, emitted verbatim)
     3802: ("string", str),  # jsonb (canonical text form)
     2950: ("string", str),  # uuid (lowercase hex text form)
+    # Replication management surface (r16 CDC leg): SELECTing the
+    # slot-admin functions yields void / record / pg_lsn columns
+    3220: ("string", str),            # pg_lsn ('X/Y' text form)
+    2249: ("string", str),            # record (composite text form)
+    2278: ("string", lambda t: None),  # void (empty text, no value)
     _OID_FLOAT4: ("float", _decode_float4),
     _OID_FLOAT8: ("double", float),
     _OID_BPCHAR: ("string", str),
@@ -389,6 +394,7 @@ class PgConnection:
         timeout: float = 30.0,
         ssl_mode: str = "disable",
         ssl_root_cert: str | None = None,
+        replication: str | None = None,
     ):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
@@ -396,7 +402,8 @@ class PgConnection:
         try:
             if ssl_mode != "disable":
                 self._start_tls(host, ssl_mode, ssl_root_cert)
-            self._startup(user, database, password)
+            self._startup(user, database, password,
+                          replication=replication)
         except BaseException:
             self._sock.close()
             raise
@@ -431,14 +438,24 @@ class PgConnection:
 
     # -- session bootstrap
 
-    def _startup(self, user: str, database: str, password: str | None) -> None:
+    def _startup(
+        self, user: str, database: str, password: str | None,
+        *, replication: str | None = None,
+    ) -> None:
         params = (
             _cstring("user") + _cstring(user)
             + _cstring("database") + _cstring(database)
             + _cstring("client_encoding") + _cstring("UTF8")
             + _cstring("DateStyle") + _cstring("ISO")
-            + b"\x00"
         )
+        if replication is not None:
+            # replication=database puts the walsender in logical-
+            # replication command mode (IDENTIFY_SYSTEM,
+            # CREATE_REPLICATION_SLOT, START_REPLICATION) while keeping
+            # simple SQL available — the mode pgoutput clients use, per
+            # the protocol docs' streaming-replication chapter.
+            params += _cstring("replication") + _cstring(replication)
+        params += b"\x00"
         payload = struct.pack(">i", _PROTOCOL_V3) + params
         self._sock.sendall(struct.pack(">i", len(payload) + 4) + payload)
         while True:
@@ -1103,17 +1120,29 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
     BATCH reader; this leg is for the live tail after the backfill
     catches up.
 
-    Monotone means monotone in COMMIT-VISIBILITY order, not just in
-    assignment order — the documented caveat of every max-key
-    incremental reader (Kafka Connect JDBC incrementing mode has the
-    same one). Concurrent writers whose transactions commit out of key
-    order can make a LOWER key become visible after the cursor has
-    already advanced past it; this source will never re-observe that
-    row (tests/test_pgwire.py pins the semantics with a two-connection
-    race). Writers must land each wave atomically — one COPY statement
-    is one transaction — or serialize appends; found live at the sf1
-    scale point, where a two-partition executor-parallel COPY raced
-    the cursor and stranded a third of the second wave (round 15).
+    Monotone means monotone in key-ALLOCATION order (serial / sequence
+    / any generator where each new row's key exceeds every previously
+    allocated key) — NOT in commit-visibility order. The classic
+    max-key-reader race (Kafka Connect JDBC incrementing mode's
+    documented flaw, and found LIVE here at the sf1 scale point in
+    round 15: two executor-parallel COPY transactions committing out of
+    key order stranded a third of a wave behind the cursor) is closed
+    structurally by a **snapshot fence**: every poll captures, in one
+    statement (= one MVCC snapshot), ``pg_current_snapshot()``'s
+    xmin/xmax plus the max visible key L. L becomes the cursor's upper
+    fence only once a later poll observes ``xmin >= xmax_recorded``,
+    i.e. every transaction that was in flight when L was read has
+    committed or aborted — at which point no eventually-visible row
+    with key <= L can still be invisible (any such row was allocated
+    before L, by a transaction that the fence waited out). Rows above
+    the fence wait; rows at or below it can never be stranded. This is
+    the snapshot-horizon fencing of the DBLog/Debezium lineage, done
+    with keys instead of the WAL. The same-database coupling is
+    inherited from that lineage too: a long-running write transaction
+    ANYWHERE in the database holds xmin back and therefore stalls
+    fence advancement (liveness, never correctness);
+    ``.option("commitFence", "off")`` restores the legacy unfenced
+    at-most-once cursor for sources where writers serialize appends.
     """
 
     def __init__(self, options: dict):
@@ -1126,6 +1155,11 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         self._key = _check_ident(key, "keyColumn")
         self._max_rows = int(options.get("maxrowsperbatch", 0))
         self._columns = _resolve_columns(options)
+        fence = str(options.get("commitfence", "on")).lower()
+        if fence not in ("on", "off"):
+            raise ValueError(
+                f"commitFence must be on|off, got {fence!r}")
+        self._fence_on = fence == "on"
 
     def _connect(self) -> PgConnection:
         return PgConnection(**_conn_kwargs(self._o))
@@ -1154,6 +1188,40 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
             sql += f" LIMIT {int(limit)}"
         return sql
 
+    def _advance_fence(
+        self, conn: PgConnection, fence: int, pend: list[list[int]]
+    ) -> tuple[int, list[list[int]]]:
+        """One snapshot probe: settle pending fence candidates and
+        record a new one. ``pend`` holds ``[L, xmax]`` pairs — L is a
+        max-visible-key observed under a snapshot whose xmax (first
+        then-unassigned txid) is recorded beside it; the pair settles
+        (fence := L) once the current snapshot's xmin reaches that
+        xmax, because then every transaction that could still commit a
+        row with key <= L has finished. The probe and L share ONE
+        statement, hence one MVCC snapshot — the atomicity the fence's
+        soundness argument needs."""
+        _cols, rows = conn.query(
+            "SELECT pg_snapshot_xmin(pg_current_snapshot())::text::bigint,"
+            " pg_snapshot_xmax(pg_current_snapshot())::text::bigint,"
+            f" (SELECT MAX({self._key}) FROM {self._relation()})")
+        xmin, xmax, vis_hi = rows[0]
+        xmin, xmax = int(xmin), int(xmax)
+        still: list[list[int]] = []
+        for entry in pend:
+            if xmin >= int(entry[1]):
+                fence = max(fence, int(entry[0]))
+            else:
+                still.append([int(entry[0]), int(entry[1])])
+        if vis_hi is not None:
+            vis_hi = int(vis_hi)
+            ceiling = max([fence] + [entry[0] for entry in still])
+            if vis_hi > ceiling:
+                if xmin == xmax:  # no write txn in flight: settles now
+                    fence = max(fence, vis_hi)
+                else:
+                    still.append([vis_hi, xmax])
+        return fence, still
+
     def read(self, start: dict):
         lo = int(start["k"])
         key_idx = None
@@ -1161,8 +1229,17 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         hi = lo
         cap = self._max_rows or None
         with self._connect() as conn:
-            cols, rows = conn.query_stream(
-                self._select(f"{self._key} > {lo}", cap))
+            if self._fence_on:
+                fence, pend = self._advance_fence(
+                    conn, max(lo, int(start.get("f", lo))),
+                    start.get("p", []))
+                if fence <= lo:  # nothing settled yet: no-op batch
+                    return iter(()), {"k": lo, "f": fence, "p": pend}
+                where = f"{self._key} > {lo} AND {self._key} <= {fence}"
+            else:
+                fence, pend = None, []
+                where = f"{self._key} > {lo}"
+            cols, rows = conn.query_stream(self._select(where, cap))
             names = [c.name for c in cols]
             if self._key in names:
                 key_idx = names.index(self._key)
@@ -1193,6 +1270,10 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
                         f"{self._key} > {lo} AND {self._key} <= {hi}",
                         None))
                     rows_out = list(full)
+        if self._fence_on:
+            if not rows_out:
+                return iter(()), {"k": lo, "f": fence, "p": pend}
+            return iter(rows_out), {"k": hi, "f": fence, "p": pend}
         if not rows_out:
             return iter(()), {"k": lo}
         return iter(rows_out), {"k": hi}
@@ -1413,13 +1494,14 @@ class PgServer:
 
     def __init__(
         self, *, user: str = "spark", database: str = "postgres",
-        ssl: bool = False,
+        ssl: bool = False, logical: bool = False,
     ):
         self.user = user
         self.database = database
         self.host = "127.0.0.1"
         self.port = 0
         self.ssl = ssl
+        self.logical = logical  # wal_level=logical: replication tests
         self.cert_path: str | None = None  # root cert for verify-ca
         self._dir: str | None = None
         self._started = False
@@ -1492,6 +1574,17 @@ class PgServer:
                 "-c full_page_writes=off -c autovacuum=off"
                 + ssl_opts
             )
+            if self.logical:
+                # wal_writer_delay floors the commit→stream latency:
+                # with fsync/synchronous_commit off, commits sit in WAL
+                # buffers until the walwriter flushes, and logical
+                # decoding only streams FLUSHED WAL — 10ms keeps CDC
+                # polls snappy without touching durability knobs the
+                # throwaway server already waives.
+                pg_opts += (" -c wal_level=logical"
+                            " -c max_replication_slots=8"
+                            " -c max_wal_senders=8"
+                            " -c wal_writer_delay=10ms")
             out = self._run(
                 ["pg_ctl", "-D", data, "-o", pg_opts,
                  "-l", os.path.join(self._dir, "server.log"),
@@ -1658,15 +1751,16 @@ def stream_pgwire_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live streaming tail of a real Postgres table, driver-hashed.
 
     Exactly-once: the keyset cursor makes every micro-batch the
-    deterministic slice (lo, hi], and the second wave's keys are all
-    above the first wave's maximum — the monotone-append contract the
-    source documents. Stop condition is row-count attainment (the
-    carve is finite); a lost or duplicated row fails the driver hash.
+    deterministic slice (lo, hi], snapshot-fenced so the mid-flight
+    wave's parallel COPY transactions cannot strand rows behind the
+    cursor. Stop condition is row-count attainment (the carve is
+    finite); a lost or duplicated row fails the driver hash.
     """
-    import time
     import uuid
 
     from pyspark.sql import functions as F
+
+    from hyperswitch_data_backfill_spark.streaming.drain import drain_stream
 
     carve = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1703,44 +1797,22 @@ def stream_pgwire_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(processingTime="250 milliseconds")
             .start()
         )
+
         def drain(target: int, label: str) -> None:
-            # Stall-based deadline, not a fixed total: under full-suite
-            # host load a healthy stream drains slowly but steadily,
-            # and the old flat 300s tripped once while rows were still
-            # arriving (r14 verdict item 5). Timeout only when the sink
-            # count stops ADVANCING (180s) or at a generous hard cap.
-            stall_s, hard_s = 180.0, 1200.0
-            t0 = time.time()
-            last_n, last_adv = -1, time.time()
-            while True:
-                n = spark.table(name).count()
-                if n >= target:
-                    return
-                if q.exception() is not None:
-                    raise q.exception()
-                now = time.time()
-                if n != last_n:
-                    last_n, last_adv = n, now
-                if now - last_adv > stall_s or now - t0 > hard_s:
-                    raise TimeoutError(
-                        f"stream_pgwire_tail: {label} never drained "
-                        f"({n}/{target}; {now - last_adv:.0f}s since "
-                        f"last progress, {now - t0:.0f}s total); "
-                        f"lastProgress={q.lastProgress}")
-                time.sleep(0.2)
+            drain_stream(q, lambda: spark.table(name).count(), target,
+                         f"stream_pgwire_tail: {label}")
 
         try:
             drain(n1, "first wave")
-            # The MID-FLIGHT wave must commit atomically (one partition
-            # = one COPY = one transaction): with two parallel COPY
-            # sessions the keyset cursor can advance past the first
-            # committer's high keys while the second session's LOWER
-            # keys are still invisible — they land behind the cursor
-            # and are skipped forever, the commit-visibility caveat the
-            # source documents. Found live at sf1 (4138/5000 stall,
-            # round 15); wave1 stays executor-parallel because it fully
-            # commits before the stream starts.
-            write_pgwire(wave2.repartition(1), pg.host, pg.port,
+            # The MID-FLIGHT wave lands EXECUTOR-PARALLEL (two COPY
+            # transactions racing the live cursor) — exactly the
+            # topology that stranded a third of this wave at sf1 in
+            # round 15, when cursor advancement was unfenced. The
+            # snapshot fence makes it safe by construction: the fence
+            # never passes a key a still-in-flight transaction could
+            # commit below, so the parallel wave is the REGRESSION
+            # PROBE for the r15 race, not a hazard to tiptoe around.
+            write_pgwire(wave2.repartition(2), pg.host, pg.port,
                          "orders_tail", user=pg.user, database=pg.database)
             drain(total, "second wave")
         finally:

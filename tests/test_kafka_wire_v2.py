@@ -494,22 +494,31 @@ def test_lz4_block_decoded_size_refuses_truncation():
 
     raw = pa.Codec("lz4_raw")
     block = raw.compress(b"ab" * 5000, asbytes=True)
+    # The error contract is UNIFORM: every truncation raises the walk's
+    # own ValueError, never a bare IndexError leaking from an unchecked
+    # src[i] (r15 ADVICE — the old continuation loops leaked one and
+    # this test masked it by accepting both types).
     # cut inside the final literal run: the run claims bytes past the
     # end — the old walk counted them anyway (i += lit unchecked)
-    with _pytest.raises((ValueError, IndexError)):
+    with _pytest.raises(ValueError):
         _lz4_block_decoded_size(block[: len(block) - 1])
     # a match offset truncated to one byte (1 literal + half an offset)
-    with _pytest.raises((ValueError, IndexError)):
+    with _pytest.raises(ValueError):
         _lz4_block_decoded_size(bytes([0x14]) + b"z\x01")
     # a literal run claiming bytes past the block's end
-    with _pytest.raises((ValueError, IndexError)):
+    with _pytest.raises(ValueError):
         _lz4_block_decoded_size(bytes([0x50]) + b"ab")  # 5 lits, 2 present
-    # every truncation point either raises or reports ≤ the true size
+    # a length-byte continuation (0xF token nibble) cut mid-run
+    with _pytest.raises(ValueError):
+        _lz4_block_decoded_size(bytes([0xF0, 0xFF]))
+    with _pytest.raises(ValueError):  # match-length continuation cut
+        _lz4_block_decoded_size(bytes([0x1F]) + b"z\x01\x00\xff")
+    # every truncation point raises ValueError or reports ≤ true size
     true_size = _lz4_block_decoded_size(block)
     for cut in range(1, len(block)):
         try:
             got = _lz4_block_decoded_size(block[:cut])
-        except (ValueError, IndexError):
+        except ValueError:
             continue
         assert got <= true_size
 

@@ -493,16 +493,40 @@ class TestStreamReader:
         rows, _cur = r.read(r.initialOffset())
         assert [k for k, _v in list(rows)] == list(range(16, 21))
 
-    def test_out_of_order_commit_skips_documented(self, pg, tail_table):
-        """Commit-visibility contract, pinned (found LIVE at the sf1
-        scale point, round 15): a writer whose transaction commits
-        after a HIGHER key has already become visible lands behind the
-        cursor and is never re-observed — the documented caveat of
-        every max-key incremental reader. Writers must land each wave
-        atomically (one COPY statement = one transaction); the
-        stream_pgwire_tail fixture's mid-flight wave does exactly
-        that."""
+    def test_out_of_order_commit_no_loss(self, pg, tail_table):
+        """The commit-visibility race, closed structurally (r15 found
+        it LIVE at the sf1 scale point and pinned skip semantics; r16
+        replaces the documented caveat with the snapshot fence): a
+        writer whose transaction commits AFTER a higher key became
+        visible must still be delivered, never stranded behind the
+        cursor. The fence defers the higher key until the slow
+        transaction resolves, then delivers both in key order."""
         r = self._reader(pg, tail_table)
+        _rows, cur = r.read(r.initialOffset())      # consume keys 1..20
+        a = pg.connect()                            # slow writer: open txn
+        try:
+            a.execute("BEGIN")
+            a.execute("INSERT INTO tailt VALUES (21, 'slow')")
+            with pg.connect() as b:                 # fast writer commits 22
+                b.execute("INSERT INTO tailt VALUES (22, 'fast')")
+            rows, cur = r.read(cur)
+            assert list(rows) == []                 # fence holds 22 back:
+            # a's in-flight txn could still commit key 21 below it
+            a.execute("COMMIT")                     # 21 lands — NOT too late
+        finally:
+            a.close()
+        rows, cur = r.read(cur)
+        assert [k for k, _v in rows] == [21, 22]    # zero loss, key order
+        rows, cur2 = r.read(cur)
+        assert list(rows) == [] and cur2 == cur     # idle tail again
+        assert [k for k, _v in r.readBetweenOffsets({"k": 20}, cur)] == [
+            21, 22]
+
+    def test_out_of_order_commit_skips_when_fence_off(self, pg, tail_table):
+        """commitFence=off restores the legacy unfenced cursor and its
+        documented at-most-once caveat — the pre-r16 semantics, kept
+        for writer-serialized sources that want zero fence latency."""
+        r = self._reader(pg, tail_table, commitfence="off")
         _rows, cur = r.read(r.initialOffset())      # consume keys 1..20
         a = pg.connect()                            # slow writer: open txn
         try:
@@ -516,13 +540,15 @@ class TestStreamReader:
         finally:
             a.close()
         rows, cur2 = r.read(cur)
-        assert list(rows) == [] and cur2 == cur     # 21 is skipped: the
-        # append-tail contract; atomic waves avoid ever being here
-        # (replay of the consumed span now INCLUDES 21 — over-delivery,
-        # consistent with the at-least-once replay floor, never a loss
-        # on the replay side)
-        assert [k for k, _v in r.readBetweenOffsets({"k": 20}, cur)] == [
-            21, 22]
+        assert list(rows) == [] and cur2 == cur     # 21 skipped (legacy)
+
+    def test_fence_accepts_legacy_checkpoint_offset(self, pg, tail_table):
+        """A checkpoint written by the pre-fence reader ({"k": n} with
+        no fence fields) must resume cleanly under the fenced reader."""
+        r = self._reader(pg, tail_table)
+        rows, cur = r.read({"k": 15})               # legacy offset shape
+        assert [k for k, _v in rows] == [16, 17, 18, 19, 20]
+        assert cur["k"] == 20 and cur["f"] >= 20 and cur["p"] == []
 
     def test_missing_key_column_refused(self, pg):
         with pytest.raises(ValueError, match="keyColumn"):
@@ -630,13 +656,13 @@ class TestEqualKeyCap:
         rows, cur = r.read(cur)          # cap=4 lands inside the k=2 run
         rows = list(rows)
         assert [k for k, _v in rows] == [1, 1, 1]   # complete groups only
-        assert cur == {"k": 1}
+        assert cur == {"k": 1, "f": 3, "p": []}  # fence settled instantly
         rows, cur = r.read(cur)          # cap lands inside k=3's run
         assert [k for k, _v in list(rows)] == [2, 2, 2]
-        assert cur == {"k": 2}
+        assert cur == {"k": 2, "f": 3, "p": []}
         rows, cur = r.read(cur)          # k=3 group (4 rows) > cap:
         assert [k for k, _v in list(rows)] == [3, 3, 3, 3]  # whole group
-        assert cur == {"k": 3}
+        assert cur == {"k": 3, "f": 3, "p": []}
         rows, cur2 = r.read(cur)
         assert list(rows) == [] and cur2 == cur
         with pg.connect() as conn:

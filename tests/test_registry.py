@@ -222,7 +222,8 @@ def test_every_oracle_is_driver_canon_safe(duck):
         nested = [
             f"{c}:{t}"
             for c, t in zip(rel.columns, rel.types)
-            if any(tok in str(t) for tok in ("[]", "STRUCT", "MAP", "LIST"))
+            if any(tok in str(t) for tok in
+               ("[]", "STRUCT", "MAP", "LIST", "BLOB"))
         ]
         if nested:
             bad[name] = nested
@@ -244,10 +245,11 @@ def test_driver_canon_guard_flags_nested_columns(spark):
         F.array(F.lit(1.0), F.lit(2.0)).cast("array<float>").alias("emb"),
         F.create_map(F.lit("k"), F.lit(1)).alias("m"),
         F.struct(F.lit(1).alias("a")).alias("s"),
+        F.lit(b"\x00").alias("raw"),
         F.lit("x").alias("ok"),
     )
     assert registry.driver_canon_unsafe_columns(df.schema) == [
-        "emb", "m", "s"]
+        "emb", "m", "s", "raw"]
     assert registry.driver_canon_unsafe_columns(
         spark.range(1).schema) == []
 
