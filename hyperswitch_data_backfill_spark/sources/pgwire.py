@@ -340,6 +340,9 @@ def _numeric_ddl(typmod: int) -> str:
     return f"decimal({precision},{scale})"
 
 
+_OID_NUMERIC_ARRAY = 1231  # numeric[]: element typmod rides the column
+
+
 @dataclass(frozen=True)
 class PgColumn:
     name: str
@@ -347,8 +350,13 @@ class PgColumn:
     typmod: int
 
     def spark_ddl_type(self) -> str:
+        # numeric carries precision/scale in typmod, so it cannot live
+        # in the static OID table — decimal text decodes EXACTLY
+        # (never through float: SURVEY §1.4 "never float for money")
         if self.type_oid == _OID_NUMERIC:
             return _numeric_ddl(self.typmod)
+        if self.type_oid == _OID_NUMERIC_ARRAY:
+            return f"array<{_numeric_ddl(self.typmod)}>"
         try:
             return _OID_SPARK[self.type_oid][0]
         except KeyError:
@@ -359,6 +367,8 @@ class PgColumn:
     def decoder(self) -> "callable":
         if self.type_oid == _OID_NUMERIC:
             return decimal.Decimal
+        if self.type_oid == _OID_NUMERIC_ARRAY:
+            return lambda t: _parse_pg_array(t, decimal.Decimal)
         return _OID_SPARK[self.type_oid][1]
 
 
@@ -1674,6 +1684,7 @@ class PgServer:
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus,
            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_minor,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS created_at
     FROM orders
     WHERE o_orderkey % 200 = 7
@@ -1683,7 +1694,11 @@ class PgServer:
         "(COPY FROM STDIN per partition), then read back through the "
         "pgwire Spark source as a 4-slice range-partitioned scan — the "
         "replica-read leg of main.rs:167-170 executed against the real "
-        "server binary, not a double.",
+        "server binary, not a double. r16: the price rides a REAL "
+        "numeric(12,2) column end to end — OID 1700 + typmod → "
+        "DecimalType(12,2), decimal-text decode, never through float "
+        "(SURVEY §1.4 'never float for money') — beside the i64 "
+        "minor-units stance the reference takes.",
 )
 def pgwire_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip a carve of orders through a real PostgreSQL server.
@@ -1703,6 +1718,8 @@ def pgwire_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", "o_orderstatus",
             F.round(F.col("o_totalprice") * 100).cast("bigint")
              .alias("amount_minor"),
+            F.col("o_totalprice").cast("decimal(12,2)")
+             .alias("price_dec"),
             F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
              .alias("created_at"),
         )
@@ -1713,7 +1730,7 @@ def pgwire_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CREATE TABLE orders_slice ("
                 " o_orderkey bigint, o_custkey bigint,"
                 " o_orderstatus text, amount_minor bigint,"
-                " created_at text)")
+                " price_dec numeric(12,2), created_at text)")
         write_pgwire(
             src.repartition(4), pg.host, pg.port, "orders_slice",
             user=pg.user, database=pg.database)
@@ -1725,7 +1742,7 @@ def pgwire_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows),
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
-        "amount_minor bigint, created_at string",
+        "amount_minor bigint, price_dec decimal(12,2), created_at string",
     )
 
 

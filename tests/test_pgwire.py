@@ -211,6 +211,54 @@ class TestRealServer:
         assert u == "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"
         assert jba == ['"x"', "7"]
 
+    def test_numeric_decodes_exactly_no_float_transit(self, pg):
+        """numeric → Decimal with NO double transit (SURVEY §1.4
+        "never float for money"): a 38-digit literal whose value no
+        float64 can represent must round-trip text-exact, and
+        numeric[] (OID 1231, r15 verdict item 3) decodes each element
+        the same way, carrying the column typmod."""
+        from decimal import Decimal
+
+        hp = "12345678901234567890.123456789012345678"  # > 2^53 digits
+        with pg.connect() as conn:
+            cols, rows = conn.query(
+                f"SELECT {hp}::numeric(38,18) AS a,"
+                " 0.10::numeric(12,2) AS b,"
+                f" ARRAY[1.50, NULL, {hp}]::numeric(38,18)[] AS arr,"
+                " ARRAY[2.25]::numeric(12,2)[] AS arr2")
+        assert [c.spark_ddl_type() for c in cols] == [
+            "decimal(38,18)", "decimal(12,2)",
+            "array<decimal(38,18)>", "array<decimal(12,2)>"]
+        a, b, arr, arr2 = rows[0]
+        assert a == Decimal(hp) and str(a) == hp  # digit-exact
+        assert float(Decimal(hp)) != Decimal(hp)  # float64 CAN'T hold it
+        assert b == Decimal("0.10") and str(b) == "0.10"  # scale kept
+        assert arr == [Decimal("1.500000000000000000"), None, Decimal(hp)]
+        assert arr2 == [Decimal("2.25")]
+
+    def test_numeric_spark_roundtrip_exact(self, pg, spark):
+        """DecimalType(38,18) values survive write_pgwire (COPY text)
+        → numeric(38,18) column → read_pgwire digit-exact — the money
+        path a real Postgres analytics schema forces, beside the
+        reference's own i64-minor-units stance."""
+        from decimal import Decimal
+
+        hp = Decimal("98765432109876543210.987654321098765432")
+        vals = [(1, hp), (2, Decimal("-0.000000000000000001")),
+                (3, None), (4, Decimal("42.000000000000000000"))]
+        df = spark.createDataFrame(vals, "k bigint, amt decimal(38,18)")
+        with pg.connect() as conn:
+            conn.execute(
+                "CREATE TABLE money_t (k bigint, amt numeric(38,18))")
+        write_pgwire(df.repartition(2), pg.host, pg.port, "money_t",
+                     user=pg.user, database=pg.database)
+        back = read_pgwire(
+            spark, pg.host, pg.port, "money_t",
+            user=pg.user, database=pg.database)
+        assert str(back.schema["amt"].dataType) == "DecimalType(38,18)"
+        got = sorted((r["k"], r["amt"]) for r in back.collect())
+        assert got == sorted(vals)  # Decimal == is value-exact
+
     def test_jsonb_metadata_spark_roundtrip(self, pg, spark):
         """A jsonb metadata column + uuid key through the Spark read
         path — the first real-schema shape a Hyperswitch table scan
