@@ -255,6 +255,84 @@ class TestCdcStream:
             r.initialOffset()
 
 
+def test_spark_checkpoint_kill_and_resume_exactly_once(pg, spark, tmp_path):
+    """The engine-level twin of the direct-reader kill/resume: a real
+    StreamingQuery with a checkpoint + fault-tolerant parquet sink is
+    stopped mid-stream, MORE transactions land while it is down, and a
+    restarted query with the same checkpoint delivers the backlog with
+    no duplicated and no lost change row — Spark replays the last
+    uncommitted batch via readBetweenOffsets and the slot only ever
+    confirms through commit(), so this drives both replay paths under
+    the real engine."""
+    import time as _t
+
+    from hyperswitch_data_backfill_spark.sources.pgwire_cdc import (
+        create_cdc_publication_and_slot,
+        read_pgwire_cdc_stream,
+    )
+
+    with pg.connect() as conn:
+        conn.execute("CREATE TABLE ckpt_t (k bigint PRIMARY KEY, v text)")
+    kw = dict(host=pg.host, port=pg.port, user=pg.user,
+              database=pg.database)
+    create_cdc_publication_and_slot(kw, "ckpt_t", "ck_slot", "ck_pub")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            read_pgwire_cdc_stream(
+                spark, pg.host, pg.port, "ckpt_t", "ck_slot", "ck_pub",
+                user=pg.user, database=pg.database, quiet_ms=60)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    def sink_keys():
+        try:
+            return sorted(
+                r["k"] for r in spark.read.parquet(out).collect())
+        except Exception:
+            return []
+
+    def wait_for(n, q, deadline_s=60.0):
+        t0 = _t.monotonic()
+        while len(sink_keys()) < n:
+            if q.exception() is not None:
+                raise q.exception()
+            assert _t.monotonic() - t0 < deadline_s, sink_keys()
+            _t.sleep(0.2)
+
+    q1 = start()
+    try:
+        with pg.connect() as c:
+            c.execute("INSERT INTO ckpt_t VALUES (1,'a'),(2,'b')")
+            c.execute("UPDATE ckpt_t SET v = 'a2' WHERE k = 1")
+        wait_for(3, q1)                      # 2 inserts + 1 update
+    finally:
+        q1.stop()                            # the "kill"
+    q1.awaitTermination(30)
+    with pg.connect() as c:                  # backlog while down
+        c.execute("INSERT INTO ckpt_t VALUES (3,'c')")
+        c.execute("DELETE FROM ckpt_t WHERE k = 2")
+    q2 = start()                             # the "resume", same ckpt
+    try:
+        wait_for(5, q2)
+    finally:
+        q2.stop()
+    q2.awaitTermination(30)
+    rows = sorted(
+        (r["op"], r["k"]) for r in spark.read.parquet(out).collect())
+    assert rows == [("D", 2), ("I", 1), ("I", 2), ("I", 3), ("U", 1)]
+    with pg.connect() as conn:  # teardown
+        conn.execute("SELECT pg_drop_replication_slot('ck_slot')")
+        conn.execute("DROP PUBLICATION ck_pub")
+        conn.execute("DROP TABLE ckpt_t")
+
+
 def test_cdc_fixture_matches_oracle(spark, duck):
     from hyperswitch_data_backfill_spark.sources.pgwire_cdc import (
         stream_pgwire_cdc,
