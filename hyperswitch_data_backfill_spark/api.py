@@ -1122,9 +1122,10 @@ def bm25(
         raise ValueError("query_terms must be non-empty")
     if top_k is not None and top_k < 1:
         raise ValueError(f"top_k must be >= 1 or None, got {top_k}")
-    spread = docs.sparkSession.sparkContext.defaultParallelism
+    from hyperswitch_data_backfill_spark.catalog import spread_fanout
+
     tok = (
-        docs.repartition(spread, id_col)
+        spread_fanout(docs, id_col)
         .select(F.col(id_col).alias("_id"),
                 F.explode(tokens(F.col(text_col))).alias("token"))
     )

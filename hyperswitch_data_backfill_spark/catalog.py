@@ -44,6 +44,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_fanout(df: DataFrame, *key: str) -> DataFrame:
+    """Hash-repartition a scan-side frame to the scheduler's core count
+    — but only when it actually arrives with FEWER partitions than that.
+
+    The fan-out operators (shingling, tokenizing, LSH banding) spread
+    their input before the explode because a small parquet fixture
+    arrives as one split and the whole fan-out would serialize on one
+    core. The unconditional ``repartition(defaultParallelism, key)``
+    they used through r15 is the wrong constant at scale, in both
+    directions (guide §2: partitioning must be scale-adaptive, not a
+    constant tuned for local mode): a 100 TB scan arrives as ~10⁵
+    splits, and an explicit REPARTITION_BY_NUM would *coalesce* it to
+    the core count — forcing a full payload shuffle of every input byte
+    AND giant tasks. This helper keeps the local spread and makes the
+    scale case a no-op: when the scan already has >= defaultParallelism
+    partitions, the frame passes through untouched (no shuffle at all).
+
+    Probe contract: the partition count is read from the planned RDD,
+    which is job-free only when the plan below has no exchange — checked
+    first via the non-adaptive physical plan (pure planning, never
+    executes). Frames that already contain an exchange (arbitrary
+    api.* caller frames) keep the conservative unconditional
+    repartition, because probing them under AQE would execute the
+    upstream stages once extra.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        physical = df._jdf.queryExecution().sparkPlan().toString()
+        if "Exchange" not in physical and df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:  # pragma: no cover - probe is best-effort
+        pass
+    return df.repartition(target, *key)
+
+
 def load_stream_table(
     spark: SparkSession,
     sf_dir: str,

@@ -18,16 +18,44 @@ from hyperswitch_data_backfill_spark.registry import register
 FORMATS = ("yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd")
 
 
+# Nominal (4-digit-year) string length of each format: a row of that
+# length can only match that format, so one gated attempt replaces the
+# try-every-format cascade for the overwhelmingly common shapes.
+_NOMINAL_LEN = {
+    "yyyy-MM-dd HH:mm:ss.SSSSSS": 26,
+    "yyyy-MM-dd HH:mm:ss": 19,
+    "yyyy-MM-dd": 10,
+}
+
+
 def parse_datetime_multi(col: Column) -> Column:
     """The engine's multi-format parser: first matching format wins, NULL if none.
 
     NULL-on-failure (vs the reference's hard error, utility.rs:28) lets a
     100 TB job quarantine bad rows instead of dying on row 3 billion; pair
     with ``.filter(parsed.isNull())`` to collect rejects.
+
+    Fast path (r16, guide §1.2 per-task work): a failed
+    ``try_to_timestamp`` attempt costs a thrown-and-caught
+    DateTimeParseException inside the JVM, so the original
+    try-formats-in-order cascade paid up to ``len(FORMATS)-1`` exceptions
+    per well-formed row. The string length picks the only format a
+    4-digit-year row can match, so the common shapes parse in exactly one
+    attempt. The full cascade stays as the coalesce tail, which keeps the
+    result PROVABLY identical for every input: rows outside the nominal
+    lengths (e.g. ``+12345-01-02 …`` signed wide years, which Spark's
+    strict parser accepts) fall through to the original attempt order,
+    and a nominal-length row that fails its gated format would also have
+    failed it first in the cascade (the shorter formats cannot consume 26
+    chars; the longer cannot match 10) — first-match-wins is unchanged.
     """
-    return F.coalesce(
-        *[F.try_to_timestamp(col, F.lit(fmt)) for fmt in FORMATS]
-    ).cast("timestamp_ntz")
+    length = F.length(col)
+    gated = [
+        F.when(length == _NOMINAL_LEN[fmt], F.try_to_timestamp(col, F.lit(fmt)))
+        for fmt in FORMATS
+    ]
+    cascade = [F.try_to_timestamp(col, F.lit(fmt)) for fmt in FORMATS]
+    return F.coalesce(*gated, *cascade).cast("timestamp_ntz")
 
 
 @register(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.catalog import load_table, spread_fanout
 from hyperswitch_data_backfill_spark.registry import register
 
 SHINGLE_K = 4
@@ -264,17 +264,37 @@ def bounded_broadcast(df: DataFrame, cap: int = MAX_BROADCAST_KEYS) -> DataFrame
     return F.broadcast(df) if df.limit(cap + 1).count() <= cap else df
 
 
-def shingles_df(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) — distinct k-token shingles per document.
+def shingles_df(docs: DataFrame, k: int = SHINGLE_K,
+                with_count: bool = False) -> DataFrame:
+    """(doc_id, shingle) — distinct k-token shingles per document;
+    ``with_count=True`` adds ``n`` = the doc's distinct-shingle count.
 
     Repartitions first: shingling fans out ~|tokens| per doc, and a
     small parquet input arrives as one split — without the spread the
     whole fan-out runs on one core. At 100 TB the input has thousands
     of splits and AQE coalesces this to a no-op-sized shuffle; locally
     it is what engages all cores.
+
+    ``n`` is ``size()`` of the shingle array BEFORE the explode — the
+    same number a post-explode ``count() OVER (PARTITION BY doc_id)``
+    yields (explode emits exactly one row per element and concat_ws
+    never produces null elements), without the per-partition Sort +
+    Window pass over the full shingle fan-out that the window form
+    costs (r16, guide §2.4: the fan-out is the big intermediate —
+    never re-sort it to learn something the pre-explode row knew).
+
+    Shape note (r16, measured 2.2× the other way before the fix): n
+    rides INSIDE the exploded struct, not as a sibling column of an
+    ``explode(_sh)`` attribute. The naive forms both backfire —
+    ``size(_sh)`` projected after the explode forces Generate to carry
+    the whole array to every exploded row, and ``explode(<attribute>)``
+    triggers InferFiltersFromGenerate, whose ``size(_sh) > 0`` guard
+    gets alias-inlined by predicate pushdown below the spread exchange,
+    re-running the entire shingle transform serialized on the scan
+    task. A costly generator child (the transform) is exempt from the
+    inference, exactly like the plain-explode branch below.
     """
-    spread = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(spread, "doc_id")
+    docs = spread_fanout(docs, "doc_id")
     # Materialize the token array as a column BEFORE the per-shingle
     # lambda: referencing the raw split(...) expression inside the
     # transform would inline it at every element access, re-splitting
@@ -290,6 +310,25 @@ def shingles_df(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
             )
         ),
     ).otherwise(F.array())
+    if with_count:
+        docs = docs.withColumn("_sh", sh)
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.col("_sh"),
+                        lambda x: F.struct(
+                            x.alias("shingle"), F.size("_sh").alias("n")
+                        ),
+                    )
+                ).alias("_p"),
+            )
+            .select(
+                "doc_id", F.col("_p.n").alias("n"),
+                F.col("_p.shingle").alias("shingle"),
+            )
+        )
     return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
@@ -346,7 +385,6 @@ def jaccard_pairs(
     already-filtered corpus. Defaults reproduce the registered fixture
     op exactly; ``threshold``/``shingle_k`` re-tune it for other
     corpora without touching the plan shape."""
-    sh = shingles_df(docs, shingle_k)
     # Skew guard (the one skew surface here): a stopword-like shingle
     # shared by k docs makes a k-element posting array in ONE task and
     # k² pairs. ``max_bucket_members`` drops shingles whose document
@@ -359,6 +397,7 @@ def jaccard_pairs(
     # scale; set it (e.g. 1000) on a real corpus — standard max-df
     # practice: ubiquitous shingles carry no near-dup signal.
     if max_bucket_members is not None:
+        sh = shingles_df(docs, shingle_k)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -366,11 +405,22 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(bounded_broadcast(hot), "shingle", "left_anti")
-    # Set size rides along as a window count over the exploded shingles —
-    # one shuffle on doc_id instead of a separate aggregate + two
-    # re-joins against the pair table (matters: the pair table is the
-    # big intermediate at scale, never enrich it twice).
-    sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        # Set size must count the POST-filter space (scores stay exact
+        # over the df-filtered shingle space), so it rides as a window
+        # count over the exploded shingles — one shuffle on doc_id
+        # instead of a separate aggregate + two re-joins against the
+        # pair table (the pair table is the big intermediate at scale,
+        # never enrich it twice).
+        sh = sh.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    else:
+        # Uncapped mode: the set size is just the pre-explode array
+        # size — carried through the explode for free, skipping the
+        # full Sort + Window pass over the shingle fan-out (r16; the
+        # window form cost one sort of every exploded row per
+        # partition, the dominant per-task work of this operator).
+        sh = shingles_df(docs, shingle_k, with_count=True)
     # Inverted-index pairing WITHOUT a self-join: group the postings per
     # shingle and emit pairs bucket-locally (same shape as the LSH band
     # pairing below). The input passes once, and there is no join whose
@@ -1010,8 +1060,7 @@ SPAN_MIN_DOCS = 2
 )
 def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    spread = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(spread, "doc_id").withColumn(
+    docs = spread_fanout(docs, "doc_id").withColumn(
         "_toks", F.split(F.col("text"), " ")
     )
     k = SPAN_K

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.catalog import load_table, spread_fanout
 from hyperswitch_data_backfill_spark.functions.arrays import dot, norm
 from hyperswitch_data_backfill_spark.registry import register
 
@@ -500,10 +500,11 @@ def lsh_cosine_pairs(
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spread the single-file scan across cores before the vector math
-    # (same rationale as dedup.shingles_df).
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    # (same rationale as dedup.shingles_df). Corpus side only: the query
+    # side is N_QUERIES rows — spreading it buys nothing and costs a
+    # full exchange stage (r16 measurement).
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = spread_fanout(raw, "vec_id")
     banded = emb.withColumn("nrm", norm(F.col("embedding"))).select(
         "vec_id", "embedding", "nrm",
         F.posexplode(lsh_buckets_udf(F.col("embedding"))).alias("tbl", "bucket"),
@@ -515,7 +516,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast-sized query side fans out ×(1+probes), and candidates
     # stay bucket-equi. Measured recall@10: 0.287 → 0.762 at sf0.01.
     q = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
+        raw.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("nrm", norm(F.col("embedding")))
         .select(
             F.col("vec_id").alias("q_id"),
@@ -534,17 +535,27 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("bucket"),
         )
     )
+    # Score at the join, THEN collapse multi-table collisions on the
+    # scalar: the same (q_id, vec_id) pair joins identical arrays in
+    # every colliding table, so cos_sim is bit-identical across
+    # duplicates and max() is exactly the dropDuplicates value. The
+    # dedup aggregate now shuffles one double instead of both embedding
+    # arrays (guide §2.3 "shuffle metadata, not payloads") — and because
+    # the corpus side is hash-partitioned by vec_id, the (q_id, vec_id)
+    # grouping is already co-partitioned: no exchange at all, the old
+    # first(array) SortAggregate pair + Exchange collapses to one
+    # in-place HashAggregate (plan diff: 5 exchanges → 4, 3 sorts → 1).
     cand = (
         banded.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "q_emb", "q_nrm", "embedding", "nrm")
-        .dropDuplicates(["q_id", "vec_id"])  # collapse multi-table collisions
         .select(
             "q_id", "vec_id",
             F.round(
                 dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
             ).alias("cos_sim"),
         )
+        .groupBy("q_id", "vec_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
@@ -603,14 +614,16 @@ def ivf_cells_udf(emb_col, nprobe: int = 1):
         "to 0.28 stays driver-green but fails pytest.",
 )
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
-    base = emb.withColumn("nrm", norm(F.col("embedding")))
-    corpus = base.select(
+    # Corpus side spreads across cores; the query side (N_QUERIES rows
+    # behind a pushed-down vec_id filter) skips the repartition — an
+    # exchange stage spent spreading 8 rows is pure overhead (r16).
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = spread_fanout(raw, "vec_id")
+    corpus = emb.withColumn("nrm", norm(F.col("embedding"))).select(
         "vec_id", "embedding", "nrm",
         F.explode(ivf_cells_udf(F.col("embedding"), 1)).alias("cell"),
     )
+    base = raw.withColumn("nrm", norm(F.col("embedding")))
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -701,9 +714,7 @@ def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "not gradual decay — measured 1.0/0.965/0.969 at sf0.01/0.1/1.",
 )
 def neardup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = spread_fanout(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return lsh_cosine_pairs(emb)
 
 
@@ -909,9 +920,7 @@ def cells_for_codebook(centroids: np.ndarray, nprobe: int):
         "sensitive, so an absolute tight floor would flake).",
 )
 def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = spread_fanout(load_table(spark, sf_dir, "embeddings"), "vec_id")
     cents = ivf_train_kmeans(emb)
     assign1 = cells_for_codebook(cents, 1)
     assignp = cells_for_codebook(cents, IVF_NPROBE)
@@ -1027,9 +1036,7 @@ def emb_pq_quantize_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """API variant of ``emb_pq_quantize`` returning `codes array<int>`
     (the layout downstream ADC search consumes); not driver-registered
     because array cells crash the rows-only canonicalizer."""
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = spread_fanout(load_table(spark, sf_dir, "embeddings"), "vec_id")
     enc = emb.select("vec_id", "label", pq_encode_udf(F.col("embedding")).alias("pq"))
     return enc.select(
         "vec_id",
@@ -1091,9 +1098,7 @@ def pq_dtab_udf(emb_col):
         "fails pytest.",
 )
 def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = spread_fanout(load_table(spark, sf_dir, "embeddings"), "vec_id")
     base = emb.withColumn("nrm", norm(F.col("embedding")))
     corpus = base.select(
         "vec_id", "embedding", "nrm",

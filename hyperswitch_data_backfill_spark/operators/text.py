@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hyperswitch_data_backfill_spark.catalog import load_table
+from hyperswitch_data_backfill_spark.catalog import load_table, spread_fanout
 from hyperswitch_data_backfill_spark.registry import register
 
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -31,13 +31,16 @@ def spread_docs(docs: DataFrame) -> DataFrame:
     (shingles_df's rationale, applied to the ~200x explode sites here):
     a small parquet table arrives as a handful of row groups, and
     without the spread the whole explode serializes on those few scan
-    tasks — measured 1.40 s -> 0.45 s on text_tokens at sf1. At 100 TB
-    the input has thousands of splits and AQE coalesces this shuffle to
-    a no-op; locally it is what engages all cores. Row-wise ops without
-    fan-out deliberately do NOT spread (the r10 rebalance-after-scan
-    A/B: an extra full-text shuffle is strictly harmful there)."""
-    spread = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(spread, "doc_id")
+    tasks — measured 1.40 s -> 0.45 s on text_tokens at sf1. Row-wise
+    ops without fan-out deliberately do NOT spread (the r10
+    rebalance-after-scan A/B: an extra full-text shuffle is strictly
+    harmful there). r16: routed through catalog.spread_fanout, which
+    skips the repartition when the scan already has >= core-count
+    partitions — the local spread is unchanged, and at 100 TB the
+    explicit REPARTITION_BY_NUM no longer coalesces a many-split scan
+    into core-count giant tasks (AQE cannot re-split a user-numbered
+    repartition; not shuffling at all is the scale-correct shape)."""
+    return spread_fanout(docs, "doc_id")
 
 
 @register(
@@ -347,12 +350,11 @@ NGRAM_FREQ_TOP = 50
 )
 def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    spread = spark.sparkContext.defaultParallelism
     # Tokenize into a materialized column, then pair adjacent tokens by
     # zipping the two shifted slices — one split per document. (The
     # previous element_at(split(...), i) lambda inlined the split at
     # every element access: O(tokens²) per doc, measured 30× slower.)
-    d = docs.repartition(spread, "doc_id").withColumn(
+    d = spread_fanout(docs, "doc_id").withColumn(
         "_toks", F.split(F.lower(F.col("text")), " ")
     )
     bigrams = F.when(
