@@ -361,15 +361,23 @@ def test_referential_audit_is_all_broadcast_no_shuffle(spark):
 
 
 def test_fx_asof_fact_side_is_broadcast_join(spark):
-    """X5b: the quote book must broadcast; the only hash Exchanges
-    allowed are the calendar-sized book build (distinct days + per-ccy
-    collapse). A carry-forward window on the 3-valued currency key
-    (what join_asof does on user_id) would show up as a Window node —
-    the skew trap this operator exists to avoid."""
+    """X5b: the rate map must broadcast; the only hash Exchanges
+    allowed are the calendar-sized map build (distinct days + the
+    per-ccy carry-forward sort). The r16 reshape resolves the as-of
+    with a window — but ONLY over the calendar×currency frame inside
+    the broadcast build side; a carry-forward window on the 3-valued
+    currency key over the FACT table (what join_asof does on user_id)
+    would sit above the BroadcastExchange and put a third of all
+    orders in one partition — the skew trap this operator exists to
+    avoid."""
     p = _exec_plan(spark, "money_convert_asof")
     assert p.count("BroadcastHashJoin") == 1
     assert p.count("Exchange hashpartitioning") <= 2
-    assert "Window" not in p
+    assert p.count("Window") == 1
+    # the window must live UNDER the broadcast build side, never over
+    # the fact scan (tree dumps children below their parent, so the
+    # build-side Window prints after the BroadcastExchange node)
+    assert p.index("Window") > p.index("BroadcastExchange")
     assert "Python" not in p
 
 
