@@ -571,22 +571,44 @@ def minhash_band_pairs(
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 32-bit token-hash bit-vote fingerprints.
 
-    One shuffle (groupBy doc_id) with map-side partial sums; exposed
-    separately so tests can brute-force-verify the banding's recall.
-    """
-    tok = docs.select(
-        "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token")
+    r16 (guide §2.1 "remove shuffles outright"): the bit votes are a
+    per-document reduction over that document's own tokens, so they
+    need no explode and no groupBy — the token-hash array is
+    materialized once per row and 32 array-aggregate lanes count the
+    set bits row-locally. Through r15 this exploded every token into a
+    row and ran a 32-buffer groupBy(doc_id) aggregate: a full shuffle
+    (32 longs per doc partial) plus row machinery per token, all to
+    compute a value the row already had locally. Values are identical:
+    bit j of the fingerprint is set iff more tokens vote 1 than -1,
+    i.e. 2·ones_j > n — the same integer comparison as sum(±1) > 0 —
+    and docs whose filtered token array is empty are dropped exactly
+    as the explode emitted no rows for them. The spread keeps the
+    row-local pass parallel on a one-split local fixture; at scale it
+    is a no-op and the whole operator becomes shuffle-free up to the
+    banding."""
+    docs = spread_fanout(docs, "doc_id")
+    hs = F.transform(
+        F.filter(F.split("text", " "), lambda x: x != ""),
+        lambda t: F.xxhash64(t),
     )
-    h = F.xxhash64("token")
-    bit_votes = [
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
-        for j in range(32)
-    ]
-    votes = tok.groupBy("doc_id").agg(*bit_votes)
+    d = docs.select("doc_id", hs.alias("_hs")).filter(F.size("_hs") > 0)
+    n = F.size("_hs")
+    def _ones(j: int):
+        # closure, NOT a default arg: F.aggregate derives the lambda-var
+        # count from the merge function's signature, so a `j=j` third
+        # parameter would be rebound to a lambda-variable Column
+        return F.aggregate(
+            "_hs",
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
+        )
+
+    ones = [_ones(j) for j in range(32)]
     fp = sum(
-        F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(32)
+        F.when(o * 2 > n, F.lit(2 ** j)).otherwise(F.lit(0))
+        for j, o in enumerate(ones)
     )
-    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+    return d.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
 @register(
@@ -670,11 +692,25 @@ def simhash_pairs(
         )
     else:
         buckets = buckets.filter(F.size("members") <= max_bucket_members)
+    # Hamming cut fused INTO the pair expansion (r16, guide §5): the
+    # r15 form materialized the full k(k-1)/2 struct-pair array per
+    # bucket row BEFORE the cut — at sf0.1 that is 2.7 M allocated
+    # structs (the hottest bucket alone 352 k in one task's single
+    # flatten) thrown away down to the O(near-dup) survivors. Filtering
+    # j by bit_count at the index level keeps the k²/2 iteration but
+    # allocates only passing pairs — same pair set by construction (the
+    # cut moved from a post-explode filter to the generator, both
+    # bit_count(xor) <= max_hamming on the same operands). The cut
+    # still runs BEFORE the multi-band dedup, so only near-dup pairs
+    # reach the dropDuplicates shuffle (r10 verdict item 7).
     pair_structs = F.expr(
-        """
+        f"""
         flatten(transform(sequence(0, size(members) - 2), i ->
-            transform(sequence(i + 1, size(members) - 1), j ->
-                struct(members[i] AS a, members[j] AS b))))
+            transform(
+                filter(sequence(i + 1, size(members) - 1), j ->
+                    bit_count(members[i].simhash ^ members[j].simhash)
+                        <= {int(max_hamming)}),
+                j -> struct(members[i] AS a, members[j] AS b))))
         """
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
@@ -686,14 +722,7 @@ def simhash_pairs(
             F.col("p.a.simhash").alias("sim_a"),
             F.col("p.b.simhash").alias("sim_b"),
         )
-        # Hamming cut BEFORE the multi-band dedup: the cut is pure
-        # codegen on the candidate stream, so only O(near-dup) pairs
-        # reach the dropDuplicates shuffle — deduping ALL banded
-        # candidates first shuffled the (much larger) candidate set
-        # just to throw most of it away (r10 verdict item 7; sf1: 53s
-        # → 26s with identical output).
         .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])  # collapse multi-band collisions
         .select("id_a", "id_b", "hamming")
     )
@@ -715,7 +744,12 @@ def simhash_pairs(
 )
 def dedup_simhash_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
+    # Both bandings consume the same signature frame; checkpoint it
+    # once (O(docs) rows of two longs — the text_bm25 / graph_pagerank
+    # pattern) or Catalyst re-derives the corpus scan + 32-lane bit
+    # vote per banding (r16; the signature build dominated this key's
+    # wall, so the second derivation was a straight 2×).
+    sigs = simhash_signatures(docs).localCheckpoint(eager=True)
     a = simhash_pairs(sigs).select("id_a", "id_b")
     b = simhash_pairs(sigs, rotate_bits=4).select("id_a", "id_b")
     # Symmetric difference in ONE pass: tag-union + per-pair side
@@ -1381,7 +1415,12 @@ SPAN_REMOVE_DF = 4  # a span this ubiquitous is boilerplate — cut it
 )
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+    # r16: spread before the double gram fan-out (shingles_df's
+    # rationale — both explodes below otherwise serialize on the
+    # one-split local scan; no-op at scale via spread_fanout).
+    toked = spread_fanout(docs, "doc_id").select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
+    )
     k = SPAN_K
     gram_starts = F.when(
         F.size("toks") >= k,
@@ -1395,9 +1434,27 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = toked.select("doc_id", F.explode(gram_starts).alias("g")).select(
         "doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram")
     )
+    # Hot-span census via per-doc DISTINCT grams (r16, guide §2.2
+    # "shuffle fewer bytes"): COUNT(DISTINCT doc_id) expands to the
+    # two-exchange (gram, doc_id)-then-gram plan; deduping each doc's
+    # grams row-locally first makes it a plain map-side-combined
+    # count(*) — one exchange, same number by construction (each doc
+    # contributes each of its grams exactly once either way). The
+    # distinct-gram explode has a costly generator child, so
+    # InferFiltersFromGenerate stays off (the shingles_df lesson).
+    dgrams = F.when(
+        F.size("toks") >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     hot = (
-        g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        toked.select(F.explode(dgrams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
         .filter(F.col("ndocs") >= SPAN_REMOVE_DF)
         .select("gram")
     )

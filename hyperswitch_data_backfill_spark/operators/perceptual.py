@@ -216,11 +216,21 @@ def fingerprint_pairs(
         buckets = guard_posting_buckets(buckets, F.size("members"), op)
     else:
         buckets = buckets.filter(F.size("members") <= max_bucket_members)
+    # Hamming cut fused into the pair expansion (r16, guide §5 — the
+    # dedup.simhash_pairs change, same proof): only pairs passing the
+    # bit_count cut are allocated as structs; the r15 form materialized
+    # the full k(k-1)/2 candidate array per bucket before filtering
+    # (the x100 scale rehearsal put 10.9 M of those through this very
+    # expression). Pair set unchanged — the generator-level filter is
+    # the identical bit_count(xor) <= max_hamming predicate.
     pair_structs = F.expr(
-        """
+        f"""
         flatten(transform(sequence(0, size(members) - 2), i ->
-            transform(sequence(i + 1, size(members) - 1), j ->
-                struct(members[i] AS a, members[j] AS b))))
+            transform(
+                filter(sequence(i + 1, size(members) - 1), j ->
+                    bit_count(members[i]._fp ^ members[j]._fp)
+                        <= {int(max_hamming)}),
+                j -> struct(members[i] AS a, members[j] AS b))))
         """
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
@@ -233,7 +243,6 @@ def fingerprint_pairs(
             F.col("p.b._fp").alias("fp_b"),
         )
         .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
