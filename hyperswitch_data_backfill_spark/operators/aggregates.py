@@ -823,9 +823,22 @@ def agg_approx_distinct_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.conv(
         F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
     ).cast("long") % APPROX_DISTINCT_CARVE_MOD
-    per = orders.where(bucket == 0).groupBy("o_orderstatus").agg(
+    # r16 (guide §2.2): mixing countDistinct with the sketch in one
+    # aggregate planned an Expand (×2 row duplication) into the
+    # two-exchange distinct expansion. HLL++ is duplicate-insensitive
+    # (inserting a value twice leaves the sketch bit-identical), so
+    # deduping (status, custkey) FIRST and then running BOTH legs over
+    # the distinct keys — where the exact leg is a plain count — yields
+    # the identical (ap, ex) pair (verified value-equal at sf0.1) from
+    # plain map-side-combined HashAggregates.
+    keys = (
+        orders.where(bucket == 0)
+        .select("o_orderstatus", "o_custkey")
+        .distinct()
+    )
+    per = keys.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("ap"),
-        F.countDistinct("o_custkey").alias("ex"),
+        F.count("o_custkey").alias("ex"),
     )
     rel = F.abs(F.col("ap") - F.col("ex")) / F.col("ex")
     return per.select(

@@ -225,3 +225,236 @@ class TestSimTopkScalarDedup:
         )
         bad = joined.filter(F.col("cos_sim") != F.col("exact")).count()
         assert bad == 0
+
+
+class TestSimhashRowLocal:
+    """simhash_signatures computes bit votes row-locally (no explode,
+    no groupBy) — must be value-identical to the explode+32-buffer
+    aggregate it replaced, including empty-token and duplicate-token
+    documents."""
+
+    def _reference_sigs(self, docs):
+        tok = docs.select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token"),
+        )
+        h = F.xxhash64("token")
+        bit_votes = [
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(32)
+        ]
+        votes = tok.groupBy("doc_id").agg(*bit_votes)
+        fp = sum(
+            F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+            for j in range(32)
+        )
+        return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+    def test_signatures_match_explode_reference(self, spark):
+        from hyperswitch_data_backfill_spark.catalog import load_table
+        from hyperswitch_data_backfill_spark.operators.dedup import simhash_signatures
+
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        edge = spark.createDataFrame(
+            [
+                (10_000_001, ""),          # no tokens -> no signature row
+                (10_000_002, "   "),       # whitespace-only -> none either
+                (10_000_003, "solo"),
+                (10_000_004, "a a a b"),   # duplicate tokens vote repeatedly
+            ],
+            "doc_id long, text string",
+        )
+        docs = docs.unionByName(edge)
+        ref = self._reference_sigs(docs)
+        new = simhash_signatures(docs)
+        assert new.count() == ref.count()
+        mismatch = (
+            ref.unionByName(new)
+            .groupBy("doc_id", "simhash")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") != 2)
+            .count()
+        )
+        assert mismatch == 0
+
+
+class TestFusedHammingCut:
+    """The bit_count cut fused into the pair-expansion generator must
+    emit exactly the pair set of the expand-then-filter form."""
+
+    def _reference_pairs(self, sigs, max_hamming=3):
+        fp = F.col("simhash")
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(fp, b * 8).bitwiseAND(F.lit(255)).alias("bits"),
+                )
+                for b in range(4)
+            ]
+        )
+        banded = sigs.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+            "doc_id", "simhash", "b.band", "b.bits"
+        )
+        buckets = (
+            banded.groupBy("band", "bits")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_id", "simhash"))
+                ).alias("members")
+            )
+            .filter(F.size("members") > 1)
+        )
+        ps = F.expr(
+            """
+            flatten(transform(sequence(0, size(members) - 2), i ->
+                transform(sequence(i + 1, size(members) - 1), j ->
+                    struct(members[i] AS a, members[j] AS b))))
+            """
+        )
+        hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        return (
+            buckets.select(F.explode(ps).alias("p"))
+            .select(
+                F.col("p.a.doc_id").alias("id_a"),
+                F.col("p.b.doc_id").alias("id_b"),
+                F.col("p.a.simhash").alias("sim_a"),
+                F.col("p.b.simhash").alias("sim_b"),
+            )
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", "hamming")
+        )
+
+    def test_simhash_pairs_match_expand_then_filter(self, spark):
+        from hyperswitch_data_backfill_spark.catalog import load_table
+        from hyperswitch_data_backfill_spark.operators.dedup import (
+            simhash_pairs,
+            simhash_signatures,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        sigs = simhash_signatures(docs).localCheckpoint(eager=True)
+        ref = self._reference_pairs(sigs)
+        new = simhash_pairs(sigs)
+        assert new.count() == ref.count()
+        mismatch = (
+            ref.unionByName(new)
+            .groupBy("id_a", "id_b", "hamming")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") != 2)
+            .count()
+        )
+        assert mismatch == 0
+
+    def test_fingerprint_pairs_respect_fused_cut(self, spark):
+        # hand-built 64-bit fingerprints: 2 within Hamming 6 of each
+        # other, 1 far away — the fused generator must emit exactly the
+        # close pair with its true distance.
+        from hyperswitch_data_backfill_spark.operators.perceptual import (
+            fingerprint_pairs,
+        )
+
+        base = 0x0123_4567_89AB_CDEF
+        sigs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base ^ 0b101),            # hamming 2 from base
+                (3, base ^ ((1 << 62) | (1 << 31) | (1 << 15) | 0xFF)),
+            ],
+            "media_id long, dhash long",
+        )
+        out = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in fingerprint_pairs(sigs, max_hamming=3).collect()
+        }
+        assert out == {(1, 2): 2}
+
+
+class TestProfileColumnsPerColumn:
+    """profile_columns' per-column groupBy union must reproduce the
+    single-aggregate multi-distinct answer, without an Expand node."""
+
+    def test_values_match_single_aggregate(self, spark):
+        from hyperswitch_data_backfill_spark.catalog import load_table
+        from hyperswitch_data_backfill_spark.operators.analytics import (
+            _PROFILE_COLS,
+            profile_columns,
+        )
+
+        orders = load_table(spark, SF_DIR, "orders")
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in _PROFILE_COLS:
+            aggs += [
+                F.count(c).alias(f"nn_{c}"),
+                F.count_distinct(c).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            ]
+        ref_row = orders.agg(*aggs).collect()[0]
+        out = {r["col_name"]: r for r in profile_columns(spark, SF_DIR).collect()}
+        assert set(out) == set(_PROFILE_COLS)
+        for c in _PROFILE_COLS:
+            r = out[c]
+            assert r["n_rows"] == ref_row["_n"]
+            assert r["n_nonnull"] == ref_row[f"nn_{c}"]
+            assert r["n_distinct"] == ref_row[f"nd_{c}"]
+            assert r["min_val"] == ref_row[f"mn_{c}"]
+            assert r["max_val"] == ref_row[f"mx_{c}"]
+
+    def test_no_expand_in_plan(self, spark):
+        from hyperswitch_data_backfill_spark.operators.analytics import profile_columns
+
+        df = profile_columns(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the old multi-distinct form planned an Expand (x7 row
+        # duplication) into SortAggregates keyed on the 6-column
+        # composite; the per-column form needs neither. (Tiny
+        # second-level SortAggregates over the 3-5 group rows remain
+        # for the string-typed min/max buffers — those are not the
+        # full-table sort the assertion guards against, so only the
+        # Expand is pinned.)
+        assert "Expand" not in plan
+
+
+class TestApproxDistinctDedupFirst:
+    """agg_approx_distinct_err dedupes (group, key) before both legs —
+    legal because HLL++ is duplicate-insensitive; the (ap, ex) pair must
+    match the mixed countDistinct/sketch aggregate it replaced."""
+
+    def test_estimates_and_exacts_match_reference(self, spark):
+        from hyperswitch_data_backfill_spark.catalog import load_table
+        from hyperswitch_data_backfill_spark.operators.aggregates import (
+            APPROX_DISTINCT_CARVE_MOD,
+        )
+
+        orders = load_table(spark, SF_DIR, "orders")
+        bucket = F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
+        ).cast("long") % APPROX_DISTINCT_CARVE_MOD
+        carved = orders.where(bucket == 0)
+        ref = carved.groupBy("o_orderstatus").agg(
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("ap"),
+            F.countDistinct("o_custkey").alias("ex"),
+        )
+        new = (
+            carved.select("o_orderstatus", "o_custkey")
+            .distinct()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.approx_count_distinct("o_custkey", rsd=0.01).alias("ap"),
+                F.count("o_custkey").alias("ex"),
+            )
+        )
+        mismatch = (
+            ref.unionByName(new)
+            .groupBy("o_orderstatus", "ap", "ex")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") != 2)
+            .count()
+        )
+        assert mismatch == 0
