@@ -95,16 +95,40 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # needs no entry — no driver record ranks it first automatically.
 # Round-15 prepends are cleared (their r15 records cover the shipped
 # implementations).
+# Round 16 OPTIMIZATION pass: implementations changed (plan reshapes,
+# all oracle-proven result-identical — OPTIMIZATION_r16.md) under these
+# driver-checkable keys: the money as-of calendar reshape (2 keys);
+# parse_datetime_multi's gated cascade; sim_topk/sim_ivf query-side +
+# scalar-dedup reshapes; the shingles/jaccard_pairs pre-explode set
+# size, riding under every jaccard consumer (ngram pairs, clusters,
+# survivors, incremental, corpus build); simhash row-local signatures +
+# fused Hamming cut (+ checkpointed crosscheck); span_removal spread +
+# distinct-gram census; the fused cut under the three perceptual pair
+# keys; profile_columns and agg_approx_distinct_err Expand removal;
+# stream_pgwire_tail's one-shot stall restart guard. Round-15 build
+# prepends are cleared (their r15/SF1 records cover those impls; the
+# r16-build pgwire/kafka module changes ride under stream_pgwire_tail
+# here and stream_pgwire_cdc's automatic no-evidence rank).
 _WINDOW_PREPEND: tuple[str, ...] = (
     "stream_pgwire_tail",
-    "stream_kafka_wire_tumbling",
-    "stream_kafka_wire_tumbling_parallel",
-    "kafka_wire_fetch_roundtrip",
-    "kafka_wire_v2_roundtrip",
-    "pgwire_scan_orders",
-    "pgwire_scan_embeddings",
-    "pgwire_scan_props",
-    "pipeline_pg_to_kafka",
+    "money_convert_asof",
+    "pipeline_settlement_report",
+    "parse_datetime_multi",
+    "sim_topk",
+    "sim_ivf",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_incremental_jaccard",
+    "pipeline_corpus_build",
+    "dedup_simhash",
+    "dedup_simhash_crosscheck",
+    "dedup_span_removal",
+    "dedup_image_dhash_pairs",
+    "dedup_audio_ehash_pairs",
+    "dedup_video_vhash_pairs",
+    "profile_columns",
+    "agg_approx_distinct_err",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json")
@@ -133,21 +157,30 @@ def _shipped_evidence_rounds() -> list[int]:
 # matches neither and fails.
 _WINDOW_EVIDENCE_ROUND: int = max(_shipped_evidence_rounds(), default=0)
 
-# ROUND-16 WINDOW = rotation output at evidence pin r15 with the nine
-# changed-implementation prepends above, then the one never-checked key
-# (stream_pgwire_cdc — new this round, ranks ahead of every green
-# automatically), then the r11 text/window stragglers and the r12
-# cohort oldest-first.
+# ROUND-16-OPTIMIZATION WINDOW = rotation output at evidence pin r15
+# with the nineteen changed-implementation prepends above, then the one
+# never-checked key (stream_pgwire_cdc), then the r11 text/window
+# stragglers and the r12 cohort oldest-first.
 _DRIVER_WINDOW: list[str] = [
     "stream_pgwire_tail",  # green r15
-    "stream_kafka_wire_tumbling",  # green r15
-    "stream_kafka_wire_tumbling_parallel",  # green r14
-    "kafka_wire_fetch_roundtrip",  # green r15
-    "kafka_wire_v2_roundtrip",  # green r15
-    "pgwire_scan_orders",  # green r15
-    "pgwire_scan_embeddings",  # green r15
-    "pgwire_scan_props",  # green r15
-    "pipeline_pg_to_kafka",  # green r15
+    "money_convert_asof",  # green r13
+    "pipeline_settlement_report",  # green r12
+    "parse_datetime_multi",  # green r14
+    "sim_topk",  # rows_only r13
+    "sim_ivf",  # rows_only r12
+    "dedup_ngram_jaccard",  # green r12
+    "dedup_clusters",  # green r14
+    "dedup_survivors",  # green r14
+    "dedup_incremental_jaccard",  # green r12
+    "pipeline_corpus_build",  # green r12
+    "dedup_simhash",  # rows_only r15
+    "dedup_simhash_crosscheck",  # green r12
+    "dedup_span_removal",  # green r12
+    "dedup_image_dhash_pairs",  # green r13
+    "dedup_audio_ehash_pairs",  # green r13
+    "dedup_video_vhash_pairs",  # green r15
+    "profile_columns",  # green r15
+    "agg_approx_distinct_err",  # green r14
     "stream_pgwire_cdc",  # no evidence
     "text_tfidf",  # green r11
     "text_token_count_bpe",  # green r11
@@ -171,24 +204,14 @@ _DRIVER_WINDOW: list[str] = [
     "anomaly_zscore",  # green r12
     "count_filtered",  # green r12
     "dedup_containment",  # green r12
-    "dedup_incremental_jaccard",  # green r12
     "dedup_minhash_recall_pairs",  # green r12
-    "dedup_ngram_jaccard",  # green r12
     "dedup_semantic_clusters",  # green r12
-    "dedup_simhash_crosscheck",  # green r12
     "dedup_span_ngrams",  # green r12
-    "dedup_span_removal",  # green r12
     "dq_referential_integrity",  # green r12
     "emb_pq_quantize_err",  # green r12
     "graph_pagerank",  # green r12
     "graph_triangle_count",  # green r12
     "join_asof",  # green r12
-    "join_asof_tolerance",  # green r12
-    "join_broadcast",  # green r12
-    "join_skew_salted",  # green r12
-    "join_skew_split",  # green r12
-    "join_smj",  # green r12
-    "layout_zonemap",  # green r12
 ]
 
 
