@@ -1045,10 +1045,24 @@ def pagerank(
     (sum(pr) <= n*base — floor truncation only loses), regular-graph
     fixpoint (cycle stays at base), fixture equivalence.
 
-    Scale shape: adjacency+degree materialized ONCE (localCheckpoint
-    — the in-session stand-in for landing the adjacency table), each
-    round = one shuffle join on src + one agg on dst, both keyed on
-    node id; O(nodes) state, fixed small round count."""
+    Scale shape (r17, guide §2.4/§3.3 "two operations keyed the same
+    way can share one exchange"): the adjacency is hash-partitioned AND
+    sorted on ``src`` ONCE, before the localCheckpoint, with AQE
+    disabled just for that materialization — under AQE the checkpoint's
+    LogicalRDD records UnknownPartitioning and every round re-exchanged
+    and re-sorted the full edge list (measured: 10 exchanges at 3
+    rounds). With the partitioning+ordering recorded, every round's
+    edges⋈ranks join streams the edge side with no exchange and no
+    sort, the node list re-derives exchange-free from the partitioned
+    checkpoint, and the ONLY per-round shuffle left is the genuine
+    src→dst contribution regroup (executed plan: 3 exchanges at 3
+    rounds, adjacency shuffled exactly once at build). The build itself
+    got cheaper too: deriving deg from the already-repartitioned frame
+    shares its exchange, where the r16 shape paid one exchange for the
+    deg groupBy plus another for the adjacency join. Local wall is
+    measured neutral (fixture edge lists are small); at scale this
+    removes per-round full-edge-list shuffles+sorts. The AQE toggle is
+    scoped to the checkpoint job and restored in a finally."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iters < 0:
@@ -1058,12 +1072,19 @@ def pagerank(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    adj = e.join(
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "src"
-    ).localCheckpoint(eager=True)
-    ranks = adj.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(base).cast("bigint").alias("pr")
-    )
+    spark = edges.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_prev = spark.conf.get(aqe_key, "true")
+    try:
+        spark.conf.set(aqe_key, "false")
+        ers = e.repartition("src").sortWithinPartitions("src")
+        adj = ers.join(
+            ers.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "src"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(aqe_key, aqe_prev)
+    nodes = adj.select("src").distinct().select(F.col("src").alias("node"))
+    ranks = nodes.withColumn("pr", F.lit(base).cast("bigint"))
     teleport = int(base * (100 - damping_pct) / 100)
     for _ in range(iters):
         contrib = (
@@ -1076,8 +1097,7 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         ranks = (
-            ranks.select("node")
-            .join(contrib, ranks.node == contrib.dst, "left")
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 (

@@ -17,12 +17,13 @@ formulation used when cross-platform reproducibility matters.
 
 Scale shape (100 TB): the edge list with degrees is materialized ONCE
 (localCheckpoint — the in-session stand-in for landing the adjacency
-table) and re-joined each round; each iteration is one shuffle join
-edges⋈ranks on src plus one aggregation by dst — both keyed on node
-id, so bucketed adjacency storage makes every round Exchange-free on
-the edge side. Rounds are a fixed small constant (power iteration
-converges geometrically at damping 0.85); memory per round is
-O(nodes), never O(edges), on the rank side.
+table), hash-partitioned AND sorted on src so the checkpoint records
+the layout (r17; see api.pagerank); every round's edges⋈ranks join
+then streams the edge side with no exchange and no sort, and the only
+per-round shuffle is the genuine src→dst contribution regroup.
+Rounds are a fixed small constant (power iteration converges
+geometrically at damping 0.85); memory per round is O(nodes), never
+O(edges), on the rank side.
 """
 
 from __future__ import annotations
@@ -90,6 +91,14 @@ def _pagerank_oracle(iters: int = PR_ITER) -> str:
         "node id.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delegates to the generic kernel (api.pagerank) since r17 — the
+    # two implementations were line-for-line duplicates pinned equal by
+    # test_pagerank_equiv_to_registered_key, and the r17 exchange-reuse
+    # reshape (adjacency checkpointed hash-partitioned + sorted on src,
+    # one exchange per round instead of ~3; see api.pagerank docstring)
+    # belongs in exactly one place. Same arithmetic, oracle-hash-green.
+    from hyperswitch_data_backfill_spark import api
+
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e = (
@@ -100,42 +109,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    bidir = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # Adjacency with degree — the frame every round re-reads. Checkpoint
-    # once or Catalyst re-derives the orders⋈lineitem subtree per round
-    # (2·ITER raw scans; same lesson as agg_heavy_hitters).
-    adj = (
-        bidir.join(
-            bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "src"
-        ).localCheckpoint(eager=True)
+    return api.pagerank(
+        e, iters=PR_ITER, damping_pct=85, base=PR_BASE, undirected=True
     )
-    ranks = adj.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(PR_BASE).cast("bigint").alias("pr")
-    )
-    base = int(PR_BASE * 15 / 100)
-    for _ in range(PR_ITER):
-        contrib = (
-            adj.join(ranks, adj.src == ranks.node)
-            .select(
-                F.col("dst"),
-                F.floor(F.col("pr") / F.col("deg")).cast("bigint").alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = (
-            ranks.select("node")
-            .join(contrib, ranks.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.floor(F.coalesce(F.col("contrib"), F.lit(0)) * 85 / 100.0)
-                    .cast("bigint")
-                ).alias("pr"),
-            )
-        )
-    return ranks
 
 
 # Fixture subgraph bound: the synthetic co-supply graph densifies to a
