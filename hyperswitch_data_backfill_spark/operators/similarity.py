@@ -424,10 +424,23 @@ def lsh_cosine_pairs(
       doing strict recall accounting who would rather re-tune bits
       than silently lose cross-split pairs.
 
-    The size count is one extra linear pass over the banding (the
-    matmul UDF runs twice); the alternative — caching the banded frame
-    — is a 100 TB materialization, and a window count would force a
-    full extra shuffle of the exploded rows instead of a broadcast.
+    The census rides the pairing shuffle (r17, guide §2.4 "two
+    operations keyed the same way can share one exchange"): the
+    per-bucket applyInPandas needs the banded frame hash-clustered on
+    ``tb`` anyway, and a ``count(*) OVER (PARTITION BY tb)`` window on
+    that same partitioning yields every bucket's size with no extra
+    shuffle and — the point — no second evaluation of the banding UDF.
+    Through r16 the census was a separate groupBy + broadcast join
+    whose subtree re-derived the banded frame: the banding pandas UDF
+    ran twice (two ArrowEvalPython nodes, two corpus scans, every
+    embedding crossing the Arrow boundary twice). Trade-off, accepted
+    and documented: hash(tb) clustering keeps ALL hash-splits of one
+    over-cap bucket in a single task (the old (tb, split) shuffle key
+    spread them across ceil(n/cap) tasks), so a degenerate corpus
+    serializes its hot bucket's sub-blocks; the valve semantics are
+    unchanged (refuse mode still raises before any pairing, split mode
+    still bounds every BLAS block at ``cap``), and WindowExec buffers
+    a hot bucket spillably, not in one pandas frame.
     """
     if max_bucket is not None and max_bucket < 1:
         # a zero cap reaches F.ceil(_bn / 0) — an opaque mid-job ANSI
@@ -446,10 +459,12 @@ def lsh_cosine_pairs(
             lsh_pair_buckets_udf(F.col("embedding"), tables, bits, probes)
         ).alias("tb"),
     )
-    sizes = banded.groupBy("tb").agg(F.count(F.lit(1)).alias("_bn"))
+    banded = banded.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("tb"))
+    )
     cap = LSH_MAX_BUCKET if max_bucket is None else max_bucket
     if max_bucket is None:
-        sizes = sizes.filter(
+        banded = banded.filter(
             F.assert_true(
                 F.col("_bn") <= F.lit(cap),
                 F.lit(
@@ -460,20 +475,13 @@ def lsh_cosine_pairs(
                 ),
             ).isNull()
         )
-    # Key cardinality is bounded STATICALLY by the config (≤ tables·2^bits
-    # distinct tb values), so the broadcast decision needs no probe; an
-    # exotic wide-bits config falls back to a shuffle join.
-    if tables * (1 << bits) <= 4_000_000:
-        sizes = F.broadcast(sizes)
-    banded = banded.join(sizes, "tb")
-    if max_bucket is not None:
+        block_cols = ["tb"]
+    else:
         banded = banded.withColumn(
             "split",
             F.pmod(F.xxhash64("vec_id"), F.ceil(F.col("_bn") / cap)),
         )
         block_cols = ["tb", "split"]
-    else:
-        block_cols = ["tb"]
     cand = blocked_pair_candidates(
         banded.drop("_bn"), block_cols, threshold
     ).dropDuplicates(["id_a", "id_b"])
@@ -539,12 +547,17 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar: the same (q_id, vec_id) pair joins identical arrays in
     # every colliding table, so cos_sim is bit-identical across
     # duplicates and max() is exactly the dropDuplicates value. The
-    # dedup aggregate now shuffles one double instead of both embedding
-    # arrays (guide §2.3 "shuffle metadata, not payloads") — and because
-    # the corpus side is hash-partitioned by vec_id, the (q_id, vec_id)
-    # grouping is already co-partitioned: no exchange at all, the old
-    # first(array) SortAggregate pair + Exchange collapses to one
-    # in-place HashAggregate (plan diff: 5 exchanges → 4, 3 sorts → 1).
+    # dedup aggregate KEEPS its exchange (r17 comment fix — the r16
+    # text overclaimed elision): ArrowEvalPython does not preserve its
+    # child's outputPartitioning in Spark 4.1.2, so the corpus spread's
+    # hash(vec_id) layout is lost at the banding UDF — and on the
+    # spread_fanout pass-through path at scale there is no repartition
+    # to inherit in the first place. The win is the payload: that
+    # exchange now carries (long, long, double) with a map-side
+    # partial max instead of two 64-float arrays through a
+    # SortAggregate pair (guide §2.3 "shuffle metadata, not payloads";
+    # r16 plan diff: 5 exchanges → 4 — the removed one is the
+    # query-side spread — 3 sorts → 1).
     cand = (
         banded.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))

@@ -459,10 +459,12 @@ def test_posting_valve_is_in_plan(spark):
 
 
 def test_lsh_pair_valve_plan_shape(spark):
-    """r12 hot-bucket valve: the bucket-size enrichment must reach the
-    kernel through a BROADCAST join (key cardinality ≤ tables·2^bits by
-    construction — a shuffle join here would re-shuffle the whole
-    exploded banding), and the refuse mode must carry the in-plan
+    """r17 single-evaluation shape: the banding pandas UDF must appear
+    EXACTLY ONCE (through r16 the bucket-size census re-derived the
+    banded frame — two ArrowEvalPython nodes, every embedding crossing
+    the Arrow boundary twice), the census window must ride the pairing
+    shuffle (no exchange between Window and FlatMapGroupsInPandas —
+    both keyed on tb), and the refuse mode must carry the in-plan
     assert_true raise, not a separate probe job."""
     from hyperswitch_data_backfill_spark.catalog import load_table
     from hyperswitch_data_backfill_spark.operators.similarity import (
@@ -473,8 +475,15 @@ def test_lsh_pair_valve_plan_shape(spark):
     split_plan = (
         lsh_cosine_pairs(emb)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in split_plan
+    assert split_plan.count("ArrowEvalPython") == 1, split_plan[:3000]
     assert "CartesianProduct" not in split_plan
+    # census shares the pairing exchange: between the pairing node and
+    # the census window there must be NO exchange (hash(tb) satisfies
+    # the (tb[, split]) clustering of the pandas groupBy)
+    pairing_to_window = split_plan[
+        split_plan.index("FlatMapGroupsInPandas"):split_plan.index("Window")
+    ]
+    assert "Exchange" not in pairing_to_window, pairing_to_window
     refuse_logical = (
         lsh_cosine_pairs(emb, max_bucket=None)
         ._jdf.queryExecution().analyzed().toString()
