@@ -582,7 +582,11 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     gated = docs.filter(F.col("n_chars").between(BUILD_GATE_LO, BUILD_GATE_HI))
-    w = Window.partitionBy("text").orderBy("doc_id")
+    # hash-prefixed exact-dedup window — same reshape and same
+    # collision-safety argument as dedup_exact (r17): partition keys
+    # still include the full text, the hash only leads the sort so
+    # comparisons resolve on 8 bytes instead of the document payload
+    w = Window.partitionBy(F.xxhash64("text"), F.col("text")).orderBy("doc_id")
     exact = (
         gated.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

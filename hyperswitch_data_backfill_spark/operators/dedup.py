@@ -347,7 +347,17 @@ def shingles_df(docs: DataFrame, k: int = SHINGLE_K,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
+    # Hash-prefixed window key (r17, guide §2.3 "narrower types"): the
+    # window must still partition per TEXT (the hash alone would merge
+    # colliding texts into one survivor group — wrong), but leading
+    # with xxhash64(text) makes the sort resolve almost every
+    # comparison on 8 uniformly-distributed bytes; the full text is
+    # compared only within equal-hash groups (true duplicates plus
+    # vanishing collisions). The vocabulary-generated corpus is
+    # prefix-heavy, so the sorter's 8-byte string prefix kept
+    # tie-breaking into full-payload comparisons. Same groups, same
+    # orderBy, identical survivors.
+    w = Window.partitionBy(F.xxhash64("text"), F.col("text")).orderBy("doc_id")
     return (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
