@@ -1757,6 +1757,37 @@ def pgwire_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tail_stall_not_engine_side(
+    sunk: set, srv: set, expected: int
+) -> str | None:
+    """Classify a drain stall before stream_pgwire_tail's one bounded
+    restart (r17, ADVICE): return None only when the stall matches the
+    engine-side class the restart was root-caused to, else the reason
+    the fixture must FAIL LOUDLY instead — restarting re-tails the
+    by-then-complete table and would mask exactly the r15 fence race
+    this fixture's mid-flight wave exists to probe.
+
+    The keyset source delivers contiguous (lo, hi] slices in key
+    order, so every key in the sink bounds the live cursor from below:
+    a server-committed key missing from the sink BELOW max(sunk) is a
+    row the cursor passed over — the strand signature. Missing keys
+    ABOVE max(sunk) are simply unread (the engine never ran the final
+    planned batch), which is the restartable class."""
+    if len(srv) != expected:
+        return (
+            f"stall with only {len(srv)}/{expected} rows committed "
+            "server-side — not the engine-stall class the restart remedies"
+        )
+    stranded = sorted(k for k in (srv - sunk) if sunk and k < max(sunk))
+    if stranded:
+        return (
+            f"{len(stranded)} committed rows stranded BELOW the live "
+            f"cursor (e.g. o_orderkey={stranded[:3]}) — keyset-fence "
+            "regression"
+        )
+    return None
+
+
 @register(
     "stream_pgwire_tail",
     oracle="""
@@ -1864,10 +1895,45 @@ def stream_pgwire_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # the drained result is byte-identical to the no-stall
                 # run. A second stall fails loudly — this is a retry,
                 # not a loop.
-                print(f"# stream_pgwire_tail: restarting once after "
-                      f"stall ({stall})", file=sys.stderr)
+                #
+                # r17 (ADVICE): restart ONLY after verifying the stall
+                # IS that engine-side class — this fixture's mid-flight
+                # wave exists as the regression probe for the r15
+                # fence race, and a blind restart would re-read the
+                # by-then-complete table and mask exactly that race.
+                # Three checks before restarting, loud failure on any:
+                # (1) the query died with its own error → re-raise it;
+                # (2) the keyset source delivers contiguous (lo, hi]
+                #     slices in key order, so every key the sink holds
+                #     bounds the cursor from below: a SERVER-committed
+                #     key missing from the sink BELOW max(sunk keys)
+                #     is a row the live cursor passed over — the r15
+                #     strand signature → AssertionError, no restart;
+                # (3) the server must actually hold every row of the
+                #     waves written so far (direct probe read) or the
+                #     restart could not drain either.
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
                 q.stop()
                 q.awaitTermination(60)
+                sunk = {
+                    int(r[0])
+                    for r in spark.table(name).select("o_orderkey").collect()
+                }
+                with pg.connect() as probe:
+                    _, srv_rows = probe.query(
+                        "SELECT o_orderkey FROM orders_tail")
+                srv = {int(v[0]) for v in srv_rows}
+                expected = total if wave2_written else n1
+                reason = _tail_stall_not_engine_side(sunk, srv, expected)
+                if reason:
+                    raise AssertionError(
+                        f"stream_pgwire_tail: {reason} — refusing the "
+                        "restart that would mask it"
+                    ) from stall
+                print(f"# stream_pgwire_tail: restarting once after "
+                      f"verified engine-side stall ({stall})", file=sys.stderr)
                 if not wave2_written:
                     write_pgwire(wave2.repartition(2), pg.host, pg.port,
                                  "orders_tail", user=pg.user,
