@@ -67,7 +67,16 @@ def spread_fanout(df: DataFrame, *key: str) -> DataFrame:
     executes). Frames that already contain an exchange (arbitrary
     api.* caller frames) keep the conservative unconditional
     repartition, because probing them under AQE would execute the
-    upstream stages once extra.
+    upstream stages once extra. A probe FAILURE also degrades to the
+    unconditional repartition — correct, but it silently restores the
+    coalesce hazard at scale, so it is logged (r16 verdict item 3: a
+    Spark upgrade making ``.rdd`` eager must not hide here).
+
+    Partitioning caveat (r16 ADVICE): only the repartitioned (small-
+    scan) path leaves the frame hash-partitioned by ``key``; the
+    pass-through path keeps the scan's file splits, so callers must
+    NOT rely on co-partitioning by ``key`` downstream — any grouping
+    they add re-exchanges on the pass-through path.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -75,8 +84,15 @@ def spread_fanout(df: DataFrame, *key: str) -> DataFrame:
         physical = df._jdf.queryExecution().sparkPlan().toString()
         if "Exchange" not in physical and df.rdd.getNumPartitions() >= target:
             return df
-    except Exception:  # pragma: no cover - probe is best-effort
-        pass
+    except Exception as exc:  # pragma: no cover - probe is best-effort
+        import sys
+
+        print(
+            f"# spread_fanout: partition probe failed ({type(exc).__name__}: "
+            f"{exc}); degrading to unconditional repartition — at scale this "
+            "re-enables the coalesce hazard the probe exists to prevent",
+            file=sys.stderr,
+        )
     return df.repartition(target, *key)
 
 

@@ -334,7 +334,10 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_COLS:
         g = orders.groupBy(c).agg(F.count(F.lit(1)).alias("_cnt"))
         one = g.agg(
-            F.sum("_cnt").alias("n_rows"),
+            # coalesce to 0 so an EMPTY table profiles as n_rows=0 like
+            # the single-aggregate COUNT(*) form did (r16 ADVICE): a
+            # sum over zero groups is NULL, a count never is
+            F.coalesce(F.sum("_cnt"), F.lit(0)).alias("n_rows"),
             F.coalesce(
                 F.sum(F.when(F.col(c).isNotNull(), F.col("_cnt"))), F.lit(0)
             ).alias("n_nonnull"),

@@ -37,7 +37,7 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
-    runs = 1
+    runs = 2
     if "--runs" in argv:
         i = argv.index("--runs")
         runs = int(argv[i + 1])
