@@ -97,38 +97,25 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # implementations).
 # Round 16 OPTIMIZATION pass: implementations changed (plan reshapes,
 # all oracle-proven result-identical — OPTIMIZATION_r16.md) under these
-# driver-checkable keys: the money as-of calendar reshape (2 keys);
-# parse_datetime_multi's gated cascade; sim_topk/sim_ivf query-side +
-# scalar-dedup reshapes; the shingles/jaccard_pairs pre-explode set
-# size, riding under every jaccard consumer (ngram pairs, clusters,
-# survivors, incremental, corpus build); simhash row-local signatures +
-# fused Hamming cut (+ checkpointed crosscheck); span_removal spread +
-# distinct-gram census; the fused cut under the three perceptual pair
-# keys; profile_columns and agg_approx_distinct_err Expand removal;
-# stream_pgwire_tail's one-shot stall restart guard. Round-15 build
-# prepends are cleared (their r15/SF1 records cover those impls; the
-# r16-build pgwire/kafka module changes ride under stream_pgwire_tail
-# here and stream_pgwire_cdc's automatic no-evidence rank).
+# driver-checkable keys whose executed plans the round-17 optimization
+# pass reshaped: graph_pagerank (adjacency checkpointed partitioned+
+# sorted on src, one exchange per round — also under api.pagerank);
+# the lsh_cosine_pairs single-banding-evaluation census, riding under
+# neardup_cosine_lsh, its recall-floor referee and
+# dedup_semantic_clusters; the hash-prefixed exact-dedup windows
+# (dedup_exact, pipeline_corpus_build); profile_columns' empty-table
+# n_rows coalesce; stream_pgwire_tail's stall-class verification
+# before the bounded restart. Round-16 prepends are cleared — all 19
+# are green in CORRECTNESS_r16 on their reshaped implementations.
 _WINDOW_PREPEND: tuple[str, ...] = (
-    "stream_pgwire_tail",
-    "money_convert_asof",
-    "pipeline_settlement_report",
-    "parse_datetime_multi",
-    "sim_topk",
-    "sim_ivf",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_incremental_jaccard",
+    "graph_pagerank",
+    "neardup_cosine_lsh",
+    "neardup_cosine_recall_floor",
+    "dedup_semantic_clusters",
+    "dedup_exact",
     "pipeline_corpus_build",
-    "dedup_simhash",
-    "dedup_simhash_crosscheck",
-    "dedup_span_removal",
-    "dedup_image_dhash_pairs",
-    "dedup_audio_ehash_pairs",
-    "dedup_video_vhash_pairs",
     "profile_columns",
-    "agg_approx_distinct_err",
+    "stream_pgwire_tail",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json")
@@ -157,61 +144,60 @@ def _shipped_evidence_rounds() -> list[int]:
 # matches neither and fails.
 _WINDOW_EVIDENCE_ROUND: int = max(_shipped_evidence_rounds(), default=0)
 
-# ROUND-16-OPTIMIZATION WINDOW = rotation output at evidence pin r15
-# with the nineteen changed-implementation prepends above, then the one
-# never-checked key (stream_pgwire_cdc), then the r11 text/window
-# stragglers and the r12 cohort oldest-first.
+# ROUND-17-OPTIMIZATION WINDOW = rotation output at evidence pin r16
+# with the eight changed-implementation prepends above, then the r12
+# cohort oldest-evidence-first and the r13 tail.
 _DRIVER_WINDOW: list[str] = [
-    "stream_pgwire_tail",  # green r15
-    "money_convert_asof",  # green r13
-    "pipeline_settlement_report",  # green r12
-    "parse_datetime_multi",  # green r14
-    "sim_topk",  # rows_only r13
-    "sim_ivf",  # rows_only r12
-    "dedup_ngram_jaccard",  # green r12
-    "dedup_clusters",  # green r14
-    "dedup_survivors",  # green r14
-    "dedup_incremental_jaccard",  # green r12
-    "pipeline_corpus_build",  # green r12
-    "dedup_simhash",  # rows_only r15
-    "dedup_simhash_crosscheck",  # green r12
-    "dedup_span_removal",  # green r12
-    "dedup_image_dhash_pairs",  # green r13
-    "dedup_audio_ehash_pairs",  # green r13
-    "dedup_video_vhash_pairs",  # green r15
-    "profile_columns",  # green r15
-    "agg_approx_distinct_err",  # green r14
-    "stream_pgwire_cdc",  # no evidence
-    "text_tfidf",  # green r11
-    "text_token_count_bpe",  # green r11
-    "text_tokens",  # green r11
-    "text_unigram_logprob",  # green r11
-    "text_vocab_oov",  # green r11
-    "win_first_last",  # green r11
-    "win_gap_islands",  # green r11
-    "agg_approx_distinct",  # rows_only r12
-    "agg_approx_percentile",  # rows_only r12
-    "agg_cube",  # green r12
-    "agg_distinct",  # green r12
-    "agg_group_count",  # green r12
-    "agg_grouping_sets",  # green r12
-    "agg_histogram",  # green r12
-    "agg_hll_merge",  # rows_only r12
-    "agg_mode",  # green r12
-    "agg_pivot",  # green r12
-    "agg_rollup",  # green r12
-    "agg_stats",  # green r12
-    "anomaly_zscore",  # green r12
-    "count_filtered",  # green r12
-    "dedup_containment",  # green r12
-    "dedup_minhash_recall_pairs",  # green r12
-    "dedup_semantic_clusters",  # green r12
-    "dedup_span_ngrams",  # green r12
-    "dq_referential_integrity",  # green r12
-    "emb_pq_quantize_err",  # green r12
-    "graph_pagerank",  # green r12
-    "graph_triangle_count",  # green r12
-    "join_asof",  # green r12
+    "graph_pagerank",  # green r16
+    "neardup_cosine_lsh",  # rows_only r12
+    "neardup_cosine_recall_floor",  # green r12
+    "dedup_semantic_clusters",  # green r16
+    "dedup_exact",  # green r15
+    "pipeline_corpus_build",  # green r16
+    "profile_columns",  # green r16
+    "stream_pgwire_tail",  # green r16
+    "join_asof_tolerance",  # green r12
+    "join_broadcast",  # green r12
+    "join_skew_salted",  # green r12
+    "join_skew_split",  # green r12
+    "join_smj",  # green r12
+    "layout_zonemap",  # green r12
+    "neardup_levenshtein",  # green r12
+    "sample_temperature_mix",  # green r12
+    "sim_ivf_recall_floor",  # green r12
+    "sim_ivf_trained",  # rows_only r12
+    "sim_ivf_trained_recall_floor",  # green r12
+    "sim_ivfpq_recall_floor",  # green r12
+    "udf_decrypt",  # green r12
+    "win_session",  # green r12
+    "win_sliding",  # green r12
+    "agg_corr_moments",  # green r13
+    "agg_unpivot",  # green r13
+    "array_ops",  # green r13
+    "cdc_apply_changes",  # green r13
+    "compact_latest",  # green r13
+    "date_trunc_bucket",  # green r13
+    "dedup_audio_ehash",  # green r13
+    "dedup_image_dhash",  # green r13
+    "dedup_minhash",  # rows_only r13
+    "emb_pq_quantize",  # rows_only r13
+    "exists_subquery",  # green r13
+    "filter_between",  # green r13
+    "filter_conj",  # green r13
+    "filter_eq",  # green r13
+    "join_anti",  # green r13
+    "join_asof_forward",  # green r13
+    "join_full_outer",  # green r13
+    "join_left",  # green r13
+    "join_range",  # green r13
+    "join_semi",  # green r13
+    "json_variant_extract",  # green r13
+    "kafka_wire_roundtrip",  # green r13
+    "kafka_wire_routed_roundtrip",  # green r13
+    "layout_zorder",  # green r13
+    "limit_k",  # green r13
+    "multimodal_png_roundtrip",  # green r13
+    "multimodal_wav_roundtrip",  # green r13
 ]
 
 
